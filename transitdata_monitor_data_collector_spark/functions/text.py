@@ -1,0 +1,124 @@
+"""Text-analysis functions for LLM-data pipelines (charter extension,
+SURVEY.md §7 phase 6): token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen). Where the same logic must
+run in the DuckDB oracle, the registry entries in plans/llm_data.py carry
+the dialect-translated SQL; semantics are pinned here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenization — the pinned definition of a "token" for counting.
+_WS = r"\s+"
+
+# BPE-ish pre-tokenizer: letter runs, single digits, or single punctuation
+# (mirrors the GPT-2 pre-tokenizer's coarse classes without the lookaheads,
+# which RE2/DuckDB can't run).
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Small marker vocabularies for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "de": ["der", "die", "und", "das", "ein", "nicht"],
+    "es": ["el", "los", "y", "las", "una", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+LANG_PREFERENCE = ["en", "fr", "de", "es", "zh"]  # deterministic tie-break
+
+EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), _WS)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_ISH)).cast("long")
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    """How many tokens of ``text`` are in the marker list."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(
+        F.filter(tokens(text), lambda t: F.array_contains(arr, F.lower(t)))
+    ).cast("long")
+
+
+def langid(text: Column) -> Column:
+    """Greedy argmax over marker-hit scores, ties broken by LANG_PREFERENCE
+    order. A real system would use character n-gram profiles; the operator
+    shape (vectorized scoring + argmax) is what matters at scale."""
+    scores = {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    result = F.lit("und")
+    # build CASE from lowest preference upward so earlier langs win ties
+    for lang in reversed(LANG_PREFERENCE):
+        cond = scores[lang] > 0
+        for other in LANG_PREFERENCE:
+            if other == lang:
+                break
+            cond = cond & (scores[lang] > scores[other])
+        for other in LANG_PREFERENCE[LANG_PREFERENCE.index(lang) + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        result = F.when(cond, F.lit(lang)).otherwise(result)
+    return result
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    tc = token_count(text)
+    sw = marker_hits(text, EN_STOPWORDS)
+    return F.when(tc > 0, sw.cast("double") / tc).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column) -> Column:
+    tc = token_count(text)
+    total = F.aggregate(
+        tokens(text), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(tc > 0, total.cast("double") / tc).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1]: favors mid-length docs with
+    word-like tokens, low punctuation noise, some stopwords (prose-ness)."""
+    tc = token_count(text).cast("double")
+    len_score = F.least(tc / 100.0, F.lit(1.0))
+    mtl = mean_token_len(text)
+    shape_score = F.when((mtl >= 3.0) & (mtl <= 10.0), 1.0).otherwise(0.5)
+    noise_score = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    prose_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return F.round(
+        0.3 * len_score + 0.2 * shape_score + 0.3 * noise_score + 0.2 * prose_score,
+        6,
+    )
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Normalization-stable content hash: lowercase, squeeze whitespace, md5."""
+    return F.md5(F.lower(F.regexp_replace(text, _WS, " ")))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (the shingle set for Jaccard/MinHash)."""
+    toks = tokens(F.lower(text))
+    # sequence(0, -1) would DESCEND in Spark — guard the short-doc case
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )

@@ -1,0 +1,249 @@
+"""Deduplication operators for LLM training-data pipelines (charter
+extension; the reference observes dedup as a first-class pipeline concept —
+the ``raw`` vs ``raw-deduplicated`` Pulsar topics,
+src/pulsar_data_collector.py:22-33).
+
+Scale design (100 TB):
+- exact dedup: one hash-shuffle on the content hash — the minimum possible.
+- n-gram Jaccard: inverted-index self-join on shingles (NOT an all-pairs
+  cross join). Skew control: very frequent shingles ("stop shingles") are
+  dropped before the join — they only generate candidate pairs that exact
+  verification would re-check anyway.
+- MinHash+LSH: signatures via cheap integer hashing (xxhash64 + universal
+  rehash, no Python), banded bucketing so the self-join only happens within
+  buckets, then EXACT Jaccard verification of candidates — so LSH tuning
+  affects recall/cost, never output values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from transitdata_monitor_data_collector_spark.functions.text import (
+    content_fingerprint,
+    word_shingles,
+)
+
+# Mersenne prime 2^31-1: universal-hash modulus keeping all arithmetic
+# far from int64 overflow (Spark 4 ANSI mode errors on overflow).
+_P = 2_147_483_647
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact normalized content hash.
+
+    One shuffle on the 128-bit content hash; at 100 TB this is a plain
+    hash-aggregate, no skew concern (hashes are uniform).
+    """
+    h = content_fingerprint(F.col(text_col)).alias("content_md5")
+    return (
+        df.select(h, F.col(id_col), F.col(text_col))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via inverted-index join.
+
+    plan: explode shingles -> self-join on shingle (equi-join, shuffle on
+    shingle) -> count common -> join set sizes -> |A∩B| / (|A|+|B|-|A∩B|).
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs (skew guard; sound only when paired with LSH or when such shingles
+    can't push a pair over the threshold on their own — used by callers
+    that verify exactly afterwards).
+    """
+    sets = shingle_sets(df, text_col, id_col, n).cache()
+    exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+        exploded = (
+            exploded.join(freq, "shingle")
+            .filter(F.col("df") <= max_shingle_freq)
+            .drop("df")
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_sig_cols(num_hashes: int) -> list:
+    """Universal-hash family h_i(x) = (a_i * x + b_i) mod P over a base
+    xxhash64, reduced mod P first so products stay < 2^62 (no overflow)."""
+    base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P))
+    cols = []
+    for i in range(num_hashes):
+        a = (2 * i + 1) * 40_503 % _P  # odd multipliers, fixed seeds
+        b = (i * 1_299_721 + 15_485_863) % _P
+        cols.append(
+            F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+        )
+    return cols
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash-LSH.
+
+    64 hashes, bands of 2 → P(candidate | J) = 1-(1-J^2)^32: J=0.6 is
+    caught with p ≈ 1-6e-7 — recall is effectively 1 at the verification
+    threshold, so downstream exact verification determines the output.
+    Plan shape: explode -> hash-agg signatures (one shuffle) -> explode
+    bands -> groupBy band bucket (one shuffle over tiny rows) ->
+    within-bucket pairs. No cross join anywhere.
+    """
+    exploded = shingle_sets(df, text_col, id_col, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    sigs = exploded.groupBy("doc_id").agg(*_minhash_sig_cols(num_hashes))
+    num_bands = num_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.hash(
+                *[
+                    F.col(f"mh_{band * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            ).alias("key"),
+        )
+        for band in range(num_bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash-LSH candidates + EXACT Jaccard verification: same output as
+    brute-force Jaccard (the DuckDB oracle), at inverted-index cost only
+    within LSH buckets."""
+    candidates = minhash_lsh_candidates(df, text_col, id_col, n)
+    sets = shingle_sets(df, text_col, id_col, n)
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("size_a") + F.col("size_b") - inter).cast("double")
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word unigrams: per bit, sum +1/-1 weighted by
+    token hash bit, sign -> bit. Pure column expressions: tokens ->
+    xxhash64 -> per-bit majority via aggregate over the token array
+    (no shuffle at all — embarrassingly parallel row-wise op)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for bit in range(64):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(votes > 0, F.lit(1).cast("long") * (2**bit if bit < 63 else -(2**63)))
+            .otherwise(0)
+            .alias(f"b{bit}")
+        )
+    # sum the bit contributions into one signed 64-bit value
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def dedup_summary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level dedup report: exact-dup groups and survivor counts."""
+    groups = exact_dedup(df, text_col, id_col)
+    return groups.agg(
+        F.count("*").alias("n_unique"),
+        F.sum("n_copies").alias("n_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )

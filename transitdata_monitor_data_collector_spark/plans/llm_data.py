@@ -1,0 +1,444 @@
+"""LLM-training-data pipeline operators (charter extension; graded as
+first-class alongside SURVEY.md §2): dedup family, similarity search,
+text analysis, multimodal plumbing — over the ``documents`` and
+``embeddings`` tables.
+
+Oracle strategy: approximate operators (MinHash-LSH, RP-LSH) are tuned so
+recall ≈ 1 and candidates are verified EXACTLY — the declared output is an
+exact quantity, so a brute-force DuckDB oracle checks it. Operators whose
+output is inherently engine-internal (SimHash signatures, HLL sketches)
+are registered without an oracle (driver records rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transitdata_monitor_data_collector_spark.functions import text as TX
+from transitdata_monitor_data_collector_spark.functions.vectors import cosine
+from transitdata_monitor_data_collector_spark.operators import dedup as DD
+from transitdata_monitor_data_collector_spark.operators import similarity as SIM
+from transitdata_monitor_data_collector_spark.plans import register, table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (kept in lockstep with functions/text.py).
+# ---------------------------------------------------------------------------
+
+# tokens of lower(text): matches TX.tokens(F.lower(text))
+_DD_TOKENS_LOWER = "str_split_regex(trim(lower(text)), '\\s+')"
+# tokens of raw text: matches TX.tokens(text)
+_DD_TOKENS = "str_split_regex(trim(text), '\\s+')"
+
+_DD_SHINGLES = f"""
+  CASE WHEN len({_DD_TOKENS_LOWER}) >= 3
+       THEN list_distinct([array_to_string(({_DD_TOKENS_LOWER})[i:i+2], ' ')
+                           for i in generate_series(1, len({_DD_TOKENS_LOWER}) - 2)])
+       ELSE CAST([] AS VARCHAR[]) END
+"""
+
+_JACCARD_ORACLE_BODY = f"""
+    WITH sh AS (
+      SELECT doc_id, {_DD_SHINGLES} AS shingles FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh)
+    SELECT doc_a, doc_b,
+           round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) >= {{thr}}
+    ORDER BY doc_a, doc_b
+"""
+
+
+def _langid_sql() -> str:
+    """DuckDB CASE mirroring functions.text.langid exactly."""
+    score = {
+        lang: (
+            f"len(list_filter({_DD_TOKENS}, t -> list_contains("
+            f"{markers!r}, lower(t))))".replace("'", "'").replace('"', "'")
+        )
+        for lang, markers in TX.LANG_MARKERS.items()
+    }
+    # duckdb list literal: ['the', 'a', ...]
+    for lang, markers in TX.LANG_MARKERS.items():
+        lit = "[" + ", ".join("'" + m + "'" for m in markers) + "]"
+        score[lang] = (
+            f"len(list_filter({_DD_TOKENS}, t -> list_contains({lit}, lower(t))))"
+        )
+    branches = []
+    prefs = TX.LANG_PREFERENCE
+    for i, lang in enumerate(prefs):
+        conds = [f"({score[lang]}) > 0"]
+        for other in prefs[:i]:
+            conds.append(f"({score[lang]}) > ({score[other]})")
+        for other in prefs[i + 1 :]:
+            conds.append(f"({score[lang]}) >= ({score[other]})")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY content_md5
+    """,
+    doc="Exact dedup: hash-groupBy on normalized content md5, min-id "
+    "representative. One shuffle; uniform keys (no skew) at any scale.",
+    tags=("llm", "dedup"),
+)
+def doc_exact_dedup(spark, sf_dir):
+    return DD.exact_dedup(table(spark, sf_dir, "documents")).orderBy("content_md5")
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    oracle=_JACCARD_ORACLE_BODY.format(thr=0.5),
+    doc="Exact word-3-gram Jaccard near-dup pairs via inverted-index "
+    "self-join (no cross join).",
+    tags=("llm", "dedup"),
+)
+def doc_ngram_jaccard_pairs(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "doc_minhash_lsh_neardup",
+    oracle=_JACCARD_ORACLE_BODY.format(thr=0.5),
+    doc="MinHash(64)+LSH(32 bands of 2) candidates + exact Jaccard verify: "
+    "recall ~1-6e-7 at J=0.5, so output == brute-force oracle; cost is "
+    "bucket-local instead of corpus-wide.",
+    tags=("llm", "dedup", "approx"),
+)
+def doc_minhash_lsh_neardup(spark, sf_dir):
+    return DD.minhash_lsh_neardup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "doc_simhash",
+    oracle=None,  # signature values are hash-function-specific (rows-only check)
+    doc="64-bit SimHash per doc (word unigrams, xxhash64 bit votes) — "
+    "shuffle-free row-wise op; hamming-join downstream for near-dup.",
+    tags=("llm", "dedup", "approx"),
+)
+def doc_simhash(spark, sf_dir):
+    return DD.simhash(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "doc_dedup_summary",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h,
+             count(*) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    SELECT count(*) AS n_unique,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups
+    FROM groups
+    """,
+    doc="Corpus dedup report (unique docs / total / duplicate groups).",
+    tags=("llm", "dedup"),
+)
+def doc_dedup_summary(spark, sf_dir):
+    return DD.dedup_summary(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DD_TOKENS}) AS n_tokens,
+           len(regexp_extract_all(text, '{TX.BPE_ISH}')) AS n_bpe_ish,
+           length(text) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish pre-tokenizer count "
+    "(letter runs / digits / punct).",
+    tags=("llm", "text"),
+)
+def text_token_counts(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_count(F.col("text")).alias("n_bpe_ish"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_DD_TOKENS}) AS DOUBLE) AS tc,
+             CASE WHEN len({_DD_TOKENS}) > 0
+                  THEN CAST(list_sum(list_transform({_DD_TOKENS}, t -> length(t)))
+                            AS DOUBLE) / len({_DD_TOKENS})
+                  ELSE 0.0 END AS mtl,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text)
+                            - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN len({_DD_TOKENS}) > 0
+                  THEN CAST(len(list_filter({_DD_TOKENS},
+                         t -> list_contains({TX.EN_STOPWORDS!r}, lower(t))))
+                       AS DOUBLE) / len({_DD_TOKENS})
+                  ELSE 0.0 END AS sr
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.3 * least(tc / 100.0, 1.0)
+                 + 0.2 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+                 + 0.2 * least(sr * 4.0, 1.0), 6) AS quality
+    FROM t ORDER BY doc_id
+    """.replace('"', "'"),
+    doc="Heuristic quality scoring: length/shape/punctuation/stopword mix.",
+    tags=("llm", "text"),
+)
+def text_quality_scores(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, {_langid_sql()} AS pred_lang
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic: marker-token scores + deterministic argmax.",
+    tags=("llm", "text"),
+)
+def text_langid(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.langid(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, text, {_DD_SHINGLES} AS shingles FROM documents)
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5,
+           list_sort(list_transform(shingles, s -> md5(s)))[1:3] AS min_shingle_md5s
+    FROM sh ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: normalized content md5 + 3 minimal "
+    "shingle hashes (winnowing-style sketch, hash = md5 for oracle parity).",
+    tags=("llm", "text"),
+)
+def text_fingerprints(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    shingles = TX.word_shingles(F.col("text"), 3)
+    return d.select(
+        "doc_id",
+        TX.content_fingerprint(F.col("text")).alias("content_md5"),
+        F.slice(
+            F.array_sort(F.transform(shingles, lambda s: F.md5(s))), 1, 3
+        ).alias("min_shingle_md5s"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_source_rollup",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    ORDER BY lang NULLS FIRST, source NULLS FIRST
+    """,
+    doc="Corpus composition rollup (lang x source) — the 'what's in my "
+    "training set' query.",
+    tags=("llm", "text"),
+)
+def text_lang_source_rollup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_COS_DD = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "emb_cosine_topk",
+    oracle=f"""
+    SELECT b.vec_id AS vec_id, round({_COS_DD}, 6) AS cos_sim
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+    CROSS JOIN embeddings b
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-k to a literal query vector — compiles to "
+    "TakeOrderedAndProject (per-partition top-k + k-row merge), the correct "
+    "100 TB baseline.",
+    tags=("llm", "similarity"),
+)
+def emb_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(
+        table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
+@register(
+    "emb_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_DD}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_COS_DD}, 6) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold 0.9). Brute self-join "
+    "here; rp_lsh_buckets is the scale path (bucket join).",
+    tags=("llm", "similarity", "dedup"),
+)
+def emb_neardup_pairs(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "emb_ann_lsh_topk",
+    oracle=None,  # approximate: bucket membership is hash-specific (rows-only)
+    doc="ANN via random-hyperplane LSH: literal hyperplanes folded into the "
+    "plan, query restricted to its own bucket; at scale the bucket is a "
+    "partition key (partition pruning).",
+    tags=("llm", "similarity", "approx"),
+)
+def emb_ann_lsh_topk(spark, sf_dir):
+    return SIM.ann_lsh_topk(
+        table(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_planes=6,
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label, count(*) AS n,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS dim0_mean,
+           round(avg(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))), 6)
+             AS mean_sq_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    doc="Per-label embedding stats (centroid component + mean squared norm) "
+    "— clustering-quality probe, plain agg at any scale.",
+    tags=("llm", "similarity"),
+)
+def emb_label_centroids(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import dot
+
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(F.element_at(F.col("embedding"), 1).cast("double")), 6
+            ).alias("dim0_mean"),
+            F.round(
+                F.avg(dot(F.col("embedding"), F.col("embedding"))), 6
+            ).alias("mean_sq_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; Spark-side schema/batching real)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Opaque-binary column handling: payload length + content hash over "
+    "a binary column (stand-in for image/audio payloads; decode is stubbed "
+    "in operators/multimodal.py, the Spark plumbing is real).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_binary_meta(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.lower(F.sha2(payload, 256)).alias("payload_sha256"),
+    ).orderBy("doc_id")

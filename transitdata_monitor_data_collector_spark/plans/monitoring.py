@@ -1,0 +1,606 @@
+"""Monitoring-domain operator surface (SURVEY.md §2.1-2.7, §3).
+
+These queries reproduce the reference's actual computations — per-filter
+message rates with wildcard fan-out, cumulative counters, PromQL-style
+``rate()``, gauges, distribution summaries, scrape-outcome classification —
+over the driver-generated ``events`` table. An MQTT message stream is
+synthesized from ``events`` with a dialect-shared SQL fragment (identical
+text runs in Spark SQL and DuckDB), so every query is oracle-checkable.
+
+Scale notes: the fan-out is a codegen'd literal-regex projection (no join,
+no shuffle); all aggregates are keyed by (broker, topic_filter, window) —
+naturally partitionable; the only shuffles are the final groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from transitdata_monitor_data_collector_spark.functions.mqtt_match import (
+    filter_to_regex,
+    with_topic_filter_fanout,
+)
+from transitdata_monitor_data_collector_spark.plans import register, table
+
+# The 9 dashboard topic filters (grafana/mqtt-dashboard.json:92-820).
+DASHBOARD_FILTERS = [
+    "/hfp/v2/journey/ongoing/apc/#",
+    "/hfp/v2/journey/#",
+    "/hfp/v2/journey/ongoing/+/+/+/+/7280/#",
+    "/hfp/v2/journey/ongoing/+/ferry/#",
+    "/hfp/v2/journey/ongoing/+/metro/#",
+    "gtfsrt/v2/fi/hsl/tu",
+    "gtfsrt/dev/fi/hsl/sa",
+    "gtfsrt/dev/fi/hsl/tu",
+    "gtfsrt/dev/fi/hsl/vp/#",
+]
+
+# Dialect-shared SQL (valid in Spark SQL AND DuckDB): synthesize an MQTT
+# message stream from the events table. Topic shapes mirror the real HFP /
+# GTFS-RT vocabulary (FIXTURES.md §1).
+TOPIC_SQL = """CASE
+  WHEN event_type = 'purchase' AND user_id % 7 = 0 THEN 'gtfsrt/v2/fi/hsl/tu'
+  WHEN event_type = 'purchase' AND user_id % 7 = 1 THEN 'gtfsrt/dev/fi/hsl/sa'
+  WHEN event_type = 'purchase' AND user_id % 7 = 2
+       THEN concat('gtfsrt/dev/fi/hsl/vp/', CAST(user_id AS STRING))
+  WHEN event_type = 'purchase' THEN concat('ext/telemetry/', CAST(user_id AS STRING))
+  ELSE concat('/hfp/v2/journey/ongoing/',
+              CASE WHEN event_type = 'error' THEN 'apc' ELSE 'vp' END, '/',
+              CASE WHEN event_type = 'click' THEN 'bus'
+                   WHEN event_type = 'view' THEN 'ferry'
+                   WHEN event_type = 'signup' THEN 'metro'
+                   ELSE 'bus' END, '/',
+              CAST(user_id AS STRING), '/',
+              CAST(event_id % 100 AS STRING), '/',
+              CASE WHEN user_id % 13 = 0 THEN '7280'
+                   ELSE CAST(user_id % 97 AS STRING) END,
+              '/extra')
+END"""
+
+BROKER_SQL = """CASE WHEN user_id % 3 = 0 THEN 'tcp://mqtt.hsl.fi:1883'
+     ELSE 'wss://mqtt-dev.hsl.fi:443' END"""
+
+# DuckDB-side messages CTE (same fragment, same aliases).
+_MSGS_CTE = f"""msgs AS (
+  SELECT {BROKER_SQL} AS broker, {TOPIC_SQL} AS topic, ts, event_id
+  FROM events
+)"""
+
+# DuckDB-side fan-out with unknown bucket: LEFT JOIN against the compiled
+# regex registry; multi-match fan-out falls out of the join.
+_FILTER_VALUES = ",\n    ".join(
+    f"('{f}', '{filter_to_regex(f)}')" for f in DASHBOARD_FILTERS
+)
+_FANOUT_CTE = f"""filters(topic_filter, rx) AS (VALUES
+    {_FILTER_VALUES}
+),
+fanned AS (
+  SELECT m.broker, m.ts,
+         coalesce(f.topic_filter, 'unknown') AS topic_filter
+  FROM msgs m LEFT JOIN filters f
+    ON regexp_matches(regexp_replace(m.topic, '/+$', ''), f.rx)
+)"""
+
+
+def messages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized MQTT message stream as a DataFrame."""
+    return table(spark, sf_dir, "events").select(
+        F.expr(BROKER_SQL).alias("broker"),
+        F.expr(TOPIC_SQL).alias("topic"),
+        "ts",
+        "event_id",
+    )
+
+
+def fanned_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_topic_filter_fanout(messages_df(spark, sf_dir), DASHBOARD_FILTERS)
+
+
+# ---------------------------------------------------------------------------
+# A1+A2+P7+J3 — THE flagship: per-(broker, filter) message rate over 60 s
+# tumbling windows with wildcard fan-out and unknown bucket.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mqtt_fanout_window_rate",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_FANOUT_CTE}
+    SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+           broker, topic_filter, count(*) AS n,
+           round(count(*) / 60.0, 6) AS rate_msg_s
+    FROM fanned
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, broker, topic_filter
+    """,
+    doc="SURVEY §2.4 A1/A2 + §2.2 P7 + §2.5 J3: 60 s tumbling count -> rate per "
+    "(broker, topic_filter) with multi-filter fan-out and unknown bucket "
+    "(mqtt_data_collector.py:95-134,176-215; MqttTopicMonitorListener.java:125-135).",
+    tags=("monitoring", "flagship"),
+)
+def mqtt_fanout_window_rate(spark, sf_dir):
+    fanned = fanned_df(spark, sf_dir)
+    return (
+        fanned.groupBy(
+            F.window("ts", "60 seconds").start.alias("window_start"),
+            "broker",
+            "topic_filter",
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("rate_msg_s", F.round(F.col("n") / 60.0, 6))
+        .orderBy("window_start", "broker", "topic_filter")
+    )
+
+
+@register(
+    "mqtt_counter_totals",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_FANOUT_CTE}
+    SELECT broker, topic_filter, count(*) AS messages_received_total
+    FROM fanned GROUP BY 1, 2 ORDER BY broker, topic_filter
+    """,
+    doc="A3 cumulative counter per (broker, topic_filter) "
+    "(mqtt_messages_received_total, MqttTopicMonitorListener.java:73-92).",
+    tags=("monitoring",),
+)
+def mqtt_counter_totals(spark, sf_dir):
+    return (
+        fanned_df(spark, sf_dir)
+        .groupBy("broker", "topic_filter")
+        .agg(F.count("*").alias("messages_received_total"))
+        .orderBy("broker", "topic_filter")
+    )
+
+
+@register(
+    "mqtt_unknown_share",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_FANOUT_CTE}
+    SELECT broker,
+           CAST(sum(CASE WHEN topic_filter = 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unknown,
+           count(*) AS n_total,
+           round(sum(CASE WHEN topic_filter = 'unknown' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS unknown_share
+    FROM fanned GROUP BY broker ORDER BY broker
+    """,
+    doc="J4 unknown-bucket accounting (MqttTopicMonitorListener.java:126-129).",
+    tags=("monitoring",),
+)
+def mqtt_unknown_share(spark, sf_dir):
+    unknown = F.when(F.col("topic_filter") == "unknown", 1).otherwise(0)
+    return (
+        fanned_df(spark, sf_dir)
+        .groupBy("broker")
+        .agg(
+            F.sum(unknown).alias("n_unknown"),
+            F.count("*").alias("n_total"),
+            F.round(F.sum(unknown) / F.count("*").cast("double"), 6).alias(
+                "unknown_share"
+            ),
+        )
+        .orderBy("broker")
+    )
+
+
+@register(
+    "grafana_panel_hfp_journey",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_FANOUT_CTE}
+    SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+           broker, count(*) AS n
+    FROM fanned
+    WHERE regexp_matches(broker, '.*mqtt\\.hsl\\.fi.*')
+      AND topic_filter = '/hfp/v2/journey/#'
+    GROUP BY 1, 2 ORDER BY window_start, broker
+    """,
+    doc="P6 regex label selector + exact filter selector — the Grafana panel "
+    "series select (grafana/mqtt-dashboard.json:183).",
+    tags=("monitoring",),
+)
+def grafana_panel_hfp_journey(spark, sf_dir):
+    fanned = fanned_df(spark, sf_dir).filter(
+        F.col("broker").rlike(".*mqtt\\.hsl\\.fi.*")
+        & (F.col("topic_filter") == "/hfp/v2/journey/#")
+    )
+    return (
+        fanned.groupBy(
+            F.window("ts", "60 seconds").start.alias("window_start"), "broker"
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("window_start", "broker")
+    )
+
+
+@register(
+    "legend_mean_max",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_FANOUT_CTE},
+    rates AS (
+      SELECT time_bucket(INTERVAL '60 seconds', ts) AS w, broker, topic_filter,
+             count(*) / 60.0 AS rate
+      FROM fanned GROUP BY 1, 2, 3
+    )
+    SELECT broker, topic_filter,
+           round(avg(rate), 6) AS mean_rate, round(max(rate), 6) AS max_rate
+    FROM rates GROUP BY 1, 2 ORDER BY broker, topic_filter
+    """,
+    doc="A6 legend calcs: mean & max of each rate series over the range "
+    "(grafana/mqtt-dashboard.json:75-79).",
+    tags=("monitoring",),
+)
+def legend_mean_max(spark, sf_dir):
+    rates = (
+        fanned_df(spark, sf_dir)
+        .groupBy(F.window("ts", "60 seconds").alias("w"), "broker", "topic_filter")
+        .agg((F.count("*") / 60.0).alias("rate"))
+    )
+    return (
+        rates.groupBy("broker", "topic_filter")
+        .agg(
+            F.round(F.avg("rate"), 6).alias("mean_rate"),
+            F.round(F.max("rate"), 6).alias("max_rate"),
+        )
+        .orderBy("broker", "topic_filter")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — PromQL rate(): counter-delta with reset guard, and max-min-per-window.
+# Counter series synthesized with artificial resets (mod), matching the
+# FIXTURES.md §7 counter_samples shape.
+# ---------------------------------------------------------------------------
+
+_COUNTER_CTE = """counter_samples AS (
+  SELECT event_type, ts, event_id,
+         sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 1000.0
+           AS counter
+  FROM events
+)"""
+
+
+@register(
+    "promql_rate_lag",
+    oracle=f"""
+    WITH {_COUNTER_CTE}
+    SELECT event_type, ts,
+           round(CASE WHEN counter - lag(counter) OVER w < 0 THEN counter
+                      ELSE counter - lag(counter) OVER w END
+                 / (date_part('epoch', ts) - date_part('epoch', lag(ts) OVER w)), 6)
+             AS rate
+    FROM counter_samples
+    WHERE event_type IN ('click', 'error')
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    QUALIFY lag(ts) OVER w IS NOT NULL
+      AND date_part('epoch', ts) <> date_part('epoch', lag(ts) OVER w)
+    ORDER BY event_type, ts, event_id
+    """,
+    doc="A7/W1 PromQL rate() as lag-delta with counter-reset guard "
+    "(grafana/mqtt-dashboard.json:92; resets per SURVEY §2.7 T4).",
+    tags=("monitoring", "promql"),
+)
+def promql_rate_lag(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    samples = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.sum("value").over(wc) % 1000.0).alias("counter"),
+    ).filter(F.col("event_type").isin("click", "error"))
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    delta = F.col("counter") - F.lag("counter").over(w)
+    # Fractional-second epoch (ts.cast(double) = micros/1e6) to match
+    # DuckDB's date_part('epoch', ts); unix_timestamp would truncate to
+    # whole seconds and merge sub-second-adjacent samples.
+    epoch = F.col("ts").cast("double")
+    dt = epoch - F.lag(epoch).over(w)
+    return (
+        samples.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(
+                F.when(delta < 0, F.col("counter")).otherwise(delta) / dt, 6
+            ).alias("rate"),
+            dt.alias("_dt"),
+        )
+        .filter(F.col("_dt").isNotNull() & (F.col("_dt") != 0))
+        .select("event_type", "ts", "rate")
+        .orderBy("event_type", "ts")
+    )
+
+
+@register(
+    "promql_rate_window",
+    oracle=f"""
+    WITH {_COUNTER_CTE}
+    SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           round((max(counter) - min(counter)) / (6.0 * 3600.0), 8) AS rate
+    FROM counter_samples GROUP BY 1, 2 ORDER BY event_type, window_start
+    """,
+    doc="A7 PromQL rate() as (max-min)/interval per tumbling window — the "
+    "shuffle-friendly 100 TB formulation (one agg, no per-row window function).",
+    tags=("monitoring", "promql"),
+)
+def promql_rate_window(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    samples = ev.select(
+        "event_type", "ts", (F.sum("value").over(wc) % 1000.0).alias("counter")
+    )
+    return (
+        samples.groupBy(
+            "event_type", F.window("ts", "6 hours").start.alias("window_start")
+        )
+        .agg(
+            F.round((F.max("counter") - F.min("counter")) / (6.0 * 3600.0), 8).alias(
+                "rate"
+            )
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 / A5 — DistributionSummary and gauge-last semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distribution_summary",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="A4 Micrometer DistributionSummary = (count, sum, max) per key "
+    "(GtfsRtMetricsRegistry.java:26-39; semantics test :204-224).",
+    tags=("monitoring",),
+)
+def distribution_summary(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "gauge_last_value",
+    oracle="""
+    SELECT user_id, round(value, 4) AS last_value,
+           CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS up
+    FROM (
+      SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="A5 gauge = last value per key ordered by time "
+    "(gtfsrt_last_scrape_success, GtfsRtMetricsRegistry.java:40-44).",
+    tags=("monitoring",),
+)
+def gauge_last_value(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.round("value", 4).alias("last_value"),
+            F.when(F.col("event_type") == "error", 0).otherwise(1).alias("up"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — scrape-outcome classification matrix (GtfsRtMetricsExporter.java:49-78).
+# ---------------------------------------------------------------------------
+
+_OUTCOME_SQL = """CASE
+  WHEN event_type IN ('click', 'view', 'purchase') THEN 'success'
+  WHEN event_type = 'signup' THEN
+    concat('http_', CAST(CASE user_id % 3 WHEN 0 THEN 404 WHEN 1 THEN 500
+                         ELSE 503 END AS STRING))
+  WHEN user_id % 3 = 0 THEN 'parse_error'
+  WHEN user_id % 3 = 1 THEN 'io_error'
+  ELSE 'unknown_error'
+END"""
+
+
+@register(
+    "scrape_outcome_counts",
+    oracle=f"""
+    SELECT concat('https://feed', CAST(user_id % 4 AS STRING)) AS url,
+           {_OUTCOME_SQL} AS outcome,
+           count(*) AS attempts
+    FROM events GROUP BY 1, 2 ORDER BY url, outcome
+    """,
+    doc="P8 error classification CASE + A3 per-(url, result) counters "
+    "(GtfsRtMetricsExporter.java:54-77; test matrix GtfsRtMetricsExporterTest.java:84-325).",
+    tags=("monitoring",),
+)
+def scrape_outcome_counts(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.concat(
+                F.lit("https://feed"), (F.col("user_id") % 4).cast("string")
+            ).alias("url"),
+            F.expr(_OUTCOME_SQL).alias("outcome"),
+        )
+        .groupBy("url", "outcome")
+        .agg(F.count("*").alias("attempts"))
+        .orderBy("url", "outcome")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 / T7 — sliding windows and session windows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_rate",
+    oracle="""
+    WITH expanded AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '60 seconds', ts)
+               - unnest(generate_series(0, 4)) * INTERVAL '60 seconds' AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n,
+           round(count(*) / 300.0, 6) AS rate
+    FROM expanded GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    doc="T2 sliding window (5 min window, 1 min slide — PromQL $__rate_interval "
+    "lookback, dashboard refresh 30 s over 1 h, mqtt-dashboard.json:830).",
+    tags=("monitoring", "window"),
+)
+def sliding_window_rate(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes", "1 minute").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("rate", F.round(F.col("n") / 300.0, 6))
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             -- >= : Spark session windows are [start, last+gap), so an event
+             -- at exactly last+gap starts a NEW session
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="T7 session windows (30 min gap) — Spark session_window vs "
+    "gaps-and-islands oracle.",
+    tags=("monitoring", "window"),
+)
+def session_windows(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events"
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8 — dedup (the raw -> raw-deduplicated topic pattern).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keyed_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, round(value, 4) AS value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    doc="T8 deterministic keyed dedup (raw -> raw-deduplicated, "
+    "pulsar_data_collector.py:22-33); dropDuplicates made deterministic via "
+    "min-event_id representative.",
+    tags=("monitoring", "dedup"),
+)
+def dedup_keyed_first(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id", F.round("value", 4).alias("value")
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4/F6 — pulsar backlog threshold scan (topics_with_big_backlog.sh).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pulsar_big_backlog",
+    oracle="""
+    SELECT o_orderkey AS topic_id,
+           CAST(round(o_totalprice * 10000, 0) AS BIGINT) AS backlog_bytes,
+           CAST(floor(round(o_totalprice * 10000, 0) / 1e9) AS BIGINT) AS backlog_gb
+    FROM orders
+    WHERE CAST(round(o_totalprice * 10000, 0) AS BIGINT) >= 1000000000
+    ORDER BY backlog_bytes DESC, topic_id
+    """,
+    doc="P4 threshold + F6 unit conversion: backlogSize >= 1 GB report "
+    "(topics_with_big_backlog.sh:30-33, stats_of_all_topics.sh:31-36).",
+    tags=("monitoring",),
+)
+def pulsar_big_backlog(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    # round before the long cast: Spark cast truncates, DuckDB cast rounds —
+    # rounding first makes both exact on the integer-valued double
+    backlog = F.round(F.col("o_totalprice") * 10000, 0).cast("long")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("topic_id"),
+            backlog.alias("backlog_bytes"),
+            F.floor(backlog / 1e9).cast("long").alias("backlog_gb"),
+        )
+        .filter(F.col("backlog_bytes") >= 1_000_000_000)
+        .orderBy(F.desc("backlog_bytes"), "topic_id")
+    )

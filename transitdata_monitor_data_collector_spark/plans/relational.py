@@ -1,0 +1,779 @@
+"""Relational operator surface (SURVEY.md §2.2-2.6).
+
+Each query exercises one operator family over the driver-generated
+TPC-H-ish tables, paired with a DuckDB oracle. These are the batch
+building blocks the monitoring queries compose; on a cluster they hit
+the parquet scan with pushed filters and pruned columns (verified in
+tests/test_plans.py), broadcast the small dimension sides, and keep all
+expressions JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from transitdata_monitor_data_collector_spark.plans import register, table
+
+# ---------------------------------------------------------------------------
+# Aggregation spine (A4/A6/A8): TPC-H Q1-style pricing summary — the flagship
+# batch aggregate: partial+final hash agg, one shuffle, group-by on two
+# low-cardinality keys.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 analog; SURVEY §2.4 A4/A6/A8 (count/sum/avg per key).",
+    tags=("agg",),
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 analog; SURVEY §2.5 J1/J6 multi-join + §2.6 W3 top-k.",
+    tags=("join", "topk"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15 00:00:00"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15 00:00:00"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 analog; 6-way join with broadcastable dims (SURVEY §2.5 J6).",
+    tags=("join", "agg"),
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection & predicates (P1, P3-P6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "proj_column_pruning",
+    oracle="""
+    SELECT p_partkey, p_retailprice FROM part WHERE p_size >= 25
+    """,
+    doc="P1 projection + pushed filter; plan must read only 3 columns.",
+    tags=("scan",),
+)
+def proj_column_pruning(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 25)
+        .select("p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "filter_threshold",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 400000.0
+    """,
+    doc="P4 threshold predicate (backlogSize >= 1e9 analog, topics_with_big_backlog.sh:30-33).",
+    tags=("filter",),
+)
+def filter_threshold(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 400000.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "filter_isin_allowlist",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="P5 membership predicate (per-metric allowlists, pulsar_data_collector.py:43-52).",
+    tags=("filter",),
+)
+def filter_isin_allowlist(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "filter_rlike",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE regexp_matches(p_name, '^(red|blue) .*(bolt|gear)$')
+    """,
+    doc="P6 regex predicate on labels (grafana broker=~ selector analog).",
+    tags=("filter",),
+)
+def filter_rlike(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").rlike("^(red|blue) .*(bolt|gear)$"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@register(
+    "filter_null_sentinel",
+    oracle="""
+    SELECT count(*) AS n_valid,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+    FROM (SELECT nullif(l_discount, 0.0) AS v FROM lineitem)
+    """,
+    doc="P3 null/'no measurement' sentinel handling (mqtt_data_collector.py:200-205).",
+    tags=("filter",),
+)
+def filter_null_sentinel(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("v")
+    )
+    return li.agg(
+        F.count("*").alias("n_valid"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1/J2/J4/J6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_inner",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="J1 hash-lookup join (stats->allowlist, pulsar_data_collector.py:167-180); broadcast dim.",
+    tags=("join",),
+)
+def join_broadcast_inner(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT count(*) AS n
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+    doc="J2 left-semi membership ('is topic in collect list', pulsar_data_collector.py:61-73).",
+    tags=("join",),
+)
+def join_left_semi(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    open_orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT count(*) AS n
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="J4 anti-join ('unknown bucket' membership complement).",
+    tags=("join",),
+)
+def join_left_anti(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (SELECT n_nationkey AS k, count(*) AS n_cust
+               FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+         b AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(a.k, b.k) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    ORDER BY nationkey
+    """,
+    doc="J6 full-outer join over aggregated sides.",
+    tags=("join",),
+)
+def join_full_outer(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    supp = table(spark, sf_dir, "supplier")
+    a = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    b = supp.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return (
+        a.join(b, a.k == b.k, "full_outer")
+        .select(
+            F.coalesce(a.k, b.k).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "join_range_asof",
+    oracle="""
+    WITH grid AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-30 00:00:00',
+                                    INTERVAL 7 DAY)) AS t
+    ),
+    ranked AS (
+      SELECT g.t, e.value,
+             row_number() OVER (PARTITION BY g.t ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM grid g JOIN events e
+        ON e.ts <= g.t AND e.ts > g.t - INTERVAL 1 DAY
+      WHERE e.user_id = 1
+    )
+    SELECT t, round(value, 2) AS last_value FROM ranked WHERE rn = 1 ORDER BY t
+    """,
+    doc="J5 as-of/interval join: latest sample per grid point within lookback "
+    "(PromQL alignment, grafana $__rate_interval).",
+    tags=("join", "asof"),
+)
+def join_range_asof(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") == 1)
+    grid = spark.range(0, 5).select(
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(F.col("id") * 7)
+        ).alias("t")
+    )
+    joined = grid.join(
+        ev,
+        (ev.ts <= grid.t) & (ev.ts > grid.t - F.expr("INTERVAL 1 DAY")),
+    )
+    w = W.partitionBy("t").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("t", F.round("value", 2).alias("last_value"))
+        .orderBy("t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1/U2, A9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_distinct_merge",
+    oracle="""
+    SELECT k FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      UNION
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+      UNION
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+    ) ORDER BY k
+    """,
+    doc="A9/U1 merge of key lists with dedup (list(set(l1+l2+l3)), pulsar_data_collector.py:61-68).",
+    tags=("setop",),
+)
+def union_distinct_merge(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("k")
+    )
+    c = cust.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("k"))
+    return a.union(b).union(c).distinct().orderBy("k")
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY k
+    """,
+    doc="U2 intersect.",
+    tags=("setop",),
+)
+def setop_intersect(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.intersect(b).orderBy("k")
+
+
+@register(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    ORDER BY k
+    """,
+    doc="U2 except.",
+    tags=("setop",),
+)
+def setop_except(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    orders = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return cust.subtract(orders).orderBy("k")  # EXCEPT (distinct) semantics
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (A10), distinct & percentiles (A11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    doc="A10 rollup across the label hierarchy (region > nation).",
+    tags=("agg",),
+)
+def agg_rollup(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="A10 cube over metric label sets.",
+    tags=("agg",),
+)
+def agg_cube(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="A11 exact distinct per key.",
+    tags=("agg",),
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # approximate — sketch values are engine-specific (rows-only check)
+    doc="A11 approx_count_distinct (HLL) — the 100 TB path for label-cardinality monitoring.",
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("n_cust_approx"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="A11 exact interpolated percentiles (Micrometer summary percentile analog).",
+    tags=("agg",),
+)
+def agg_percentiles(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1-W4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    ORDER BY p_brand, p_retailprice DESC, p_partkey
+    """,
+    doc="W3 top-k per group via row_number.",
+    tags=("window",),
+)
+def window_topk_per_group(spark, sf_dir):
+    part = table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .orderBy("p_brand", F.desc("p_retailprice"), "p_partkey")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT s_suppkey, ym,
+           round(sum(month_qty) OVER (PARTITION BY s_suppkey ORDER BY ym), 2)
+             AS running_qty
+    FROM (
+      SELECT l_suppkey AS s_suppkey, date_trunc('month', l_shipdate) AS ym,
+             sum(l_quantity) AS month_qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    ORDER BY s_suppkey, ym
+    """,
+    doc="W2-style cumulative window (running total per key over time).",
+    tags=("window",),
+)
+def window_running_sum(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("ym"),
+    ).agg(F.sum("l_quantity").alias("month_qty"))
+    w = W.partitionBy("s_suppkey").orderBy("ym")
+    return monthly.select(
+        "s_suppkey",
+        "ym",
+        F.round(F.sum("month_qty").over(w), 2).alias("running_qty"),
+    ).orderBy("s_suppkey", "ym")
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, ts, round(value - lag(value) OVER w, 4) AS delta
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="W1 lag/delta over partition (counter-delta form of PromQL rate).",
+    tags=("window",),
+)
+def window_lag_delta(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    ).orderBy("user_id", "ts")
+
+
+@register(
+    "sort_limit_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    doc="W4 global sort + limit with deterministic tiebreak.",
+    tags=("sort",),
+)
+def sort_limit_deterministic(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (F1-F11) — pinned semantics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_kitchen_sink",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 250000.0)                             AS abs_dev,
+           CASE WHEN round(o_totalprice / 10000, 2) > 10
+                THEN round(o_totalprice / 10000, 0)
+                ELSE round(o_totalprice / 10000, 2) END             AS cond_round,
+           replace(replace(o_orderpriority, '-', '*'), ' ', '^')    AS sanitized,
+           len(str_split(o_orderpriority, '-'))                     AS n_parts,
+           concat(o_orderstatus, ':', o_orderpriority)              AS dim_key,
+           CAST(floor(o_totalprice / 100000.0) AS BIGINT)           AS price_bucket,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')               AS iso_ts,
+           CAST(date_part('epoch', TIMESTAMP '2001-09-01 00:00:00')
+                - date_part('epoch', o_orderdate) AS BIGINT)        AS age_seconds
+    FROM orders WHERE o_orderkey < 1000
+    ORDER BY o_orderkey
+    """,
+    doc="F1 abs, F2 conditional round (mqtt_data_collector.py:290-297), F3 sanitize "
+    "(:299-302), F4 split, F5 concat key (:196-198), F6 unit bucket, F7 ISO-8601 "
+    "format (:229), F8 epoch age (gtfsrt_data_collector.py:23).",
+    tags=("scalar",),
+)
+def scalar_kitchen_sink(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    rounded2 = F.round(F.col("o_totalprice") / 10000, 2)
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 250000.0).alias("abs_dev"),
+        F.when(rounded2 > 10, F.round(F.col("o_totalprice") / 10000, 0))
+        .otherwise(rounded2)
+        .alias("cond_round"),
+        F.translate("o_orderpriority", "- ", "*^").alias("sanitized"),
+        F.size(F.split("o_orderpriority", "-")).cast("long").alias("n_parts"),
+        F.concat_ws(":", "o_orderstatus", "o_orderpriority").alias("dim_key"),
+        F.floor(F.col("o_totalprice") / 100000.0).cast("long").alias("price_bucket"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        (
+            F.unix_timestamp(F.to_timestamp(F.lit("2001-09-01 00:00:00")))
+            - F.unix_timestamp("o_orderdate")
+        ).alias("age_seconds"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="F11 JSON deserialize + nested field access (pulsar stats JSON analog).",
+    tags=("scalar", "json"),
+)
+def json_extract_props(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "struct_envelope_build",
+    oracle="""
+    SELECT event_type AS metric,
+           to_json({'dimValues': [event_type],
+                    'sum': round(CAST(sum(value) AS DOUBLE), 4),
+                    'count': count(*)}) AS series_json
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="F10+F11 struct/array construction + JSON serialize: the Azure "
+    "custom-metric series element (mqtt_data_collector.py:304,253). "
+    "Serialized so the oracle hash compares a plain string, not an "
+    "engine-specific nested-row representation.",
+    tags=("scalar", "struct"),
+)
+def struct_envelope_build(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("metric"))
+        .agg(
+            F.to_json(
+                F.struct(
+                    F.array(F.col("metric")).alias("dimValues"),
+                    F.round(F.sum("value"), 4).alias("sum"),
+                    F.count("*").alias("count"),
+                )
+            ).alias("series_json")
+        )
+        .orderBy("metric")
+    )

@@ -1,0 +1,94 @@
+"""Streaming queries in the registry: real Structured Streaming runs
+(file-replay source, availableNow trigger, memory sink) whose final output
+is deterministic, so the windowed/counter jobs get full DuckDB oracles —
+the stream result must equal the batch computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transitdata_monitor_data_collector_spark.plans import register
+from transitdata_monitor_data_collector_spark.plans.monitoring import (
+    BROKER_SQL,
+    DASHBOARD_FILTERS,
+    TOPIC_SQL,
+    _FANOUT_CTE,
+    _MSGS_CTE,
+)
+from transitdata_monitor_data_collector_spark.streaming import jobs
+
+
+def _message_stream(spark, sf_dir):
+    stream = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    return stream.select(
+        F.expr(BROKER_SQL).alias("broker"),
+        F.expr(TOPIC_SQL).alias("topic"),
+        "ts",
+        "event_id",
+    )
+
+
+@register(
+    "streaming_windowed_rate",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_FANOUT_CTE}
+    SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+           broker, topic_filter, count(*) AS n,
+           round(count(*) / 60.0, 6) AS rate_msg_s
+    FROM fanned GROUP BY 1, 2, 3
+    ORDER BY window_start, broker, topic_filter
+    """,
+    doc="T1/A1/A2 as a REAL streaming run: file-replay -> watermark -> "
+    "windowed fan-out rate -> memory sink (complete mode); availableNow "
+    "makes the final table equal the batch answer.",
+    tags=("streaming",),
+)
+def streaming_windowed_rate(spark, sf_dir):
+    rates = jobs.windowed_rate_job(_message_stream(spark, sf_dir), DASHBOARD_FILTERS)
+    return jobs.run_to_memory(spark, rates, output_mode="complete").orderBy(
+        "window_start", "broker", "topic_filter"
+    )
+
+
+@register(
+    "streaming_counter_totals",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_FANOUT_CTE}
+    SELECT broker, topic_filter, count(*) AS messages_received_total
+    FROM fanned GROUP BY 1, 2 ORDER BY broker, topic_filter
+    """,
+    doc="A3 cumulative counter as a streaming update-mode job; final state "
+    "per key equals the batch count.",
+    tags=("streaming",),
+)
+def streaming_counter_totals(spark, sf_dir):
+    counters = jobs.cumulative_counter_job(
+        _message_stream(spark, sf_dir), DASHBOARD_FILTERS
+    )
+    mem = jobs.run_to_memory(spark, counters, output_mode="update")
+    # update mode emits one row per key per micro-batch; keep the latest
+    return (
+        mem.groupBy("broker", "topic_filter")
+        .agg(F.max("messages_received_total").alias("messages_received_total"))
+        .orderBy("broker", "topic_filter")
+    )
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle=None,  # arrival-order dependent (rows-only check)
+    doc="T8 dropDuplicatesWithinWatermark over the replayed stream "
+    "(raw -> raw-deduplicated).",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    deduped = jobs.dedup_within_watermark_job(
+        _message_stream(spark, sf_dir), keys=("broker", "topic")
+    )
+    mem = jobs.run_to_memory(spark, deduped, output_mode="append")
+    return mem.groupBy("broker").agg(F.count("*").alias("n_unique_topics")).orderBy(
+        "broker"
+    )

@@ -1,0 +1,143 @@
+"""Streaming jobs over an MQTT-shaped message stream.
+
+Each job takes an unbounded DataFrame with at least
+``broker, topic, ts`` columns (FIXTURES.md §1) and returns the transformed
+unbounded DataFrame; ``run_to_memory`` drives any of them deterministically
+(availableNow) into an in-memory table for tests and the driver gate.
+
+State posture at scale: windowed aggs are watermark-bounded (state evicted
+once the watermark passes); counters use update-mode keyed state — at 100 TB
+switch the state store to RocksDB
+(spark.sql.streaming.stateStore.providerClass) and keep keys =
+(broker, topic_filter): cardinality is the registry size, tiny.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transitdata_monitor_data_collector_spark.functions.mqtt_match import (
+    with_topic_filter_fanout,
+)
+
+
+def windowed_rate_job(
+    messages: DataFrame,
+    filters: Sequence[str],
+    window: str = "60 seconds",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """A1+A2: per-(broker, topic_filter) count and msg/s rate over tumbling
+    windows, with wildcard fan-out and unknown bucket
+    (mqtt_data_collector.py:95-134,176-215)."""
+    window_secs = _duration_seconds(window)
+    fanned = with_topic_filter_fanout(messages.withWatermark("ts", watermark), filters)
+    return (
+        fanned.groupBy(F.window("ts", window).alias("w"), "broker", "topic_filter")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "broker",
+            "topic_filter",
+            "n",
+            F.round(F.col("n") / float(window_secs), 6).alias("rate_msg_s"),
+        )
+    )
+
+
+def cumulative_counter_job(
+    messages: DataFrame, filters: Sequence[str]
+) -> DataFrame:
+    """A3: monotonic mqtt_messages_received_total per (broker, topic_filter)
+    (MqttTopicMonitorListener.java:73-92). Run in update output mode; state
+    = one long per key."""
+    fanned = with_topic_filter_fanout(messages, filters)
+    return fanned.groupBy("broker", "topic_filter").agg(
+        F.count("*").alias("messages_received_total")
+    )
+
+
+def gauge_last_job(messages: DataFrame) -> DataFrame:
+    """A5: last-value gauge per broker (mqtt_connected analog): max_by over
+    event time, update mode."""
+    return messages.groupBy("broker").agg(
+        F.max_by("topic", "ts").alias("last_topic"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def dedup_within_watermark_job(
+    messages: DataFrame,
+    keys: Sequence[str] = ("broker", "topic"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T8: streaming dedup — the raw -> raw-deduplicated topic pattern
+    (pulsar_data_collector.py:22-33) done inside the engine; state bounded
+    by the watermark."""
+    return messages.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_to_memory(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+) -> DataFrame:
+    """Drive an unbounded DataFrame with availableNow into a memory sink;
+    returns the result as a batch DataFrame. Deterministic replay path."""
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-replay source: stream an existing parquet file/dir with its
+    batch schema (the deterministic stand-in for live MQTT). Nano-precision
+    timestamp columns are read as long and truncated to micros (same
+    handling as plans.table)."""
+    import os
+
+    from transitdata_monitor_data_collector_spark.plans import _nano_ts_cols
+
+    nano_cols = _nano_ts_cols(path) if path.endswith(".parquet") else []
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # The file streaming source requires a directory; expose a single
+        # parquet file through a symlink in a temp dir (no data copy).
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def _duration_seconds(s: str) -> int:
+    qty, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(qty) * mult
