@@ -1,0 +1,80 @@
+"""Headline benchmark — the driver's per-round performance probe.
+
+Runs a representative slice of the registry (relational spine, monitoring
+rate queries, LLM-data dedup/similarity/text) at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end through the noop sink (full execution, no
+driver-side collect bottleneck). One warm-up pass on the smallest table
+primes the JVM/codegen so the numbers reflect steady-state plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational spine (TPC-H-ish)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    # monitoring / PromQL layer
+    "mqtt_fanout_window_rate",
+    "mqtt_counter_totals",
+    "promql_rate_window",
+    "grafana_panel_hfp_journey",
+    # LLM-data pipeline extensions
+    "doc_exact_dedup",
+    "doc_minhash_lsh_neardup",
+    "emb_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from transitdata_monitor_data_collector_spark.plans import load_all
+    from transitdata_monitor_data_collector_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    registry = load_all()
+
+    # Warm-up: prime codegen/classloading on a tiny scan so per-query
+    # timings measure the plan, not JVM startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name].build(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
