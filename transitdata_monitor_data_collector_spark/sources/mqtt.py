@@ -1,0 +1,258 @@
+"""MQTT streaming source via the Spark 4 Python Data Source API.
+
+Re-expresses the reference's ingest layer — paho callbacks incrementing
+shared counters (``src/mqtt_data_collector.py:45-97``,
+``…/mqtt/MqttTopicMonitorListener.java:94-135``) — as a proper Spark
+streaming source: the broker push lands in a bounded in-process buffer, and
+Spark drains it per micro-batch as offset ranges. Schema (FIXTURES.md §1):
+
+    broker: string, topic: string, payload: binary, ts: timestamp
+
+Design points carried over from the reference:
+
+- **Filter pushdown to SUBSCRIBE**: the ``topicFilters`` option becomes the
+  broker-side subscription set (``MqttTopicMonitorListener.java:107-112``)
+  — the broker is the storage engine, filtering at the source like
+  DataSource filter pushdown.
+- **Flow control**: ``maxBatchSize`` bounds rows per micro-batch, the
+  analog of MAX_INFLIGHT_MESSAGES=1000 sized for 10k msg/s at 100 ms RTT
+  (``MqttTopicMonitorListener.java:29-37,163``).
+- **QoS** 0-2 validated as in ``AppConfig.java:75-79``.
+- **Multi-broker fan-in** (``Main.java:76-85``): one source per broker,
+  ``unionByName`` the streams.
+
+The live path needs ``paho-mqtt`` (import-gated — not installed in CI, and
+the reference never integration-tests a live broker either, SURVEY §5).
+The *replay* source below exercises the identical DataSource machinery
+deterministically from a JSON-lines file and is the tested path.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["MqttDataSource", "MqttReplayDataSource", "MQTT_SCHEMA", "register_sources"]
+
+MQTT_SCHEMA = StructType(
+    [
+        StructField("broker", StringType(), False),
+        StructField("topic", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("ts", TimestampType(), False),
+    ]
+)
+
+
+def _validate_qos(qos: int) -> int:
+    if qos < 0 or qos > 2:
+        raise ValueError(f"qos must be 0, 1, or 2, but was {qos}")
+    return qos
+
+
+class MqttDataSource(DataSource):
+    """``spark.readStream.format("mqtt")`` — live broker source.
+
+    Options:
+      broker (required)     e.g. ``tcp://mqtt.hsl.fi:1883``
+      topicFilters          JSON list or comma-separated filters; pushed
+                            into SUBSCRIBE (default ``#``)
+      qos                   0|1|2 (default 0, at-most-once like the
+                            reference default, application.conf:18-19)
+      maxBatchSize          max rows per micro-batch (default 10000)
+      keepAlive             seconds (default 20, application.conf:16-17)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "mqtt"
+
+    def schema(self) -> StructType:
+        return MQTT_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType):
+        return _MqttLiveReader(self.options)
+
+
+def _parse_filters(raw: str | None) -> list[str]:
+    if not raw:
+        return ["#"]
+    raw = raw.strip()
+    if raw.startswith("["):
+        return list(json.loads(raw))
+    return [f.strip() for f in raw.split(",") if f.strip()]
+
+
+class _MqttLiveReader(SimpleDataSourceStreamReader):
+    """Buffers paho pushes; each ``read`` drains up to maxBatchSize rows.
+
+    Offsets are monotone sequence numbers over the received stream —
+    at-most-once at QoS 0 exactly like the reference; replays within a
+    restarted query re-read only the in-memory buffer (the broker does not
+    persist QoS-0 history, ``MqttTopicMonitorListener.java:157-164``
+    ``cleanSession(false)`` only buffers QoS>0).
+    """
+
+    def __init__(self, options):
+        self._broker = options.get("broker")
+        if not self._broker:
+            raise ValueError("option 'broker' is required")
+        self._filters = _parse_filters(options.get("topicFilters"))
+        self._qos = _validate_qos(int(options.get("qos", "0")))
+        self._max_batch = int(options.get("maxBatchSize", "10000"))
+        self._keep_alive = int(options.get("keepAlive", "20"))
+        self._buffer: list[tuple] = []
+        self._seq = 0
+        self._client = None
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _ensure_client(self):
+        if self._client is not None:
+            return
+        try:
+            import paho.mqtt.client as mqtt  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - live path
+            raise ImportError(
+                "paho-mqtt is required for the live MQTT source; use the "
+                "'mqtt-replay' source for deterministic testing"
+            ) from e
+
+        host, port = self._host_port()
+        client = mqtt.Client()
+
+        def on_connect(c, userdata, flags, rc):  # pragma: no cover - live path
+            for f in self._filters:
+                c.subscribe(f, qos=self._qos)
+
+        def on_message(c, userdata, msg):  # pragma: no cover - live path
+            self._buffer.append(
+                (
+                    self._broker,
+                    msg.topic,
+                    bytes(msg.payload),
+                    datetime.now(timezone.utc).replace(tzinfo=None),
+                )
+            )
+
+        client.on_connect = on_connect
+        client.on_message = on_message
+        client.connect(host, port, keepalive=self._keep_alive)
+        client.loop_start()
+        self._client = client
+
+    def _host_port(self) -> tuple[str, int]:
+        addr = self._broker.split("://", 1)[-1]
+        host, _, port = addr.partition(":")
+        return host, int(port or 1883)
+
+    def read(self, start: dict):  # pragma: no cover - live path
+        self._ensure_client()
+        n = min(len(self._buffer), self._max_batch)
+        rows, self._buffer = self._buffer[:n], self._buffer[n:]
+        self._seq += n
+        return iter(rows), {"seq": self._seq}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # pragma: no cover
+        return iter(())  # QoS-0 history is gone; at-most-once by design
+
+    def stop(self):  # pragma: no cover - live path
+        if self._client is not None:
+            self._client.loop_stop()
+            self._client.disconnect()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic replay source — same DataSource machinery, file-backed
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _ReplayPartition(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+class MqttReplayDataSource(DataSource):
+    """``spark.readStream.format("mqtt-replay")`` — replays a JSON-lines
+    file of ``{broker, topic, payload?, ts}`` records as the MQTT stream,
+    ``rowsPerBatch`` per micro-batch. This is the CI-testable stand-in for
+    the live source (the reference never tests live MQTT either)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mqtt-replay"
+
+    def schema(self) -> StructType:
+        return MQTT_SCHEMA
+
+    def streamReader(self, schema: StructType):
+        return _ReplayReader(self.options)
+
+
+class _ReplayReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("option 'path' is required")
+        self._rows_per_batch = int(options.get("rowsPerBatch", "1000"))
+        with open(self._path) as f:
+            self._total = sum(1 for line in f if line.strip())
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        return {"row": self._total}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        out = []
+        pos = lo
+        while pos < hi:
+            nxt = min(pos + self._rows_per_batch, hi)
+            out.append(_ReplayPartition(self._path, pos, nxt))
+            pos = nxt
+        return out or [_ReplayPartition(self._path, lo, lo)]
+
+    def read(self, partition: _ReplayPartition):
+        with open(partition.path) as f:
+            for i, line in enumerate(ln for ln in f if ln.strip()):
+                if i < partition.start:
+                    continue
+                if i >= partition.end:
+                    break
+                rec = json.loads(line)
+                payload = rec.get("payload")
+                yield (
+                    rec["broker"],
+                    rec["topic"],
+                    payload.encode() if isinstance(payload, str) else payload,
+                    datetime.fromisoformat(rec["ts"]),
+                )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register_sources(spark) -> None:
+    """Register both sources on a session (idempotent)."""
+    spark.dataSource.register(MqttDataSource)
+    spark.dataSource.register(MqttReplayDataSource)
