@@ -31,6 +31,11 @@ from transitdata_monitor_data_collector_spark.functions.text import (
 _P = 2_147_483_647
 
 
+from transitdata_monitor_data_collector_spark.partitioning import (  # noqa: E402
+    spread_small_input,
+)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -76,7 +81,7 @@ def ngram_jaccard_pairs(
     can't push a pair over the threshold on their own — used by callers
     that verify exactly afterwards).
     """
-    sets = shingle_sets(df, text_col, id_col, n).cache()
+    sets = shingle_sets(spread_small_input(df, id_col), text_col, id_col, n).cache()
     exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_freq is not None:
         freq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -112,18 +117,44 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_sig_cols(num_hashes: int) -> list:
-    """Universal-hash family h_i(x) = (a_i * x + b_i) mod P over a base
-    xxhash64, reduced mod P first so products stay < 2^62 (no overflow)."""
-    base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P))
+def with_shingle_hashes(sets: DataFrame) -> DataFrame:
+    """Add the per-shingle xxhash64-mod-P array. Callers that cache the
+    shingle-set frame should cache AFTER this so the string hashing is paid
+    once, not once per downstream signature expression."""
+    return sets.withColumn(
+        "sh_hashes",
+        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P))),
+    )
+
+
+def minhash_signatures(sets: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}) from a ``shingle_sets`` frame.
+
+    Universal-hash family h_i(x) = (a_i*x + b_i) mod P over the per-shingle
+    hash array, each minimum a row-wise ``array_min(transform(...))`` with
+    the constants folded into the expression. Signatures need NO explode
+    and NO shuffle — at 100 TB this is a narrow map stage instead of
+    shuffling every shingle occurrence. All products stay < 2^62 (no ANSI
+    overflow). Docs with empty shingle sets are dropped (no signature).
+    """
+    if "sh_hashes" not in sets.columns:
+        sets = with_shingle_hashes(sets)
+
+    def _rehash(a: int, b: int):
+        # closure factory: pyspark introspects lambda arity, so default-arg
+        # binding (lambda x, a=a, ...) would read as a 3-arg lambda
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P))
+
     cols = []
     for i in range(num_hashes):
         a = (2 * i + 1) * 40_503 % _P  # odd multipliers, fixed seeds
         b = (i * 1_299_721 + 15_485_863) % _P
         cols.append(
-            F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+            F.array_min(F.transform(F.col("sh_hashes"), _rehash(a, b))).alias(
+                f"mh_{i}"
+            )
         )
-    return cols
+    return sets.filter(F.col("set_size") > 0).select("doc_id", *cols)
 
 
 def minhash_lsh_candidates(
@@ -133,20 +164,20 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 64,
     rows_per_band: int = 2,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded MinHash-LSH.
 
     64 hashes, bands of 2 → P(candidate | J) = 1-(1-J^2)^32: J=0.6 is
     caught with p ≈ 1-6e-7 — recall is effectively 1 at the verification
     threshold, so downstream exact verification determines the output.
-    Plan shape: explode -> hash-agg signatures (one shuffle) -> explode
-    bands -> groupBy band bucket (one shuffle over tiny rows) ->
-    within-bucket pairs. No cross join anywhere.
+    Plan shape: row-wise signatures (narrow, no shuffle) -> explode 32
+    tiny band keys -> equi-self-join on (band, key). No cross join, and
+    the only shuffled rows are (doc_id, band, key) triples.
     """
-    exploded = shingle_sets(df, text_col, id_col, n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    sigs = exploded.groupBy("doc_id").agg(*_minhash_sig_cols(num_hashes))
+    if sets is None:
+        sets = shingle_sets(df, text_col, id_col, n)
+    sigs = minhash_signatures(sets, num_hashes)
     num_bands = num_hashes // rows_per_band
     band_structs = [
         F.struct(
@@ -188,9 +219,17 @@ def minhash_lsh_neardup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates + EXACT Jaccard verification: same output as
     brute-force Jaccard (the DuckDB oracle), at inverted-index cost only
-    within LSH buckets."""
-    candidates = minhash_lsh_candidates(df, text_col, id_col, n)
-    sets = shingle_sets(df, text_col, id_col, n)
+    within LSH buckets.
+
+    The input is repartitioned BEFORE the CPU-heavy row-wise shingling —
+    a small text corpus often arrives as one file split, which would pin
+    the whole narrow pipeline to one core; the (doc_id-hashed) exchange is
+    tiny relative to the compute it parallelizes. The shingle+hash frame
+    is computed once, cached, and shared by signature generation and
+    verification."""
+    spread = spread_small_input(df, id_col)
+    sets = with_shingle_hashes(shingle_sets(spread, text_col, id_col, n)).cache()
+    candidates = minhash_lsh_candidates(df, text_col, id_col, n, sets=sets)
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),
@@ -216,7 +255,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """64-bit SimHash over word unigrams: per bit, sum +1/-1 weighted by
     token hash bit, sign -> bit. Pure column expressions: tokens ->
     xxhash64 -> per-bit majority via aggregate over the token array
-    (no shuffle at all — embarrassingly parallel row-wise op)."""
+    (no shuffle needed — embarrassingly parallel row-wise op; small
+    single-split inputs are spread across cores first)."""
+    df = spread_small_input(df, id_col)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     bit_cols = []

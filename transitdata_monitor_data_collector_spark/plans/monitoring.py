@@ -85,8 +85,16 @@ fanned AS (
 
 
 def messages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The synthesized MQTT message stream as a DataFrame."""
-    return table(spark, sf_dir, "events").select(
+    """The synthesized MQTT message stream as a DataFrame.
+
+    The events scan is spread across cores before the per-row regex
+    fan-out — a single-split local file would otherwise run the 9-pattern
+    match single-threaded (no-op on multi-split inputs)."""
+    from transitdata_monitor_data_collector_spark.partitioning import (
+        spread_small_input,
+    )
+
+    return spread_small_input(table(spark, sf_dir, "events"), "event_id").select(
         F.expr(BROKER_SQL).alias("broker"),
         F.expr(TOPIC_SQL).alias("topic"),
         "ts",
