@@ -1,0 +1,97 @@
+"""Multimodal plumbing tests: fake-container round-trips, mapInPandas
+batch shapes, resize header rewrite, frame-sampling fan-out, and payload
+column pruning (the metadata query must not read payload bytes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from transitdata_monitor_data_collector_spark.operators.multimodal import (
+    IMAGE_MAGIC,
+    decode_image_meta,
+    decode_with_library,
+    fake_image_payload,
+    resize_meta,
+    sample_frames,
+    synthesize_image_payloads,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    return synthesize_image_payloads(docs).cache()
+
+
+def test_payload_format(media):
+    row = media.orderBy("doc_id").first()
+    assert row["payload"].startswith(IMAGE_MAGIC)
+    assert row["media_type"] == "image"
+
+
+def test_decode_round_trip(media):
+    metas = {r["doc_id"]: r for r in decode_image_meta(media).collect()}
+    for doc_id, m in metas.items():
+        assert m["width"] == 16 + doc_id % 64
+        assert m["height"] == 16 + doc_id % 48
+        assert m["n_pixels"] == m["width"] * m["height"]
+        assert m["n_bytes"] > 16
+        assert m["mean_byte"] is None or 0 <= m["mean_byte"] <= 255
+
+
+def test_decode_handles_garbage(spark):
+    bad = spark.createDataFrame(
+        [(1, "image", b"not a container"), (2, "image", None)],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_image_meta(bad).collect()}
+    assert rows[1]["width"] is None
+    assert rows[2]["width"] is None
+
+
+def test_resize_clamps_to_max_side(media):
+    resized = decode_image_meta(resize_meta(media, max_side=32))
+    for r in resized.collect():
+        assert max(r["width"], r["height"]) <= 32
+        assert min(r["width"], r["height"]) >= 1
+
+
+def test_resize_preserves_body(media):
+    orig = {r["doc_id"]: r["n_bytes"] for r in decode_image_meta(media).collect()}
+    after = {
+        r["doc_id"]: r["n_bytes"]
+        for r in decode_image_meta(resize_meta(media)).collect()
+    }
+    assert orig == after  # stub rewrites only the 16-byte header
+
+
+def test_frame_sampling_fanout(media):
+    frames = sample_frames(media, frame_bytes=64, stride=4)
+    by_doc = {}
+    for r in frames.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    metas = {r["doc_id"]: r for r in decode_image_meta(media).collect()}
+    for doc_id, rows in by_doc.items():
+        body_len = metas[doc_id]["n_bytes"] - 16
+        expected = -(-(body_len // 64) // 4)  # ceil(n_frames / stride)
+        assert len(rows) == expected
+        assert [r["frame_index"] for r in sorted(rows, key=lambda r: r["frame_index"])] == list(
+            range(0, (body_len // 64), 4)
+        )
+        assert all(r["frame_offset_bytes"] == r["frame_index"] * 64 for r in rows)
+
+
+def test_codec_stub_is_marked():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_with_library(b"anything")
+
+
+def test_metadata_query_prunes_payload_column(spark, tmp_path, sf_dir):
+    # Write media to parquet, then check a metadata-only projection reads
+    # just the doc_id column (columnar pruning: payload bytes never move).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    path = str(tmp_path / "media.parquet")
+    synthesize_image_payloads(docs).write.parquet(path)
+    scan = spark.read.parquet(path).select("doc_id")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:bigint>" in plan

@@ -1,0 +1,207 @@
+"""Multimodal column plumbing (charter extension).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata structs; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas pipelines over ``mapInPandas``. The Spark-side
+plumbing — schemas, batch iteration, partitioning — is real and tested;
+the *codec* itself is stubbed: this container has no image/audio libraries,
+so payloads use a deterministic FAKE container format (``FAKEIMG``/
+``FAKEAUD`` header + dimensions + body bytes) and ``decode_with_library``
+raises ``NotImplementedError`` with the PIL/librosa integration point
+clearly marked. Swapping the stub for a real codec changes ONE function;
+every schema, UDF signature, and batch shape stays identical.
+
+Scale notes (100 TB of media):
+- payloads never leave the executor: decode/feature steps are narrow
+  mapInPandas stages, Arrow-batched, no shuffle;
+- ``spark.sql.files.maxPartitionBytes`` governs split sizing for large
+  binary files; metadata-only queries prune the payload column at the
+  parquet scan (columnar projection — verified in tests).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = [
+    "IMAGE_MAGIC",
+    "AUDIO_MAGIC",
+    "MEDIA_SCHEMA",
+    "IMAGE_META_SCHEMA",
+    "FRAME_SAMPLE_SCHEMA",
+    "fake_image_payload",
+    "synthesize_image_payloads",
+    "decode_image_meta",
+    "resize_meta",
+    "sample_frames",
+    "decode_with_library",
+]
+
+IMAGE_MAGIC = b"FAKEIMG\x00"
+AUDIO_MAGIC = b"FAKEAUD\x00"
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("mean_byte", T.DoubleType(), True),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_offset_bytes", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_image_payload(doc_id: int, body: bytes) -> bytes:
+    """Deterministic stand-in for an encoded image: magic + (w, h) header
+    + body. Dimensions derive from doc_id so an external oracle can verify
+    the decode without running it."""
+    w = 16 + doc_id % 64
+    h = 16 + doc_id % 48
+    return IMAGE_MAGIC + struct.pack(">II", w, h) + body
+
+
+def decode_with_library(payload: bytes):  # pragma: no cover - stub
+    """REAL-CODEC INTEGRATION POINT. With PIL installed this becomes
+    ``Image.open(io.BytesIO(payload))``; librosa/torchaudio for AUDIO_MAGIC
+    payloads. Not available in this container."""
+    raise NotImplementedError(
+        "no image/audio codec available in this environment; the pipeline "
+        "uses the deterministic FAKE container format instead"
+    )
+
+
+def _parse_header(payload: bytes) -> tuple[int | None, int | None, bytes]:
+    if payload is None or not payload.startswith(IMAGE_MAGIC):
+        return None, None, b""
+    w, h = struct.unpack(">II", payload[len(IMAGE_MAGIC) : len(IMAGE_MAGIC) + 8])
+    return w, h, payload[len(IMAGE_MAGIC) + 8 :]
+
+
+def synthesize_image_payloads(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents -> MEDIA_SCHEMA rows with fake encoded-image payloads
+    (test/bench corpus; a real pipeline reads payloads from the lake)."""
+    import pandas as pd
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": [
+                        fake_image_payload(int(i), t.encode("utf-8"))
+                        for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(build, MEDIA_SCHEMA)
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """Decode step (stubbed codec): parse header, compute pixel count and
+    body statistics. Arrow-batched; one pass over payload bytes; no
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, body = _parse_header(payload)
+                if w is None:
+                    rows.append((int(doc_id), None, None, None, None, None))
+                    continue
+                arr = np.frombuffer(body, dtype=np.uint8)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(w) * int(h),
+                        len(payload),
+                        round(float(arr.mean()), 6) if arr.size else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def resize_meta(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize step (stubbed codec): recompute target dimensions with
+    aspect-ratio-preserving clamp and rewrite the header — the byte-level
+    transform a real resizer would do, minus pixel resampling."""
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                w, h, body = _parse_header(payload)
+                if w is None:
+                    payloads.append(None)
+                    continue
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                # REAL CODEC would resample `body` here (PIL Image.resize)
+                payloads.append(IMAGE_MAGIC + struct.pack(">II", nw, nh) + body)
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    return media.mapInPandas(resize, MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame-sampling step (video analog): emit every ``stride``-th
+    fixed-size chunk of the body as a 'frame' row — the fan-out shape
+    (one row in, N frame rows out) of a real video sampler."""
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, body = _parse_header(payload)
+                n_frames = len(body) // frame_bytes
+                for k in range(0, n_frames, stride):
+                    off = k * frame_bytes
+                    rows.append(
+                        (int(doc_id), k, off, body[off : off + frame_bytes])
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)

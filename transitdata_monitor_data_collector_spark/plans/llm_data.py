@@ -442,3 +442,65 @@ def multimodal_binary_meta(spark, sf_dir):
         F.octet_length(payload).cast("long").alias("n_bytes"),
         F.lower(F.sha2(payload, 256)).alias("payload_sha256"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 64 AS INTEGER) AS width,
+           CAST(16 + doc_id % 48 AS INTEGER) AS height,
+           CAST((16 + doc_id % 64) * (16 + doc_id % 48) AS BIGINT) AS n_pixels,
+           CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Multimodal decode plumbing end-to-end: synthesize opaque binary "
+    "image payloads (FAKEIMG header + body), decode via Arrow-batched "
+    "mapInPandas (operators/multimodal.py, codec stubbed), verify header "
+    "fields against the oracle's closed-form dimensions. The 8-byte magic "
+    "+ 8-byte dims make n_bytes = 16 + body length.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_meta(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        decode_image_meta,
+        synthesize_image_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    media = synthesize_image_payloads(docs)
+    return (
+        decode_image_meta(media)
+        .select("doc_id", "width", "height", "n_pixels", "n_bytes")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_frame_sample_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(CEIL((octet_length(encode(text)) // 64) / 4.0) AS BIGINT)
+             AS n_sampled_frames
+    FROM documents
+    WHERE octet_length(encode(text)) >= 64
+    ORDER BY doc_id
+    """,
+    doc="Frame-sampling fan-out (video analog): every 4th 64-byte chunk of "
+    "the body becomes a frame row; per-doc sampled-frame counts are "
+    "closed-form verifiable.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample_counts(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_image_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_image_payloads(docs))
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count("*").alias("n_sampled_frames"))
+        .orderBy("doc_id")
+    )
