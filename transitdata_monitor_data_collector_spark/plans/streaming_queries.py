@@ -92,3 +92,36 @@ def streaming_dedup_within_watermark(spark, sf_dir):
     return mem.groupBy("broker").agg(F.count("*").alias("n_unique_topics")).orderBy(
         "broker"
     )
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT l.user_id, count(*) AS n_pairs
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="T7 watermarked stream-stream inner join (click->purchase within "
+    "1 h per user), run as a REAL streaming job over the file-replay "
+    "source; the final joined set equals the batch interval join.",
+    tags=("streaming", "join"),
+)
+def streaming_stream_join(spark, sf_dir):
+    raw = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = raw.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = raw.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = jobs.stream_stream_join_job(clicks, purchases)
+    mem = jobs.run_to_memory(spark, joined, output_mode="append")
+    return (
+        mem.groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )

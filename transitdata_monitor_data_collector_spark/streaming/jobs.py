@@ -71,6 +71,37 @@ def gauge_last_job(messages: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join_job(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T7: watermarked stream-stream inner join — right events joined to
+    left events with the same key arriving within ``within`` after the
+    left event. Both sides' state is bounded by watermark + the time-range
+    condition (Spark derives state-eviction bounds from the interval).
+
+    At scale: both streams shuffle on the join key once; the range
+    condition keeps per-key state to the ``within`` window.
+    """
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+    )
+
+
 def dedup_within_watermark_job(
     messages: DataFrame,
     keys: Sequence[str] = ("broker", "topic"),
