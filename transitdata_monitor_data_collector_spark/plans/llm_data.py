@@ -504,3 +504,23 @@ def multimodal_frame_sample_counts(spark, sf_dir):
         .agg(F.count("*").alias("n_sampled_frames"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "emb_ann_ivf_topk",
+    oracle=None,  # iterative centroid training is not SQL-expressible
+    doc="IVF (inverted-file) ANN top-k: Lloyd-trained coarse centroids "
+    "(deterministic init), nprobe-list probe, exact cosine within probed "
+    "lists (operators/similarity.py). The 100 TB path: list_id as the "
+    "stored index's partition key -> probes become partition-pruned "
+    "sub-scans. Recall vs brute force is pinned in tests/test_ivf.py.",
+    tags=("llm", "similarity"),
+)
+def emb_ann_ivf_topk(spark, sf_dir):
+    return SIM.ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_lists=16,
+        nprobe=4,
+    )
