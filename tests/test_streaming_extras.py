@@ -1,0 +1,98 @@
+"""Tests for the UDTF matcher variant (UD2), the applyInPandasWithState
+custom stateful counter (A3), and the fixed-rate scheduled scrape job
+(S5, GtfsRtMetricsExporter.java:37-42)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from transitdata_monitor_data_collector_spark.functions.mqtt_match import (
+    make_matching_filters_udtf,
+)
+from transitdata_monitor_data_collector_spark.sources.gtfsrt import (
+    encode_feed_message,
+    scheduled_scrape_stream,
+)
+from transitdata_monitor_data_collector_spark.streaming import jobs
+
+FILTERS = ["/hfp/v2/journey/#", "/hfp/v2/journey/ongoing/+/bus/#"]
+
+
+def test_udtf_fanout_and_unknown(spark):
+    udtf_cls = make_matching_filters_udtf(FILTERS)
+    spark.udtf.register("mqtt_matching_filters", udtf_cls)
+    rows = spark.sql(
+        "SELECT m.topic, f.topic_filter "
+        "FROM VALUES ('/hfp/v2/journey/ongoing/vp/bus/1'), ('ext/other') AS m(topic), "
+        "LATERAL mqtt_matching_filters(m.topic) AS f"
+    ).collect()
+    got = sorted((r["topic"], r["topic_filter"]) for r in rows)
+    assert got == [
+        ("/hfp/v2/journey/ongoing/vp/bus/1", "/hfp/v2/journey/#"),
+        ("/hfp/v2/journey/ongoing/vp/bus/1", "/hfp/v2/journey/ongoing/+/bus/#"),
+        ("ext/other", "unknown"),
+    ]
+
+
+@pytest.fixture()
+def replay_file(tmp_path):
+    msgs = [
+        {"broker": "b1", "topic": "/hfp/v2/journey/ongoing/vp/bus/1",
+         "ts": "2024-01-01T00:00:01"},
+        {"broker": "b1", "topic": "/hfp/v2/journey/ongoing/vp/bus/2",
+         "ts": "2024-01-01T00:00:02"},
+        {"broker": "b2", "topic": "nope", "ts": "2024-01-01T00:00:03"},
+    ]
+    p = tmp_path / "m.jsonl"
+    p.write_text("\n".join(json.dumps(m) for m in msgs) + "\n")
+    return str(p)
+
+
+def test_stateful_counter_matches_builtin(spark, replay_file):
+    from transitdata_monitor_data_collector_spark.sources.mqtt import (
+        register_sources,
+    )
+
+    register_sources(spark)
+    stream = (
+        spark.readStream.format("mqtt-replay").option("path", replay_file).load()
+    )
+    counted = jobs.stateful_counter_job(stream, FILTERS)
+    mem = jobs.run_to_memory(spark, counted, output_mode="update")
+    got = {
+        (r["broker"], r["topic_filter"]): r["messages_received_total"]
+        for r in mem.collect()
+    }
+    assert got == {
+        ("b1", "/hfp/v2/journey/#"): 2,
+        ("b1", "/hfp/v2/journey/ongoing/+/bus/#"): 2,
+        ("b2", "unknown"): 1,
+    }
+
+
+def test_scheduled_scrape_ticks(spark):
+    calls = []
+
+    def fetcher(url):
+        calls.append(url)
+        return 200, encode_feed_message("2.0", 0, ["e"])
+
+    q = scheduled_scrape_stream(
+        spark,
+        ["https://a/feed", "https://b/feed"],
+        fetcher,
+        poll_interval="1 seconds",
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and len(q._scrape_results) < 4:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # at least two ticks fired -> each scraped both urls on schedule
+    assert len(calls) >= 4
+    assert {r[0] for r in q._scrape_results} == {"https://a/feed", "https://b/feed"}
+    assert all(r[1] == "success" for r in q._scrape_results)

@@ -184,3 +184,33 @@ def match_filters_join(
         normalize_topic_col(messages[topic_col]), filters_df["filter_regex"]
     )
     return messages.join(F.broadcast(filters_df), cond, how).drop("filter_regex")
+
+
+def make_matching_filters_udtf(filters: Sequence[str]):
+    """UD2 as a real Spark 4 Python UDTF: one (broker, topic) row in, one
+    row PER matching filter out (fan-out preserved; ``unknown`` bucket for
+    no-match) — the table-function shape of
+    MqttTopicFilterMatcher.findMatchingTopicFilters
+    (MqttTopicFilterMatcher.java:8-16).
+
+    The Column-expression path (:func:`matching_filters_col`) remains the
+    hot path — this exists for API parity and for callers that want
+    matcher logic in Python (e.g. alongside other per-row Python work).
+    Register with ``spark.udtf.register("mqtt_matching_filters", udtf_cls)``
+    and use in SQL as a lateral table function.
+    """
+    from pyspark.sql.functions import udtf
+
+    captured = list(filters)
+
+    @udtf(returnType="topic_filter: string")
+    class MatchingFiltersUDTF:
+        def eval(self, topic: str):
+            matched = find_matching_topic_filters(topic, captured)
+            if not matched:
+                yield (UNKNOWN_FILTER,)
+            else:
+                for f in matched:
+                    yield (f,)
+
+    return MatchingFiltersUDTF

@@ -273,3 +273,58 @@ def scrape_metrics(scrapes: DataFrame) -> dict[str, DataFrame]:
         "gtfsrt_scrape_attempts_total": attempts,
         "gtfsrt_last_scrape_success": gauge,
     }
+
+
+def scheduled_scrape_stream(
+    spark: SparkSession,
+    urls: Sequence[str],
+    fetcher: Fetcher,
+    poll_interval: str = "30 seconds",
+    queryName: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """S5: the fixed-rate scrape schedule (scheduleAtFixedRate with
+    pollInterval PT30S, GtfsRtMetricsExporter.java:37-42,
+    application.conf:4) as a Structured Streaming job: a ``rate`` ticker
+    with one row per interval drives a ``foreachBatch`` that scrapes every
+    URL and appends SCRAPE_SCHEMA rows to an in-memory table named
+    ``queryName`` (readable while running — the serving view).
+
+    Returns the started StreamingQuery; callers own stop(). Poll interval
+    validation (must exceed the client timeout) lives in config.py.
+    """
+    import tempfile
+    import time as _time
+    import uuid
+
+    name = queryName or f"gtfsrt_scrapes_{uuid.uuid4().hex[:8]}"
+    ticker = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+    )
+    results: list = []
+
+    def scrape_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        now = int(_time.time())
+        rows = [classify_scrape(u, fetcher, now) for u in urls]
+        spark.createDataFrame(rows, SCRAPE_SCHEMA).createOrReplaceTempView(
+            f"{name}_latest"
+        )
+        results.extend(rows)
+
+    interval_secs = poll_interval  # spark trigger grammar matches ours
+    q = (
+        ticker.writeStream.trigger(processingTime=interval_secs)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_scrape_"),
+        )
+        .foreachBatch(scrape_batch)
+        .queryName(name)
+        .start()
+    )
+    q._scrape_results = results  # test/introspection hook
+    return q

@@ -172,3 +172,46 @@ def _duration_seconds(s: str) -> int:
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
             "hour": 3600, "hours": 3600}[unit]
     return int(qty) * mult
+
+
+def stateful_counter_job(
+    messages: DataFrame,
+    filters: Sequence[str],
+    timeout_conf: str = "NoTimeout",
+) -> DataFrame:
+    """A3 as a CUSTOM stateful operator via ``applyInPandasWithState``:
+    one long of state per (broker, topic_filter), incremented per
+    micro-batch — the literal Spark analog of the reference's Micrometer
+    counter objects (MqttTopicMonitorListener.java:73-92), kept for the
+    charter's custom-stateful-operator surface. The built-in agg
+    formulation (:func:`cumulative_counter_job`) is the production path;
+    this one is for semantics Spark's aggs can't express (custom decay,
+    conditional resets, ...). State size: one int64 per key — the key
+    space is the filter registry, tiny at any data scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    fanned = with_topic_filter_fanout(messages, filters)
+
+    def update(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "broker": [key[0]],
+                "topic_filter": [key[1]],
+                "messages_received_total": [total],
+            }
+        )
+
+    return fanned.groupBy("broker", "topic_filter").applyInPandasWithState(
+        update,
+        outputStructType="broker string, topic_filter string, "
+        "messages_received_total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )
