@@ -1,0 +1,111 @@
+"""Physical-plan regression tests — the 100 TB posture, pinned.
+
+These assert the *shape* of the plans, not their results: filters reach
+the parquet scan, projections prune columns, small dimensions broadcast,
+aggregations are partial+final, and nothing in the registry degenerates
+into a cartesian product. A plan regression here is a scale bug even when
+sf0.001 results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from transitdata_monitor_data_collector_spark.plans import load_all
+
+REGISTRY = load_all()
+
+# Streaming registry entries execute eagerly in build() and have no batch
+# plan worth pinning here; their semantics are covered by oracle parity.
+_BATCH_QUERIES = sorted(
+    n for n in REGISTRY if not n.startswith("streaming_")
+)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    offenders = []
+    for name in _BATCH_QUERIES:
+        if "CartesianProduct" in _plan(spark, sf_dir, name):
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "proj_column_pruning")
+    # the scan must read only the projected columns, not the whole table
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_comment" not in read_schema
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_threshold")
+    assert "PushedFilters: [" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "IsNotNull" in pushed or "GreaterThan" in pushed
+
+
+def test_small_dimension_joins_broadcast(spark, sf_dir):
+    for name in ("join_broadcast_inner", "join_left_semi", "join_left_anti"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name} fell back to SMJ"
+
+
+def test_q1_partial_final_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # partial + final HashAggregate around a single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_fanout_has_no_join_or_extra_shuffle(spark, sf_dir):
+    # the wildcard fan-out must be a projection (literal regexes), not a
+    # join against a filter table
+    plan = _plan(spark, sf_dir, "mqtt_counter_totals")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    # shuffles: the spread repartition + the groupBy (+ AQE reuse) only
+    assert plan.count("Exchange") <= 4
+
+
+def test_minhash_signature_stage_is_narrow(spark, sf_dir):
+    # signatures must not explode shingles into a shuffle: the only
+    # exchanges are the doc-spread repartition, the band-bucket join's,
+    # and the final aggregations
+    plan = _plan(spark, sf_dir, "doc_minhash_lsh_neardup")
+    assert "Generate explode" not in plan.replace("explode(shingles)", "XX") or (
+        "explode(shingles)" not in plan
+    )
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_deterministic")
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, k-merge
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    # the codegen explain mode compiles the plan and reports its
+    # WholeStageCodegen subtrees even under AQE
+    import contextlib
+    import io
+
+    # AQE defers codegen compilation until runtime re-planning; turn it
+    # off so the static plan exposes its codegen subtrees
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("q1_pricing_summary", "scalar_kitchen_sink", "filter_rlike"):
+            df = REGISTRY[name].build(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("codegen")
+            out = buf.getvalue()
+            assert "WholeStageCodegen subtrees" in out, name
+            assert "Found 0 WholeStageCodegen" not in out, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

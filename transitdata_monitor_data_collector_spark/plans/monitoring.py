@@ -612,3 +612,69 @@ def pulsar_big_backlog(spark, sf_dir):
         .filter(F.col("backlog_bytes") >= 1_000_000_000)
         .orderBy(F.desc("backlog_bytes"), "topic_id")
     )
+
+
+@register(
+    "rate_disconnect_correction",
+    oracle="""
+    WITH spans AS (
+      SELECT event_id,
+             CAST(event_id % 500 AS BIGINT)          AS msg_count,
+             CASE WHEN user_id % 11 = 0 THEN NULL
+                  ELSE CAST(0.0 AS DOUBLE) END       AS started_at,
+             CASE WHEN user_id % 3 = 0
+                  THEN CAST(user_id % 90 AS DOUBLE)
+                  ELSE NULL END                      AS stopped_at,
+             CAST(70.0 AS DOUBLE)                    AS now_s
+      FROM events
+    )
+    SELECT event_id,
+           round(CASE
+             WHEN started_at IS NULL THEN NULL
+             WHEN stopped_at IS NOT NULL
+                  AND stopped_at - started_at < least(25.0, 10.0 * 20.0)
+               THEN NULL
+             WHEN stopped_at IS NOT NULL
+               THEN msg_count / (stopped_at - started_at - 2.0 * 20.0)
+             ELSE msg_count / (now_s - started_at)
+           END, 6) AS rate
+    FROM spans ORDER BY event_id
+    """,
+    doc="A2 disconnect/elapsed correction (mqtt_data_collector.py:99-134): "
+    "discard windows shorter than min(25, 10*keep_alive); subtract "
+    "2*keep_alive detection lag on disconnect; NULL for never-connected. "
+    "Pure Column expression (functions/rates.py), exercised over spans "
+    "synthesized from events.",
+    tags=("monitoring", "rate"),
+)
+def rate_disconnect_correction(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.rates import (
+        corrected_msg_rate,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    spans = ev.select(
+        "event_id",
+        (F.col("event_id") % 500).alias("msg_count"),
+        F.when(F.col("user_id") % 11 == 0, F.lit(None))
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("started_at"),
+        F.when(F.col("user_id") % 3 == 0, (F.col("user_id") % 90).cast("double"))
+        .otherwise(F.lit(None))
+        .alias("stopped_at"),
+        F.lit(70.0).alias("now_s"),
+    )
+    return spans.select(
+        "event_id",
+        F.round(
+            corrected_msg_rate(
+                F.col("msg_count"),
+                F.col("started_at"),
+                F.col("stopped_at"),
+                F.col("now_s"),
+                keep_alive_secs=20.0,
+            ),
+            6,
+        ).alias("rate"),
+    ).orderBy("event_id")
