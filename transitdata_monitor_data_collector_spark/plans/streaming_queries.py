@@ -125,3 +125,30 @@ def streaming_stream_join(spark, sf_dir):
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_gauge_last",
+    oracle=f"""
+    WITH {_MSGS_CTE}
+    SELECT broker, topic AS last_topic, ts AS last_ts
+    FROM (
+      SELECT broker, topic, ts,
+             row_number() OVER (PARTITION BY broker
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM msgs
+    ) WHERE rn = 1 ORDER BY broker
+    """,
+    doc="A5 last-value gauge per broker as a streaming update-mode job "
+    "(mqtt_connected / last-scrape analog, GtfsRtMetricsRegistry.java:51,56); "
+    "event_id breaks timestamp ties deterministically on both engines.",
+    tags=("streaming", "gauge"),
+)
+def streaming_gauge_last(spark, sf_dir):
+    stream = _message_stream(spark, sf_dir)
+    gauges = stream.groupBy("broker").agg(
+        F.max_by("topic", F.struct("ts", "event_id")).alias("last_topic"),
+        F.max("ts").alias("last_ts"),
+    )
+    mem = jobs.run_to_memory(spark, gauges, output_mode="complete")
+    return mem.orderBy("broker")

@@ -55,3 +55,50 @@ def get_spark(
 def read_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read driver-generated parquet tables (TESTDATA.md) as DataFrames."""
     return tuple(spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names)
+
+
+def cluster_conf(
+    total_cores: int,
+    executor_memory_gb: int = 16,
+    streaming: bool = False,
+) -> dict[str, str]:
+    """Recommended spark-submit conf for the 100 TB deployment profile.
+
+    Rationale per key:
+    - shuffle partitions ≈ 2-3x total cores: every groupBy/join partition
+      fits the per-core memory share with headroom, AQE coalesces the
+      excess at runtime;
+    - 256 MB scan splits: ~4x fewer tasks than the 128 MB default over a
+      100 TB scan with identical parallelism at 1000+ cores;
+    - skew-join + coalesce: hot (broker, topic_filter) keys
+      (MqttTopicMonitorListener.java:31-32's ~1,833 msg/s filter) split
+      at runtime rather than stalling one reducer;
+    - RocksDB state store (streaming): counter/window/dedup state spills
+      off-heap, bounded by watermarks, survives executor loss via
+      changelog checkpointing.
+    """
+    conf = {
+        "spark.sql.shuffle.partitions": str(total_cores * 3),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.executor.memory": f"{executor_memory_gb}g",
+        "spark.memory.fraction": "0.7",
+    }
+    if streaming:
+        conf.update(
+            {
+                "spark.sql.streaming.stateStore.providerClass": (
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider"
+                ),
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+                ".enabled": "true",
+            }
+        )
+    return conf
