@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) per SURVEY §5: Azure value shaping vs
+an exact Python model, ISO-duration parsing vs a reference model, and
+protobuf wire-parser robustness/round-trips."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from transitdata_monitor_data_collector_spark.config import (
+    ConfigError,
+    parse_iso_duration,
+)
+from transitdata_monitor_data_collector_spark.sources.gtfsrt import (
+    FeedParseError,
+    encode_feed_message,
+    parse_feed_summary,
+)
+
+# ---------------------------------------------------------------------------
+# Azure value shaping: round(2) -> abs -> (>10 -> round(0)); HALF_UP pinned
+# (reference Python round is banker's — deviation documented in
+# sinks/azure.py; the engine-side model uses HALF_UP on both sides).
+# ---------------------------------------------------------------------------
+
+
+def _shaped_model(x: float) -> float:
+    d = Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    d = abs(d)
+    if d > 10:
+        d = d.quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    return float(d)
+
+
+@pytest.fixture(scope="module")
+def shaping_batch_check(spark):
+    from pyspark.sql import functions as F
+
+    from transitdata_monitor_data_collector_spark.sinks.azure import (
+        shaped_metric_value,
+    )
+
+    def check(values: list[float]) -> None:
+        df = spark.createDataFrame([(v,) for v in values], "v double")
+        got = [
+            r["s"]
+            for r in df.select(
+                shaped_metric_value(F.col("v")).alias("s")
+            ).collect()
+        ]
+        expected = [_shaped_model(v) for v in values]
+        assert got == pytest.approx(expected)
+
+    return check
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ).map(lambda v: round(v, 4)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_shaped_value_matches_model(shaping_batch_check, values):
+    shaping_batch_check(values)
+
+
+# ---------------------------------------------------------------------------
+# ISO-8601 duration parsing
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    days=st.integers(min_value=0, max_value=400),
+    hours=st.integers(min_value=0, max_value=48),
+    minutes=st.integers(min_value=0, max_value=120),
+    seconds=st.integers(min_value=0, max_value=600),
+)
+def test_duration_parse_composed(days, hours, minutes, seconds):
+    text = "P"
+    if days:
+        text += f"{days}D"
+    time_part = ""
+    if hours:
+        time_part += f"{hours}H"
+    if minutes:
+        time_part += f"{minutes}M"
+    if seconds:
+        time_part += f"{seconds}S"
+    if time_part:
+        text += "T" + time_part
+    if text == "P":
+        with pytest.raises(ConfigError):
+            parse_iso_duration(text)
+        return
+    assert parse_iso_duration(text) == (
+        days * 86400 + hours * 3600 + minutes * 60 + seconds
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=20))
+def test_duration_parse_never_crashes(text):
+    try:
+        v = parse_iso_duration(text)
+        assert isinstance(v, float)
+    except ConfigError:
+        pass  # rejection is the only allowed failure mode
+
+
+# ---------------------------------------------------------------------------
+# Protobuf wire parser
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    version=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=12,
+    ),
+    timestamp=st.integers(min_value=0, max_value=2**63 - 1),
+    entities=st.lists(st.text(max_size=8), max_size=10),
+)
+def test_feed_round_trip(version, timestamp, entities):
+    body = encode_feed_message(version, timestamp, entities)
+    s = parse_feed_summary(body)
+    assert s.gtfs_realtime_version == version
+    assert s.timestamp == timestamp
+    assert s.entity_count == len(entities)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_feed_parser_never_hangs_or_crashes(data):
+    try:
+        s = parse_feed_summary(data)
+        assert s.entity_count >= 0
+    except FeedParseError:
+        pass  # structured rejection is the only allowed failure mode

@@ -118,6 +118,7 @@ def parse_feed_summary(body: bytes) -> FeedSummary:
     version = ""
     timestamp = 0
     entities = 0
+    saw_known_field = False
     pos = 0
     buf = bytes(body)
     while pos < len(buf):
@@ -128,18 +129,21 @@ def parse_feed_summary(body: bytes) -> FeedSummary:
             if pos + n > len(buf):
                 raise FeedParseError("truncated header")
             version, timestamp = _parse_header(buf[pos : pos + n])
+            saw_known_field = True
             pos += n
         elif fieldno == 2 and wire == 2:  # entity: repeated FeedEntity
             n, pos = _read_varint(buf, pos)
             if pos + n > len(buf):
                 raise FeedParseError("truncated entity")
             entities += 1
+            saw_known_field = True
             pos += n
         else:
             pos = _skip_field(buf, pos, wire)
-    if not version and timestamp == 0 and entities == 0 and buf:
+    if buf and not saw_known_field:
         # Bytes that decode to zero known fields are treated as garbage —
-        # mirrors proto parse failure on e.g. text bodies.
+        # mirrors proto parse failure on e.g. text bodies. (An empty-string
+        # version or zero timestamp inside a REAL header field is valid.)
         raise FeedParseError("no FeedMessage fields found")
     return FeedSummary(version, timestamp, entities)
 
