@@ -113,3 +113,59 @@ def test_allowlist_df_preserves_registry_order(spark):
     df = allowlist_df(spark, MSG_RATE_OUT_TOPICS)
     rows = df.orderBy("registry_order").collect()
     assert [r["topic"] for r in rows] == list(MSG_RATE_OUT_TOPICS)
+
+
+def test_pulsar_metric_envelopes(spark):
+    import json as _json
+
+    from transitdata_monitor_data_collector_spark.sources.pulsar import (
+        pulsar_metric_envelopes,
+    )
+
+    stats = read_topic_stats(
+        spark, ADMIN, NS, ["hfp/v2", "gtfs-rt/feedmessage-tripupdate"], fake_fetcher
+    )
+    envs = pulsar_metric_envelopes(stats, "2024-05-01T12:00:00Z")
+    assert set(envs) == {"Msg Rate In", "Msg Rate Out", "Storage Size", "Msg Backlog"}
+
+    rate_in = _json.loads(envs["Msg Rate In"].collect()[0]["envelope_json"])
+    base = rate_in["data"]["baseData"]
+    assert base["metric"] == "Msg Rate In"
+    assert base["namespace"] == "Pulsar"
+    series = {s["dimValues"][0]: s["sum"] for s in base["series"]}
+    # 1234.5678 -> round2 -> >10 -> whole (pulsar_data_collector.py:172-176)
+    assert series["hfp/v2"] == 1235.0
+    # 5.5 stays 2-decimal
+    assert series["gtfs-rt/feedmessage-tripupdate"] == 5.5
+
+    backlog = _json.loads(envs["Msg Backlog"].collect()[0]["envelope_json"])
+    bseries = backlog["data"]["baseData"]["series"]
+    # reference quirk: dimValue is the metric field name, not the topic
+    assert bseries == [{"dimValues": ["msgBacklog"], "sum": 42.0, "count": 1}]
+
+
+def test_oauth_refresh_request_shape(tmp_path):
+    import json as _json
+
+    from transitdata_monitor_data_collector_spark.sinks.azure import (
+        TokenCache,
+        oauth_client_credentials_refresh,
+    )
+
+    posts = []
+
+    def post_form(url, data):
+        posts.append((url, data))
+        return _json.dumps({"access_token": "fresh-token", "expires_in": 3599})
+
+    refresh = oauth_client_credentials_refresh(
+        "tenant-1", "client-1", "secret-1", post_form
+    )
+    cache = TokenCache(path=str(tmp_path / "tok"), initial_token="old", refresh=refresh)
+    cache.ensure_exists()
+    assert cache.refresh_and_store() == "fresh-token"
+    assert cache.read() == "fresh-token"
+    url, data = posts[0]
+    assert url == "https://login.microsoftonline.com/tenant-1/oauth2/token"
+    assert data["grant_type"] == "client_credentials"
+    assert data["resource"] == "https://monitoring.azure.com/"

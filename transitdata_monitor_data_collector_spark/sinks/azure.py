@@ -222,3 +222,29 @@ class AzureMonitorSink:
             self.send(env[0]["envelope_json"])
 
         return fn
+
+
+def oauth_client_credentials_refresh(
+    tenant_id: str,
+    client_id: str,
+    client_secret: str,
+    post_form: Callable[[str, dict[str, str]], str],
+) -> Callable[[], str]:
+    """Build a TokenCache ``refresh`` callback with the reference's exact
+    token request (send_data_to_azure_monitor.py:100-120): POST the
+    client-credentials grant to the tenant's oauth2 endpoint, return
+    ``access_token`` from the JSON response. ``post_form(url, data) ->
+    response_text`` is injected (tests pass a fake; production wires
+    urllib/requests)."""
+
+    def refresh() -> str:
+        url = f"https://login.microsoftonline.com/{tenant_id}/oauth2/token"
+        data = {
+            "grant_type": "client_credentials",
+            "client_id": client_id,
+            "client_secret": client_secret,
+            "resource": "https://monitoring.azure.com/",
+        }
+        return json.loads(post_form(url, data))["access_token"]
+
+    return refresh

@@ -170,3 +170,65 @@ def allowlist_df(spark: SparkSession, topics: Sequence[str]) -> DataFrame:
     return spark.createDataFrame(
         [(t, i) for i, t in enumerate(topics)], "topic string, registry_order int"
     )
+
+
+def pulsar_metric_envelopes(
+    stats: DataFrame, time_str: str
+) -> dict[str, DataFrame]:
+    """The reference's full Pulsar->Azure flow (pulsar_data_collector.py:
+    98-125): four envelope DataFrames, one per metric, each restricted to
+    its allowlist IN REGISTRY ORDER with the reference's exact quirks:
+
+    - Msg Rate In / Msg Rate Out / Storage Size: dimValue = topic name;
+    - Msg Backlog: reads subscriptions[HFP_SUBSCRIPTION].msgBacklog of the
+      SUBSCRIPTION_TOPICS and — reference quirk, :196-205 — the dimValue
+      is the METRIC FIELD NAME ('msgBacklog'), not the topic.
+
+    Join to the allowlist is a broadcast inner join (J1); series order is
+    the allowlist order (:169).
+    """
+    from transitdata_monitor_data_collector_spark.sinks.azure import (
+        build_envelope_df,
+    )
+
+    spark = stats.sparkSession
+
+    def allowlisted(metric_col: str, topics) -> DataFrame:
+        allow = allowlist_df(spark, topics)
+        return (
+            stats.join(F.broadcast(allow), "topic")
+            .filter(F.col(metric_col).isNotNull())
+            .orderBy("registry_order")
+        )
+
+    out: dict[str, DataFrame] = {}
+    for metric_name, col, topics in (
+        ("Msg Rate In", "msgRateIn", MSG_RATE_IN_TOPICS),
+        ("Msg Rate Out", "msgRateOut", MSG_RATE_OUT_TOPICS),
+        ("Storage Size", "storageSize", STORAGE_SIZE_TOPICS),
+    ):
+        out[metric_name] = build_envelope_df(
+            allowlisted(col, topics),
+            metric=metric_name,
+            namespace="Pulsar",
+            dim_names=["Topic"],
+            key_col="topic",
+            value_col=col,
+            time_str=time_str,
+        )
+    backlog = allowlisted("subscriptions", SUBSCRIPTION_TOPICS).select(
+        F.lit("msgBacklog").alias("dim_key"),  # reference quirk (:196-205)
+        F.col("subscriptions")[HFP_SUBSCRIPTION]["msgBacklog"]
+        .cast("double")
+        .alias("backlog"),
+    )
+    out["Msg Backlog"] = build_envelope_df(
+        backlog,
+        metric="Msg Backlog",
+        namespace="Pulsar",
+        dim_names=["Topic"],
+        key_col="dim_key",
+        value_col="backlog",
+        time_str=time_str,
+    )
+    return out
