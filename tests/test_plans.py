@@ -109,3 +109,33 @@ def test_whole_stage_codegen_present(spark, sf_dir):
             assert "Found 0 WholeStageCodegen" not in out, name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    # every Q6 predicate is parquet-pushable: both shipdate bounds, the
+    # discount range, and the quantity cap
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema  # pruned
+
+
+def test_q18_semi_join_on_aggregated_keys(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_volume_customer")
+    assert "LeftSemi" in plan
+    # the HAVING-aggregate feeding the semi join must itself be
+    # partial+final (map-side combine before the l_orderkey shuffle)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q19_disjunction_splits_across_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    # CNF extraction pushes a per-side residual below the join: the
+    # lineitem scan must see a quantity bound, the part side a brand set
+    pushed = " ".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "l_quantity" in pushed
+    assert "p_brand" in pushed or "p_size" in pushed
