@@ -1001,3 +1001,38 @@ def q19_disjunctive_revenue(spark, sf_dir):
             "revenue"
         )
     )
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 analog (adapted: returned-lineitem EXISTS instead of "
+    "the commit/receipt-date predicate, which the trimmed schema lacks). "
+    "Declared through spark.sql so the correlated EXISTS goes through the "
+    "parser; Catalyst rewrites it to a left-semi join on l_orderkey.",
+    tags=("join", "semijoin", "sql"),
+)
+def q4_order_priority_exists(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
