@@ -52,3 +52,41 @@ def test_hourly_layout_roundtrip(spark, sf_dir, tmp_path):
     assert got.count() == ev.count()
     # derived partition columns are additive; original columns survive
     assert set(ev.columns) <= set(got.columns)
+
+
+def test_stream_to_store_then_compact(spark, sf_dir, tmp_path):
+    import glob as _glob
+
+    from transitdata_monitor_data_collector_spark.sinks.parquet import (
+        compact_store,
+        stream_to_store,
+    )
+    from transitdata_monitor_data_collector_spark.streaming.jobs import (
+        read_parquet_stream,
+    )
+
+    path = str(tmp_path / "store")
+    stream = read_parquet_stream(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1
+    )
+    q = stream_to_store(
+        stream, path, checkpoint=str(tmp_path / "ckpt"),
+        ts_col="ts", available_now=True,
+    )
+    q.awaitTermination()
+    ev = table(spark, sf_dir, "events")
+    got = spark.read.parquet(path)
+    assert got.count() == ev.count()
+
+    # compact every partition down to one file; reads still see all rows
+    part_dirs = _glob.glob(f"{path}/dt=*")
+    assert part_dirs
+    for d in part_dirs:
+        n = compact_store(spark, path, dt=d.rsplit("dt=", 1)[1])
+        assert n == 1
+        assert len(_glob.glob(f"{d}/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == ev.count()
+    # pruning still works on the compacted store
+    some_dt = part_dirs[0].rsplit("dt=", 1)[1]
+    pruned = read_pruned(spark, path, date_from=some_dt, date_to=some_dt)
+    assert pruned.count() > 0

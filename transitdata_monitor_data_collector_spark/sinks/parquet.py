@@ -71,3 +71,88 @@ def read_pruned(
     if date_to is not None:
         df = df.filter(F.col("dt") <= date_to)
     return df
+
+
+def stream_to_store(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    hourly: bool = False,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+):
+    """Continuously append a stream into the partitioned store.
+
+    The streaming twin of ``write_time_partitioned``: each micro-batch is
+    appended through the SAME batch writer (same partition derivation,
+    in-partition sort, file capping), so the store stays a plain parquet
+    directory — readable by any engine and compactable in place.
+
+    Deliberately foreachBatch, NOT the native streaming parquet sink: the
+    native sink's ``_spark_metadata`` commit log makes batch reads of the
+    root ignore files it didn't commit, so any external rewrite
+    (``compact_store``) would corrupt the view. Trade-off: delivery is
+    at-least-once on micro-batch retry (duplicate files possible), which
+    matches the engine's declared sink semantics (SURVEY.md §2.7 T5 — the
+    reference's Azure sink retries are also at-least-once). The
+    checkpoint still tracks source offsets for restart.
+
+    At scale, micro-batch cadence controls file granularity: a 60 s
+    trigger writes one file set per trigger per active partition; pair
+    with ``compact_store`` on a daily schedule to keep file counts flat.
+    """
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        write_time_partitioned(
+            batch_df, path, ts_col=ts_col, hourly=hourly, mode="append"
+        )
+
+    writer = (
+        streaming_df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    dt: str,
+    hour: str | None = None,
+    target_files: int = 1,
+) -> int:
+    """Rewrite one store partition into ``target_files`` files.
+
+    Streaming appends accumulate one file set per micro-batch; over a day
+    that is hundreds of small files, which at 100 TB dominates scan task
+    scheduling and NameNode/listing cost. Compaction rewrites a CLOSED
+    partition (past the watermark, no more appends) in place:
+    read -> coalesce -> write to a temp dir -> atomic-ish swap. Returns
+    the number of files after compaction.
+
+    Run per closed partition from a scheduled job; never compact the
+    partition currently receiving appends.
+    """
+    import os
+    import shutil
+
+    part_dir = f"{path}/dt={dt}" + (f"/hour={hour}" if hour is not None else "")
+    df = spark.read.parquet(part_dir)
+    tmp = part_dir + "._compact_tmp"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    data_files = [
+        f for f in os.listdir(tmp) if not f.startswith(("_", "."))
+    ]
+    for f in os.listdir(part_dir):
+        if not f.startswith(("_", ".")):
+            os.remove(os.path.join(part_dir, f))
+    for f in data_files:
+        shutil.move(os.path.join(tmp, f), os.path.join(part_dir, f))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(data_files)
