@@ -678,3 +678,50 @@ def rate_disconnect_correction(spark, sf_dir):
             6,
         ).alias("rate"),
     ).orderBy("event_id")
+
+
+@register(
+    "promql_increase_windowed",
+    oracle=f"""
+    WITH {_COUNTER_CTE},
+    uniq AS (
+      SELECT event_type, ts, max(counter) AS counter
+      FROM counter_samples GROUP BY 1, 2
+    ),
+    step AS (
+      SELECT event_type, ts,
+             CASE WHEN lag(counter) OVER w IS NULL THEN 0
+                  WHEN counter - lag(counter) OVER w < 0 THEN counter
+                  ELSE counter - lag(counter) OVER w END AS inc
+      FROM uniq WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    )
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+           round(sum(inc), 6) AS increase
+    FROM step GROUP BY 1, 2 ORDER BY event_type, window_start
+    """,
+    doc="A7 PromQL increase() via functions/promql.increase_windowed: "
+    "reset-guarded lag deltas summed per tumbling window. Samples are "
+    "deduped to one per (series, ts) first so the lag order is total.",
+    tags=("monitoring", "promql"),
+)
+def promql_increase_windowed(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.promql import (
+        increase_windowed,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    samples = (
+        ev.select(
+            "event_type", "ts", (F.sum("value").over(wc) % 1000.0).alias("counter")
+        )
+        .groupBy("event_type", "ts")
+        .agg(F.max("counter").alias("counter"))
+    )
+    return increase_windowed(samples, ["event_type"], "6 hours").orderBy(
+        "event_type", "window_start"
+    )

@@ -1036,3 +1036,33 @@ def q4_order_priority_exists(spark, sf_dir):
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="A10 GROUPING SETS (completing rollup/cube): explicit multi-level "
+    "aggregate in one pass — Spark expands to a single Expand+HashAggregate "
+    "rather than N scans. Group keys are non-null in the data, so NULL "
+    "unambiguously marks the grouped-out level.",
+    tags=("agg", "sql"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
