@@ -14,6 +14,7 @@ switch the state store to RocksDB
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 from collections.abc import Sequence
@@ -124,7 +125,10 @@ def run_to_memory(
     """Drive an unbounded DataFrame with availableNow into a memory sink;
     returns the result as a batch DataFrame. Deterministic replay path."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    # replay/test path only: tmpfs checkpoints skip per-micro-batch fsync
+    # latency. Production jobs pass their own durable checkpointLocation.
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_", dir=ckpt_base)
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
