@@ -95,3 +95,55 @@ def test_metadata_query_prunes_payload_column(spark, tmp_path, sf_dir):
     scan = spark.read.parquet(path).select("doc_id")
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_extract_features_histogram(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        extract_features,
+        synthesize_image_payloads,
+    )
+    from transitdata_monitor_data_collector_spark.plans import table
+
+    docs = table(spark, sf_dir, "documents").limit(20)
+    feats = extract_features(synthesize_image_payloads(docs)).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["feature"] is not None
+        assert len(r["feature"]) == 64
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # L1-normalized
+        assert all(v >= 0 for v in r["feature"])
+
+
+def test_extract_features_null_payload(spark):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    media = spark.createDataFrame([(1, "image", None)], MEDIA_SCHEMA)
+    rows = extract_features(media).collect()
+    assert rows[0]["feature"] is None
+
+
+def test_multimodal_feature_neardup_finds_identical_docs(spark):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        extract_features,
+        synthesize_image_payloads,
+    )
+    from transitdata_monitor_data_collector_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    # identical text -> identical payload -> identical histogram -> cos 1.0
+    docs = spark.createDataFrame(
+        [(1, "the same text body repeated here"),
+         (2, "the same text body repeated here"),
+         (3, "completely different content zzzz qqqq xxxx 0123")],
+        "doc_id long, text string",
+    )
+    feats = extract_features(synthesize_image_payloads(docs))
+    pairs = cosine_neardup_pairs(
+        feats, threshold=0.98, vec_col="feature", id_col="doc_id"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["cos_sim"] == 1.0

@@ -205,3 +205,49 @@ def sample_frames(
             )
 
     return media.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def extract_features(media: DataFrame, n_bins: int = 64) -> DataFrame:
+    """Feature extraction over binary payloads: an L1-normalized byte
+    histogram of the body (256 byte values folded into ``n_bins`` bins).
+
+    Unlike the codec this is NOT a stub — a byte histogram is a real
+    (if simple) content feature, fully computable without media
+    libraries, and deterministic. The output ``array<double>`` plugs
+    straight into the embedding operators (cosine top-k / near-dup in
+    operators/similarity.py), giving the multimodal near-dup path:
+    payload -> feature -> LSH/cosine. A real deployment swaps the
+    histogram for a CLIP/audio embedding inside the same mapInPandas
+    stage — schema and partitioning are unchanged.
+
+    Narrow Arrow-batched stage, numpy-vectorized per batch (one
+    ``bincount`` per payload), no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_ids, out_feats = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, body = _parse_header(payload)
+                out_ids.append(int(doc_id))
+                if body is None or len(body) == 0:
+                    out_feats.append(None)
+                    continue
+                arr = np.frombuffer(body, dtype=np.uint8)
+                hist = np.bincount(arr % n_bins, minlength=n_bins).astype(
+                    np.float64
+                )
+                out_feats.append((hist / hist.sum()).tolist())
+            yield pd.DataFrame({"doc_id": out_ids, "feature": out_feats})
+
+    return media.mapInPandas(featurize, FEATURE_SCHEMA)

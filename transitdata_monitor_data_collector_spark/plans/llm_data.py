@@ -524,3 +524,33 @@ def emb_ann_ivf_topk(spark, sf_dir):
         n_lists=16,
         nprobe=4,
     )
+
+
+@register(
+    "multimodal_feature_neardup",
+    oracle=None,  # feature extraction (mapInPandas byte histogram) is not
+    # SQL-expressible in DuckDB; pair semantics are pinned by
+    # tests/test_multimodal.py instead (rows-only check here)
+    doc="The full multimodal near-dup path: synthesize binary payloads -> "
+    "extract_features (L1-normalized byte histogram, operators/"
+    "multimodal.py — a real computed feature, not a stub) -> cosine "
+    "near-dup pairs (operators/similarity.py). Swap the histogram for a "
+    "CLIP embedding and this query is production image dedup.",
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_feature_neardup(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        extract_features,
+        synthesize_image_payloads,
+    )
+    from transitdata_monitor_data_collector_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_image_payloads(docs)).filter(
+        F.col("feature").isNotNull()
+    )
+    return cosine_neardup_pairs(
+        feats, threshold=0.999, vec_col="feature", id_col="doc_id"
+    ).orderBy("id_a", "id_b")
