@@ -1,0 +1,94 @@
+"""The composed collector app: replay stream in, counters + envelopes out."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from transitdata_monitor_data_collector_spark.app import CollectorApp
+from transitdata_monitor_data_collector_spark.config import EngineConfig
+
+
+CONFIG = EngineConfig.from_mapping(
+    {
+        "port": 8080,
+        "gtfsrt.urls": ["http://feed.example/gtfsrt"],
+        "gtfsrt.pollInterval": "PT30S",
+        "gtfsrt.clientTimeout": "PT5S",
+        "mqtt.clientId": "test-app",
+        "mqtt.connectionTimeout": "PT15S",
+        "mqtt.keepAliveInterval": "PT20S",
+        "mqtt.qos": 0,
+        "mqtt.brokers": [
+            {
+                "address": "tcp://mqtt.hsl.fi:1883",
+                "topicFilters": ["/hfp/v2/journey/#", "/hfp/v2/journey/ongoing/+/#"],
+            }
+        ],
+    }
+)
+
+
+@pytest.fixture()
+def replay_stream(spark, tmp_path):
+    path = tmp_path / "messages.jsonl"
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "broker": "tcp://mqtt.hsl.fi:1883",
+                "topic": "/hfp/v2/journey/ongoing/vp/bus",
+                "ts": f"2024-01-01T00:00:{i:02d}",
+            }
+        )
+    rows.append(
+        {
+            "broker": "tcp://mqtt.hsl.fi:1883",
+            "topic": "/unrelated/topic",
+            "ts": "2024-01-01T00:00:30",
+        }
+    )
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    from transitdata_monitor_data_collector_spark.sources.mqtt import register_sources
+
+    register_sources(spark)
+    return spark.readStream.format("mqtt-replay").option("path", str(path)).load()
+
+
+def test_app_counters_and_metrics_page(spark, replay_stream):
+    app = CollectorApp(spark, CONFIG, replay_stream).start()
+    try:
+        app.process_available()
+        counts = {
+            (r["broker"], r["topic_filter"]): r["messages_received_total"]
+            for r in app.counter_table().collect()
+        }
+        key = ("tcp://mqtt.hsl.fi:1883", "/hfp/v2/journey/#")
+        assert counts[key] == 60
+        # fan-out: same messages also count toward the second filter
+        assert counts[("tcp://mqtt.hsl.fi:1883", "/hfp/v2/journey/ongoing/+/#")] == 60
+        assert counts[("tcp://mqtt.hsl.fi:1883", "unknown")] == 1
+        page = app.metrics_page()
+        assert "# TYPE mqtt_messages_received_total counter" in page
+        assert 'topic_filter="/hfp/v2/journey/#"' in page
+        assert app.liveness().ok
+        assert app.readiness().ok
+    finally:
+        app.stop()
+
+
+def test_app_envelope_sink_receives_rates(spark, replay_stream):
+    batches = []
+
+    def sink(batch_df, _batch_id):
+        batches.extend(batch_df.collect())
+
+    app = CollectorApp(spark, CONFIG, replay_stream, envelope_sink=sink).start()
+    try:
+        app.process_available()
+        rated = [r for r in batches if r["topic_filter"] == "/hfp/v2/journey/#"]
+        assert rated
+        assert {round(r["rate_msg_s"], 6) for r in rated} == {round(60 / 60.0, 6)}
+    finally:
+        app.stop()

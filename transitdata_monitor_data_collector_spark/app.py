@@ -1,0 +1,131 @@
+"""The composed collector application — the engine's ``Main``.
+
+Wires config -> sources -> streaming jobs -> serving/sinks the way the
+reference's entry points do (Main.java:30-65 for the exporter;
+mqtt_data_collector.py:141-215 for the Python collector), but as one
+Spark application:
+
+- per-broker MQTT streams are unioned into one message stream
+  (Main.java:76-85's listener-per-broker becomes ``unionByName``);
+- the cumulative counter job (update mode) feeds the Prometheus
+  ``/metrics`` text view (MetricsEndpoint.java:17-24);
+- the windowed rate job feeds the Azure envelope sink per window
+  (mqtt_data_collector.py:192-253);
+- liveness/readiness wrap the StreamingQuery handles
+  (HealthEndpoint.java:17-43).
+
+Everything injectable: tests pass the replay source and a fake poster;
+production passes ``format("mqtt")`` streams and a real HTTP client. The
+app owns query lifecycle (start/stop), nothing else — each piece remains
+usable on its own.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transitdata_monitor_data_collector_spark.config import EngineConfig
+from transitdata_monitor_data_collector_spark.sinks import prometheus
+from transitdata_monitor_data_collector_spark.streaming import health, jobs
+
+__all__ = ["CollectorApp"]
+
+
+@dataclass
+class CollectorApp:
+    """One running collector: counter + rate jobs over a message stream.
+
+    ``message_stream`` is the unioned multi-broker MQTT stream (or the
+    replay source in tests). ``envelope_sink`` is called once per rate
+    window micro-batch with the per-(broker, filter) rate DataFrame —
+    wire ``AzureMonitorSink.for_each_batch`` here in production, or a
+    list-appender in tests. ``None`` disables the sink job.
+    """
+
+    spark: SparkSession
+    config: EngineConfig
+    message_stream: DataFrame
+    envelope_sink: object | None = None
+    _queries: list = field(default_factory=list)
+    _counter_view: str = ""
+
+    def start(self) -> "CollectorApp":
+        filters = [
+            f for b in self.config.mqtt_brokers for f in b.topic_filters
+        ]
+        run_id = uuid.uuid4().hex[:8]
+
+        # counter job -> in-memory serving table for /metrics
+        self._counter_view = f"mqtt_counters_{run_id}"
+        counters = jobs.cumulative_counter_job(self.message_stream, filters)
+        self._queries.append(
+            counters.writeStream.format("memory")
+            .queryName(self._counter_view)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_app_"))
+            .start()
+        )
+
+        # rate job -> envelope sink (skipped when no sink is wired)
+        if self.envelope_sink is not None:
+            rates = jobs.windowed_rate_job(self.message_stream, filters)
+            self._queries.append(
+                rates.writeStream.foreachBatch(self.envelope_sink)
+                .outputMode("update")
+                .option(
+                    "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_app_")
+                )
+                .start()
+            )
+        return self
+
+    # -- serving surface ---------------------------------------------------
+
+    def counter_table(self) -> DataFrame:
+        """Latest counter state per (broker, topic_filter): update mode
+        emits one row per key per micro-batch, so serve the max (the
+        counter is monotonic)."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.spark.table(self._counter_view)
+            .groupBy("broker", "topic_filter")
+            .agg(F.max("messages_received_total").alias("messages_received_total"))
+        )
+
+    def metrics_page(self) -> str:
+        """Prometheus text exposition of the counter state
+        (MetricsEndpoint.java:17-24)."""
+        return prometheus.render_page(
+            {
+                "mqtt_messages_received_total": prometheus.render_counter(
+                    "mqtt_messages_received_total",
+                    self.counter_table(),
+                    value_col="messages_received_total",
+                    label_cols=["broker", "topic_filter"],
+                    help_text="Messages received per broker and topic filter",
+                )
+            }
+        )
+
+    def liveness(self) -> health.HealthStatus:
+        return health.liveness()
+
+    def readiness(self) -> health.HealthStatus:
+        return health.readiness(self._queries)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def process_available(self) -> None:
+        """Drain everything currently available (test/replay path)."""
+        for q in self._queries:
+            q.processAllAvailable()
+
+    def stop(self) -> None:
+        for q in self._queries:
+            q.stop()
+        self._queries.clear()
