@@ -92,3 +92,36 @@ def test_app_envelope_sink_receives_rates(spark, replay_stream):
         assert {round(r["rate_msg_s"], 6) for r in rated} == {round(60 / 60.0, 6)}
     finally:
         app.stop()
+
+
+def test_app_gtfsrt_scrapes_into_metrics_page(spark, replay_stream):
+    import dataclasses
+
+    from transitdata_monitor_data_collector_spark.sources.gtfsrt import (
+        encode_feed_message,
+    )
+
+    def fetcher(url):
+        body = encode_feed_message("2.0", 1700000000, entity_ids=["a", "b", "c"])
+        return 200, body
+
+    fast = dataclasses.replace(
+        CONFIG, gtfsrt_poll_interval_s=2.0, gtfsrt_client_timeout_s=1.0
+    )
+    app = CollectorApp(
+        spark, fast, replay_stream, gtfsrt_fetcher=fetcher
+    ).start()
+    try:
+        app.process_available()
+        import time
+
+        deadline = time.time() + 30
+        while not app._scrape_rows and time.time() < deadline:
+            time.sleep(0.5)
+        assert app._scrape_rows, "no scrape fired within 30s"
+        page = app.metrics_page()
+        assert "gtfsrt_entity_count_count" in page
+        assert 'gtfsrt_scrape_attempts_total{url="http://feed.example/gtfsrt",result="success"}' in page
+        assert 'gtfsrt_last_scrape_success{url="http://feed.example/gtfsrt"} 1' in page
+    finally:
+        app.stop()

@@ -50,8 +50,11 @@ class CollectorApp:
     config: EngineConfig
     message_stream: DataFrame
     envelope_sink: object | None = None
+    gtfsrt_fetcher: object | None = None
     _queries: list = field(default_factory=list)
+    _ticker_queries: list = field(default_factory=list)
     _counter_view: str = ""
+    _scrape_rows: list = field(default_factory=list)
 
     def start(self) -> "CollectorApp":
         filters = [
@@ -81,9 +84,55 @@ class CollectorApp:
                 )
                 .start()
             )
+        # GTFS-RT scrape schedule (GtfsRtMetricsExporter.java:37-42):
+        # fixed-rate micro-batch trigger at config.gtfsrt_poll_interval_s
+        if self.gtfsrt_fetcher is not None and self.config.gtfsrt_urls:
+            from transitdata_monitor_data_collector_spark.sources.gtfsrt import (
+                classify_scrape,
+            )
+
+            urls = list(self.config.gtfsrt_urls)
+            fetcher = self.gtfsrt_fetcher
+            rows_out = self._scrape_rows
+
+            def scrape_batch(batch_df, _batch_id) -> None:
+                import time as _time
+
+                if batch_df.isEmpty():
+                    return
+                now = int(_time.time())
+                rows_out.extend(classify_scrape(u, fetcher, now) for u in urls)
+
+            ticker = (
+                self.spark.readStream.format("rate")
+                .option("rowsPerSecond", 1)
+                .load()
+            )
+            secs = max(1, int(self.config.gtfsrt_poll_interval_s))
+            # tracked separately: a rate ticker never drains, so it must
+            # not participate in process_available()'s processAllAvailable
+            self._ticker_queries.append(
+                ticker.writeStream.trigger(processingTime=f"{secs} seconds")
+                .option(
+                    "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_app_")
+                )
+                .foreachBatch(scrape_batch)
+                .start()
+            )
         return self
 
     # -- serving surface ---------------------------------------------------
+
+    def scrape_table(self) -> DataFrame:
+        """All scrape outcomes so far (driver-accumulated: the URL list is
+        a handful of feeds — GtfsRtMetricsExporter polls each on a fixed
+        schedule; this is deliberately driver-side state like the
+        reference's in-memory registry)."""
+        from transitdata_monitor_data_collector_spark.sources.gtfsrt import (
+            SCRAPE_SCHEMA,
+        )
+
+        return self.spark.createDataFrame(self._scrape_rows, SCRAPE_SCHEMA)
 
     def counter_table(self) -> DataFrame:
         """Latest counter state per (broker, topic_filter): update mode
@@ -98,25 +147,53 @@ class CollectorApp:
         )
 
     def metrics_page(self) -> str:
-        """Prometheus text exposition of the counter state
-        (MetricsEndpoint.java:17-24)."""
-        return prometheus.render_page(
-            {
-                "mqtt_messages_received_total": prometheus.render_counter(
-                    "mqtt_messages_received_total",
-                    self.counter_table(),
-                    value_col="messages_received_total",
-                    label_cols=["broker", "topic_filter"],
-                    help_text="Messages received per broker and topic filter",
-                )
-            }
-        )
+        """Prometheus text exposition of every meter the reference exports
+        (MetricsEndpoint.java:17-24; GtfsRtMetricsRegistry.java:25-66)."""
+        sections = {
+            "mqtt_messages_received_total": prometheus.render_counter(
+                "mqtt_messages_received_total",
+                self.counter_table(),
+                value_col="messages_received_total",
+                label_cols=["broker", "topic_filter"],
+                help_text="Messages received per broker and topic filter",
+            )
+        }
+        if self._scrape_rows:
+            from transitdata_monitor_data_collector_spark.sources.gtfsrt import (
+                scrape_metrics,
+            )
+
+            meters = scrape_metrics(self.scrape_table())
+            sections["gtfsrt_entity_count"] = prometheus.render_summary(
+                "gtfsrt_entity_count",
+                meters["gtfsrt_summaries"],
+                count_col="entity_count_count",
+                sum_col="entity_count_sum",
+                max_col="entity_count_max",
+                label_cols=["url"],
+                help_text="Feed entity count per scrape",
+            )
+            sections["gtfsrt_scrape_attempts_total"] = prometheus.render_counter(
+                "gtfsrt_scrape_attempts_total",
+                meters["gtfsrt_scrape_attempts_total"],
+                value_col="attempts_total",
+                label_cols=["url", "result"],
+                help_text="Scrape attempts per url and result",
+            )
+            sections["gtfsrt_last_scrape_success"] = prometheus.render_gauge(
+                "gtfsrt_last_scrape_success",
+                meters["gtfsrt_last_scrape_success"],
+                value_col="last_scrape_success",
+                label_cols=["url"],
+                help_text="1 if the most recent scrape succeeded",
+            )
+        return prometheus.render_page(sections)
 
     def liveness(self) -> health.HealthStatus:
         return health.liveness()
 
     def readiness(self) -> health.HealthStatus:
-        return health.readiness(self._queries)
+        return health.readiness(self._queries + self._ticker_queries)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -126,6 +203,7 @@ class CollectorApp:
             q.processAllAvailable()
 
     def stop(self) -> None:
-        for q in self._queries:
+        for q in self._queries + self._ticker_queries:
             q.stop()
         self._queries.clear()
+        self._ticker_queries.clear()
