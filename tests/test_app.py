@@ -125,3 +125,46 @@ def test_app_gtfsrt_scrapes_into_metrics_page(spark, replay_stream):
         assert 'gtfsrt_last_scrape_success{url="http://feed.example/gtfsrt"} 1' in page
     finally:
         app.stop()
+
+
+def test_build_broker_streams_unions_replay(spark, tmp_path):
+    import dataclasses
+    import json as _json
+
+    from transitdata_monitor_data_collector_spark.app import build_broker_streams
+    from transitdata_monitor_data_collector_spark.config import MqttBrokerConfig
+
+    path = tmp_path / "replay.jsonl"
+    path.write_text(
+        "\n".join(
+            _json.dumps(
+                {"broker": b, "topic": "/hfp/v2/journey/x", "ts": "2024-01-01T00:00:00"}
+            )
+            for b in ["tcp://a:1883", "tcp://b:1883"]
+        )
+        + "\n"
+    )
+    two_brokers = dataclasses.replace(
+        CONFIG,
+        mqtt_brokers=(
+            MqttBrokerConfig("tcp://a:1883", ("/hfp/v2/journey/#",)),
+            MqttBrokerConfig("tcp://b:1883", ("/hfp/v2/journey/#",)),
+        ),
+    )
+    stream = build_broker_streams(
+        spark, two_brokers, source_format="mqtt-replay",
+        extra_options={"path": str(path)},
+    )
+    assert stream.isStreaming
+    app = CollectorApp(spark, two_brokers, stream).start()
+    try:
+        app.process_available()
+        counts = {
+            (r["broker"], r["topic_filter"]): r["messages_received_total"]
+            for r in app.counter_table().collect()
+        }
+        # each broker's reader replays the file; rows keep their broker col
+        assert counts[("tcp://a:1883", "/hfp/v2/journey/#")] == 2
+        assert counts[("tcp://b:1883", "/hfp/v2/journey/#")] == 2
+    finally:
+        app.stop()

@@ -259,3 +259,47 @@ def test_spark_dynamic_join(spark):
         ("/hfp/v2/journey/ongoing/vp/ferry/1019", "/hfp/v2/journey/#"),
         ("/hfp/v2/journey/ongoing/vp/ferry/1019", "/hfp/v2/journey/ongoing/+/ferry/#"),
     ]
+
+
+def test_per_broker_fanout_isolates_brokers(spark):
+    from transitdata_monitor_data_collector_spark.functions.mqtt_match import (
+        with_per_broker_fanout,
+    )
+
+    msgs = spark.createDataFrame(
+        [
+            ("brokerA", "/hfp/v2/journey/x"),
+            ("brokerB", "/hfp/v2/journey/x"),
+            ("brokerC", "/hfp/v2/journey/x"),  # unconfigured broker
+        ],
+        "broker string, topic string",
+    )
+    fanned = with_per_broker_fanout(
+        msgs,
+        {
+            "brokerA": ["/hfp/v2/journey/#", "/other/#"],
+            "brokerB": ["/other/#"],
+        },
+    ).collect()
+    got = {(r["broker"], r["topic_filter"]) for r in fanned}
+    # A matches its own filter; B must NOT be counted toward A's filter;
+    # C has no filter set at all -> unknown
+    assert got == {
+        ("brokerA", "/hfp/v2/journey/#"),
+        ("brokerB", "unknown"),
+        ("brokerC", "unknown"),
+    }
+
+
+def test_per_broker_fanout_no_double_count_for_duplicate_filters(spark):
+    from transitdata_monitor_data_collector_spark.functions.mqtt_match import (
+        with_per_broker_fanout,
+    )
+
+    msgs = spark.createDataFrame(
+        [("brokerA", "/hfp/v2/journey/x")], "broker string, topic string"
+    )
+    fanned = with_per_broker_fanout(
+        msgs, {"brokerA": ["/hfp/v2/journey/#", "/hfp/v2/journey/#"]}
+    ).collect()
+    assert len(fanned) == 1

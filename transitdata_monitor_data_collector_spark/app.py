@@ -57,9 +57,12 @@ class CollectorApp:
     _scrape_rows: list = field(default_factory=list)
 
     def start(self) -> "CollectorApp":
-        filters = [
-            f for b in self.config.mqtt_brokers for f in b.topic_filters
-        ]
+        # per-broker filter sets (Main.java:76-85): each message is matched
+        # against its own broker's filters only — no cross-broker counting,
+        # no double-count for filters shared by several brokers
+        filters = {
+            b.address: list(b.topic_filters) for b in self.config.mqtt_brokers
+        }
         run_id = uuid.uuid4().hex[:8]
 
         # counter job -> in-memory serving table for /metrics
@@ -207,3 +210,42 @@ class CollectorApp:
             q.stop()
         self._queries.clear()
         self._ticker_queries.clear()
+
+
+def build_broker_streams(
+    spark: SparkSession,
+    config: EngineConfig,
+    source_format: str = "mqtt",
+    extra_options: dict | None = None,
+) -> DataFrame:
+    """Config-driven multi-broker fan-in (Main.java:76-85: one listener
+    per broker, merged). One streaming reader per configured broker —
+    each with ITS OWN topic filters pushed into SUBSCRIBE and the
+    config's qos/keep-alive — unioned by name into the single message
+    stream ``CollectorApp`` consumes. Pass ``source_format="mqtt-replay"``
+    plus a per-test path option for deterministic runs."""
+    import json as _json
+
+    from transitdata_monitor_data_collector_spark.sources.mqtt import (
+        register_sources,
+    )
+
+    if not config.mqtt_brokers:
+        raise ValueError("config has no mqtt brokers")
+    register_sources(spark)
+    streams = []
+    for broker in config.mqtt_brokers:
+        reader = (
+            spark.readStream.format(source_format)
+            .option("broker", broker.address)
+            .option("topicFilters", _json.dumps(list(broker.topic_filters)))
+            .option("qos", str(config.mqtt_qos))
+            .option("keepAlive", str(int(config.mqtt_keep_alive_interval_s)))
+        )
+        for k, v in (extra_options or {}).items():
+            reader = reader.option(k, v)
+        streams.append(reader.load())
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out

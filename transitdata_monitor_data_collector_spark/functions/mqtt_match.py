@@ -35,7 +35,7 @@ all slashes) are exact. The 20-case corpus is exact.
 from __future__ import annotations
 
 import re
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -214,3 +214,42 @@ def make_matching_filters_udtf(filters: Sequence[str]):
                     yield (f,)
 
     return MatchingFiltersUDTF
+
+
+def with_per_broker_fanout(
+    df: DataFrame,
+    broker_filters: "Mapping[str, Sequence[str]]",
+    topic_col: str = "topic",
+    broker_col: str = "broker",
+    out_col: str = "topic_filter",
+    unknown: str | None = UNKNOWN_FILTER,
+) -> DataFrame:
+    """Per-broker fan-out: each message is matched against ITS broker's
+    filter set only — the reference registers one listener (and one
+    counter family) per broker (Main.java:76-85), so broker A's messages
+    must never count toward a filter configured only on broker B, and a
+    filter shared by two brokers must not double-count.
+
+    Still a pure projection (a CASE over the broker column selecting that
+    broker's literal-regex match array) — no join, no shuffle; scales the
+    same as :func:`with_topic_filter_fanout`. Messages from unconfigured
+    brokers have no filters and land in the ``unknown`` bucket (or are
+    dropped when ``unknown=None``).
+    """
+    matched = None
+    topic = F.col(topic_col)
+    for broker, filters in broker_filters.items():
+        arr = matching_filters_col(topic, list(dict.fromkeys(filters)))
+        cond = F.col(broker_col) == broker
+        matched = (
+            F.when(cond, arr) if matched is None else matched.when(cond, arr)
+        )
+    if matched is None:
+        raise ValueError("broker_filters is empty")
+    matched = matched.otherwise(F.array().cast("array<string>"))
+    if unknown is not None:
+        matched = F.when(F.size(matched) == 0, F.array(F.lit(unknown))).otherwise(
+            matched
+        )
+        return df.withColumn(out_col, F.explode(matched))
+    return df.withColumn(out_col, F.explode(matched))

@@ -23,8 +23,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transitdata_monitor_data_collector_spark.functions.mqtt_match import (
+    with_per_broker_fanout,
     with_topic_filter_fanout,
 )
+
+
+def _fanout(messages: DataFrame, filters) -> DataFrame:
+    """Dispatch: a Mapping means per-broker filter sets (each message
+    matched only against its broker's filters), a flat sequence means one
+    shared set for all brokers."""
+    from collections.abc import Mapping as _Mapping
+
+    if isinstance(filters, _Mapping):
+        return with_per_broker_fanout(messages, filters)
+    return with_topic_filter_fanout(messages, filters)
 
 
 def windowed_rate_job(
@@ -37,7 +49,7 @@ def windowed_rate_job(
     windows, with wildcard fan-out and unknown bucket
     (mqtt_data_collector.py:95-134,176-215)."""
     window_secs = _duration_seconds(window)
-    fanned = with_topic_filter_fanout(messages.withWatermark("ts", watermark), filters)
+    fanned = _fanout(messages.withWatermark("ts", watermark), filters)
     return (
         fanned.groupBy(F.window("ts", window).alias("w"), "broker", "topic_filter")
         .agg(F.count("*").alias("n"))
@@ -57,7 +69,7 @@ def cumulative_counter_job(
     """A3: monotonic mqtt_messages_received_total per (broker, topic_filter)
     (MqttTopicMonitorListener.java:73-92). Run in update output mode; state
     = one long per key."""
-    fanned = with_topic_filter_fanout(messages, filters)
+    fanned = _fanout(messages, filters)
     return fanned.groupBy("broker", "topic_filter").agg(
         F.count("*").alias("messages_received_total")
     )
