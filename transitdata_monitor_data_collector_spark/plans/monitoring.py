@@ -725,3 +725,57 @@ def promql_increase_windowed(spark, sf_dir):
     return increase_windowed(samples, ["event_type"], "6 hours").orderBy(
         "event_type", "window_start"
     )
+
+
+# Per-broker filter registries (Main.java:76-85: one listener per broker,
+# each with its own topicFilters). Split the dashboard registry: the prod
+# broker watches HFP journeys, the dev broker watches GTFS-RT topics.
+PER_BROKER_FILTERS = {
+    "tcp://mqtt.hsl.fi:1883": DASHBOARD_FILTERS[:5],
+    "wss://mqtt-dev.hsl.fi:443": DASHBOARD_FILTERS[5:],
+}
+
+_PB_FILTER_VALUES = ",\n    ".join(
+    f"('{b}', '{f}', '{filter_to_regex(f)}')"
+    for b, fs in PER_BROKER_FILTERS.items()
+    for f in fs
+)
+_PB_FANOUT_CTE = f"""filters(broker, topic_filter, rx) AS (VALUES
+    {_PB_FILTER_VALUES}
+),
+fanned AS (
+  SELECT m.broker, m.ts,
+         coalesce(f.topic_filter, 'unknown') AS topic_filter
+  FROM msgs m LEFT JOIN filters f
+    ON m.broker = f.broker
+   AND regexp_matches(regexp_replace(m.topic, '/+$', ''), f.rx)
+)"""
+
+
+@register(
+    "mqtt_per_broker_counter_totals",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_PB_FANOUT_CTE}
+    SELECT broker, topic_filter, count(*) AS messages_received_total
+    FROM fanned GROUP BY 1, 2 ORDER BY broker, topic_filter
+    """,
+    doc="A3 counters with PER-BROKER filter registries "
+    "(functions/mqtt_match.with_per_broker_fanout): each message matched "
+    "only against its own broker's filters — a filter on two brokers "
+    "cannot double-count, and messages from a broker without that filter "
+    "land in its unknown bucket. Still a pure projection (CASE over "
+    "broker selecting literal-regex arrays), no join.",
+    tags=("monitoring",),
+)
+def mqtt_per_broker_counter_totals(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.mqtt_match import (
+        with_per_broker_fanout,
+    )
+
+    fanned = with_per_broker_fanout(messages_df(spark, sf_dir), PER_BROKER_FILTERS)
+    return (
+        fanned.groupBy("broker", "topic_filter")
+        .agg(F.count("*").alias("messages_received_total"))
+        .orderBy("broker", "topic_filter")
+    )
