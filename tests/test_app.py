@@ -168,3 +168,45 @@ def test_build_broker_streams_unions_replay(spark, tmp_path):
         assert counts[("tcp://b:1883", "/hfp/v2/journey/#")] == 2
     finally:
         app.stop()
+
+
+def test_app_full_azure_pipeline(spark, replay_stream, tmp_path):
+    import json as _json
+
+    from transitdata_monitor_data_collector_spark.app import (
+        mqtt_azure_envelope_sink,
+    )
+    from transitdata_monitor_data_collector_spark.sinks.azure import (
+        AzureMonitorSink,
+        TokenCache,
+    )
+
+    posts = []
+
+    def poster(body, token):
+        posts.append((body, token))
+        return 200, "{}"
+
+    cache = TokenCache(
+        path=str(tmp_path / "tok"), initial_token="tok-1", refresh=lambda: "tok-1"
+    )
+    cache.ensure_exists()
+    sink = AzureMonitorSink(post=poster, tokens=cache)
+    app = CollectorApp(
+        spark, CONFIG, replay_stream,
+        envelope_sink=mqtt_azure_envelope_sink(sink),
+    ).start()
+    try:
+        app.process_available()
+        assert posts, "no envelope reached the Azure poster"
+        env = _json.loads(posts[-1][0])
+        base = env["data"]["baseData"]
+        assert base["metric"] == "MQTT Message Rate"
+        assert base["namespace"] == "MQTT"
+        assert base["dimNames"] == ["Topic"]
+        keys = {s["dimValues"][0] for s in base["series"]}
+        # sanitized: '#' -> '*', '+' -> '^' (mqtt_data_collector.py:299-302)
+        assert "tcp://mqtt.hsl.fi:1883:/hfp/v2/journey/*" in keys
+        assert "tcp://mqtt.hsl.fi:1883:/hfp/v2/journey/ongoing/^/*" in keys
+    finally:
+        app.stop()

@@ -249,3 +249,31 @@ def build_broker_streams(
     for s in streams[1:]:
         out = out.unionByName(s)
     return out
+
+
+def mqtt_azure_envelope_sink(azure_sink, metric: str = "MQTT Message Rate"):
+    """Adapt ``AzureMonitorSink`` to the windowed-rate job's output: derive
+    the reference's dimension key (``{addr}:{name}:{port}`` becomes
+    ``broker:topic_filter`` here, mqtt_data_collector.py:196-198; ``#``/
+    ``+`` sanitization happens inside the sink's series builder,
+    :299-302) and delegate each micro-batch to the sink's envelope+retry
+    path. Wire the result as ``CollectorApp(envelope_sink=...)``."""
+    from pyspark.sql import functions as F
+
+    inner = azure_sink.for_each_batch(
+        metric=metric,
+        namespace="MQTT",
+        dim_names=["Topic"],
+        key_col="series_key",
+        value_col="rate_msg_s",
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        inner(
+            batch_df.withColumn(
+                "series_key", F.concat_ws(":", "broker", "topic_filter")
+            ),
+            batch_id,
+        )
+
+    return fn
