@@ -62,3 +62,42 @@ def test_rate_over_store_prunes_and_matches(spark, tmp_path):
     assert all(r["window_start"].day == 1 for r in rows)
     got = {r["series"]: r["rate_per_s"] for r in rows}
     assert got["a"] == round(45.0 / 120.0, 8)
+
+
+def test_increase_matches_python_model_on_random_series(spark):
+    """Property-style check: reset-guarded increase over random counter
+    series equals the pure-Python model. All series ride in ONE DataFrame
+    (one Spark job, not one per example)."""
+    import random
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows, expected = [], {}
+    for s in range(50):
+        name = f"s{s:02d}"
+        n = rng.randint(1, 20)
+        vals = []
+        v = rng.uniform(0, 100)
+        for _ in range(n):
+            if rng.random() < 0.15:
+                v = rng.uniform(0, 5)  # counter reset
+            else:
+                v += rng.uniform(0, 10)
+            vals.append(round(v, 6))
+        for i, val in enumerate(vals):
+            rows.append((name, t0 + dt.timedelta(seconds=10 * i), val))
+        # python model: sum of guarded deltas, first sample contributes 0
+        inc, prev = 0.0, None
+        for val in vals:
+            if prev is not None:
+                inc += val if val < prev else val - prev
+            prev = val
+        expected[name] = round(inc, 6)
+    df = spark.createDataFrame(rows, "series string, ts timestamp, counter double")
+    got = {
+        r["series"]: r["increase"]
+        for r in increase_windowed(df, ["series"], "1 hour").collect()
+    }
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-6, k
