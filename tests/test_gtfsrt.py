@@ -183,3 +183,42 @@ def test_per_url_independence(spark):
         for r in m["gtfsrt_last_scrape_success"].collect()
     }
     assert gauges == {URL: 1, other: 0}
+
+
+def test_gtfsrt_metric_envelopes_match_reference_shape(spark):
+    import json as _json
+
+    from transitdata_monitor_data_collector_spark.sources.gtfsrt import (
+        SCRAPE_SCHEMA,
+        gtfsrt_metric_envelopes,
+    )
+
+    scrapes = spark.createDataFrame(
+        [
+            ("http://a/feed", "success", 120, 1700000000, 7),
+            ("http://b/feed", "http_503", None, None, None),
+        ],
+        SCRAPE_SCHEMA,
+    )
+    envs = gtfsrt_metric_envelopes(scrapes, "2024-05-01T12:00:00")
+    assert set(envs) == {"Entity Count", "Timestamp Age"}
+
+    ec = envs["Entity Count"].collect()
+    assert [r["url"] for r in ec] == ["http://a/feed"]  # failures excluded
+    doc = _json.loads(ec[0]["envelope_json"])
+    # exact reference envelope (gtfsrt_data_collector.py:31-46)
+    assert doc == {
+        "time": "2024-05-01T12:00:00",
+        "data": {
+            "baseData": {
+                "metric": "Entity Count",
+                "namespace": "GTFSRT",
+                "dimNames": ["URL"],
+                "series": [
+                    {"dimValues": ["http://a/feed"], "sum": 120, "count": 1}
+                ],
+            }
+        },
+    }
+    ta = _json.loads(envs["Timestamp Age"].collect()[0]["envelope_json"])
+    assert ta["data"]["baseData"]["series"][0]["sum"] == 7

@@ -332,3 +332,44 @@ def scheduled_scrape_stream(
     )
     q._scrape_results = results  # test/introspection hook
     return q
+
+
+def gtfsrt_metric_envelopes(scrapes: DataFrame, time_str: str) -> dict[str, DataFrame]:
+    """The Python collector's Azure flow (gtfsrt_data_collector.py:28-53,
+    56-64): for each successful scrape, one envelope PER (url, metric) —
+    namespace ``GTFSRT``, single dimension ``URL``, single-element series
+    (unlike the Pulsar flow's one-envelope-per-metric with a multi-row
+    series). Returns {"Entity Count": df, "Timestamp Age": df}, each with
+    (url, envelope_json) rows. Values keep their integer types — the
+    reference serializes raw ints.
+    """
+    ok = scrapes.filter(F.col("result") == "success")
+
+    def envelopes(metric: str, value_col: str) -> DataFrame:
+        return ok.select(
+            "url",
+            F.to_json(
+                F.struct(
+                    F.lit(time_str).alias("time"),
+                    F.struct(
+                        F.struct(
+                            F.lit(metric).alias("metric"),
+                            F.lit("GTFSRT").alias("namespace"),
+                            F.array(F.lit("URL")).alias("dimNames"),
+                            F.array(
+                                F.struct(
+                                    F.array(F.col("url")).alias("dimValues"),
+                                    F.col(value_col).alias("sum"),
+                                    F.lit(1).alias("count"),
+                                )
+                            ).alias("series"),
+                        ).alias("baseData")
+                    ).alias("data"),
+                )
+            ).alias("envelope_json"),
+        )
+
+    return {
+        "Entity Count": envelopes("Entity Count", "entity_count"),
+        "Timestamp Age": envelopes("Timestamp Age", "timestamp_age_seconds"),
+    }
