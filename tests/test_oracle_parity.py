@@ -7,6 +7,7 @@ both sides' declared rounding).
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 
 import duckdb
@@ -35,10 +36,14 @@ def ddb(oracle_sf_dir):
 
 
 def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # repr, not the float: the driver's hash is bit-exact, so -0.0 vs
+        # +0.0 must mismatch here too (Python -0.0 == 0.0 would hide it)
+        return repr(round(v, 9))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if hasattr(v, "asDict"):  # pyspark Row (struct) — check BEFORE tuple:
@@ -95,3 +100,23 @@ def test_oracle_parity(name, spark, ddb, oracle_sf_dir):
 def test_rows_only(name, spark, oracle_sf_dir):
     df = REGISTRY[name].build(spark, oracle_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_no_unhashable_output_columns(name, spark, oracle_sf_dir):
+    """The driver's oracle harness canonicalizes via pandas sort_values,
+    which crashes on array/map-typed columns (unhashable).  Oracle-gated
+    registry queries must emit only scalar / struct columns — serialize
+    arrays with array_join before registering.
+    """
+    from pyspark.sql.types import ArrayType, MapType
+
+    schema = REGISTRY[name].build(spark, oracle_sf_dir).schema
+    bad = [
+        f.name for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"{name}: array/map-typed output columns {bad} would crash the "
+        "driver's canonicalizer — serialize them (array_join) instead"
+    )

@@ -1,0 +1,74 @@
+"""Banded RP-LSH near-dup: exact-output equivalence with brute force on a
+corpus with PLANTED near-duplicates (the synthetic embeddings tables have
+no pairs above the threshold, so the registry oracle checks the
+zero-output case; this pins the nonzero case)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from transitdata_monitor_data_collector_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    rp_banded_candidates,
+    rp_lsh_neardup_pairs,
+)
+
+DIM = 16
+
+
+def _unit(seed: int) -> list[float]:
+    # deterministic pseudo-random unit vector (no RNG state)
+    vals = [math.sin(seed * 37.0 + i * 7.31) for i in range(DIM)]
+    n = math.sqrt(sum(v * v for v in vals))
+    return [v / n for v in vals]
+
+
+def _perturb(v: list[float], eps: float, seed: int) -> list[float]:
+    out = [x + eps * math.cos(seed * 13.0 + i * 3.7) for i, x in enumerate(v)]
+    n = math.sqrt(sum(x * x for x in out))
+    return [x / n for x in out]
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = []
+    vid = 0
+    for g in range(8):
+        base = _unit(g + 1)
+        rows.append((vid, base))
+        vid += 1
+        # two tight perturbations -> cosine well above 0.9 with the base
+        for j in (1, 2):
+            rows.append((vid, _perturb(base, 0.02 * j, g * 10 + j)))
+            vid += 1
+    for k in range(40):  # background vectors, mostly unrelated
+        rows.append((vid, _unit(1000 + k)))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_matches_brute_force_exactly(planted):
+    brute = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cosine_neardup_pairs(planted, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in rp_lsh_neardup_pairs(planted, dim=DIM, threshold=0.9).collect()
+    }
+    assert len(brute) >= 8 * 3  # every planted triple produces 3 pairs
+    assert lsh == brute
+
+
+def test_candidates_are_a_superset_of_true_pairs(planted):
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(planted, threshold=0.9).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in rp_banded_candidates(planted, dim=DIM).collect()
+    }
+    assert true_pairs <= cands

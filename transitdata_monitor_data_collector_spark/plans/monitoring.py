@@ -637,7 +637,7 @@ def pulsar_big_backlog(spark, sf_dir):
              WHEN stopped_at IS NOT NULL
                THEN msg_count / (stopped_at - started_at - 2.0 * 20.0)
              ELSE msg_count / (now_s - started_at)
-           END, 6) AS rate
+           END, 6) + 0.0 AS rate
     FROM spans ORDER BY event_id
     """,
     doc="A2 disconnect/elapsed correction (mqtt_data_collector.py:99-134): "
@@ -665,17 +665,24 @@ def rate_disconnect_correction(spark, sf_dir):
         .alias("stopped_at"),
         F.lit(70.0).alias("now_s"),
     )
+    # `+ 0.0` on both sides: the reference allows a *negative* corrected
+    # elapsed, so msg_count=0 rows yield IEEE -0.0.  DuckDB's round keeps
+    # -0.0 while Spark's BigDecimal round normalizes to +0.0; adding 0.0
+    # (IEEE: -0.0 + 0.0 = +0.0) makes both emit the same bit pattern.
     return spans.select(
         "event_id",
-        F.round(
-            corrected_msg_rate(
-                F.col("msg_count"),
-                F.col("started_at"),
-                F.col("stopped_at"),
-                F.col("now_s"),
-                keep_alive_secs=20.0,
-            ),
-            6,
+        (
+            F.round(
+                corrected_msg_rate(
+                    F.col("msg_count"),
+                    F.col("started_at"),
+                    F.col("stopped_at"),
+                    F.col("now_s"),
+                    keep_alive_secs=20.0,
+                ),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("rate"),
     ).orderBy("event_id")
 
