@@ -210,3 +210,102 @@ def test_app_full_azure_pipeline(spark, replay_stream, tmp_path):
         assert "tcp://mqtt.hsl.fi:1883:/hfp/v2/journey/ongoing/^/*" in keys
     finally:
         app.stop()
+
+
+@pytest.fixture()
+def replay_with_connection_events(spark, tmp_path):
+    """Message stream interleaved with $connection meta-events: connect,
+    20 messages, an unexpected drop, reconnect, 10 messages."""
+    path = tmp_path / "conn.jsonl"
+    broker = "tcp://mqtt.hsl.fi:1883"
+    rows = [
+        {"broker": broker, "topic": "$connection", "payload": "connect",
+         "ts": "2024-01-01T00:00:00"},
+    ]
+    for i in range(20):
+        rows.append({"broker": broker, "topic": "/hfp/v2/journey/ongoing/vp/bus",
+                     "ts": f"2024-01-01T00:00:{i + 1:02d}"})
+    rows.append({"broker": broker, "topic": "$connection",
+                 "payload": "connection_lost", "ts": "2024-01-01T00:00:30"})
+    rows.append({"broker": broker, "topic": "$connection", "payload": "connect",
+                 "ts": "2024-01-01T00:01:00"})
+    for i in range(10):
+        rows.append({"broker": broker, "topic": "/hfp/v2/journey/ongoing/vp/bus",
+                     "ts": f"2024-01-01T00:01:{i + 1:02d}"})
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    from transitdata_monitor_data_collector_spark.sources.mqtt import register_sources
+
+    register_sources(spark)
+    return spark.readStream.format("mqtt-replay").option("path", str(path)).load()
+
+
+def test_app_connection_meters(spark, replay_with_connection_events):
+    """mqtt_connected gauge + mqtt_connection_lost counter end-to-end
+    (MqttTopicMonitorListener.java:61-70,119-122)."""
+    app = CollectorApp(spark, CONFIG, replay_with_connection_events).start()
+    try:
+        app.process_available()
+        conn = {r["broker"]: r for r in app.connection_table().collect()}
+        state = conn["tcp://mqtt.hsl.fi:1883"]
+        assert state["connected"] == 1  # reconnected after the drop
+        assert state["connection_lost_total"] == 1
+        # counters must NOT have counted the $connection meta-events
+        counts = {
+            (r["broker"], r["topic_filter"]): r["messages_received_total"]
+            for r in app.counter_table().collect()
+        }
+        assert counts[("tcp://mqtt.hsl.fi:1883", "/hfp/v2/journey/#")] == 30
+        assert ("tcp://mqtt.hsl.fi:1883", "unknown") not in counts
+        page = app.metrics_page()
+        assert "# TYPE mqtt_connected gauge" in page
+        assert 'mqtt_connected{broker="tcp://mqtt.hsl.fi:1883"} 1' in page
+        assert "# TYPE mqtt_connection_lost counter" in page
+        assert 'mqtt_connection_lost{broker="tcp://mqtt.hsl.fi:1883"} 1' in page
+    finally:
+        app.stop()
+
+
+def test_connection_spans_feed_disconnect_correction(
+    spark, replay_with_connection_events
+):
+    """A2's started_at/stopped_at inputs derived from REAL connection
+    events (mqtt_data_collector.py:99-134): after a reconnect the span
+    restarts and stopped_at is NULL again."""
+    from pyspark.sql import functions as F
+
+    from transitdata_monitor_data_collector_spark.functions.rates import (
+        corrected_msg_rate,
+    )
+    from transitdata_monitor_data_collector_spark.streaming.jobs import (
+        connection_spans,
+        run_to_memory,
+    )
+
+    spans = run_to_memory(
+        spark,
+        connection_spans(replay_with_connection_events),
+        output_mode="complete",
+    )
+    row = spans.collect()[0]
+    # latest connect is 00:01:00; the 00:00:30 drop precedes it -> NULL
+    assert row["stopped_at"] is None
+    import datetime
+
+    started = datetime.datetime(2024, 1, 1, 0, 1, 0, tzinfo=datetime.timezone.utc)
+    assert row["started_at"] == started.timestamp()
+
+    # feed the A2 correction: still-connected path divides by now - started
+    now_s = started.timestamp() + 100.0
+    rate = (
+        spans.select(
+            corrected_msg_rate(
+                F.lit(10).cast("long"),
+                F.col("started_at"),
+                F.col("stopped_at"),
+                F.lit(now_s),
+                keep_alive_secs=20.0,
+            ).alias("rate")
+        )
+        .collect()[0]["rate"]
+    )
+    assert rate == pytest.approx(10 / 100.0)

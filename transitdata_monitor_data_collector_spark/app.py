@@ -54,6 +54,7 @@ class CollectorApp:
     _queries: list = field(default_factory=list)
     _ticker_queries: list = field(default_factory=list)
     _counter_view: str = ""
+    _connection_view: str = ""
     _scrape_rows: list = field(default_factory=list)
 
     def start(self) -> "CollectorApp":
@@ -71,6 +72,18 @@ class CollectorApp:
         self._queries.append(
             counters.writeStream.format("memory")
             .queryName(self._counter_view)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_app_"))
+            .start()
+        )
+
+        # connection-state job -> mqtt_connected gauge + connection_lost
+        # counter per broker (MqttTopicMonitorListener.java:61-70,119-122)
+        self._connection_view = f"mqtt_connection_{run_id}"
+        conn = jobs.connection_state_job(self.message_stream)
+        self._queries.append(
+            conn.writeStream.format("memory")
+            .queryName(self._connection_view)
             .outputMode("update")
             .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_app_"))
             .start()
@@ -149,9 +162,26 @@ class CollectorApp:
             .agg(F.max("messages_received_total").alias("messages_received_total"))
         )
 
+    def connection_table(self) -> DataFrame:
+        """Latest connection state per broker: update mode re-emits a row
+        per micro-batch, so serve the latest by event time (the
+        connection_lost counter is monotonic, the gauge travels with its
+        timestamp)."""
+        from pyspark.sql import functions as F
+
+        t = self.spark.table(self._connection_view)
+        latest = F.max(
+            F.struct("last_event_ts", "connected", "connection_lost_total")
+        )
+        return t.groupBy("broker").agg(
+            latest.getField("connected").alias("connected"),
+            F.max("connection_lost_total").alias("connection_lost_total"),
+        )
+
     def metrics_page(self) -> str:
         """Prometheus text exposition of every meter the reference exports
-        (MetricsEndpoint.java:17-24; GtfsRtMetricsRegistry.java:25-66)."""
+        (MetricsEndpoint.java:17-24; GtfsRtMetricsRegistry.java:25-66;
+        MqttTopicMonitorListener.java:61-70 for the connection meters)."""
         sections = {
             "mqtt_messages_received_total": prometheus.render_counter(
                 "mqtt_messages_received_total",
@@ -159,7 +189,22 @@ class CollectorApp:
                 value_col="messages_received_total",
                 label_cols=["broker", "topic_filter"],
                 help_text="Messages received per broker and topic filter",
-            )
+            ),
+            "mqtt_connected": prometheus.render_gauge(
+                "mqtt_connected",
+                self.connection_table(),
+                value_col="connected",
+                label_cols=["broker"],
+                help_text="MQTT connection status (1 = connected, "
+                "0 = disconnected)",
+            ),
+            "mqtt_connection_lost": prometheus.render_counter(
+                "mqtt_connection_lost",
+                self.connection_table(),
+                value_col="connection_lost_total",
+                label_cols=["broker"],
+                help_text="MQTT connection lost",
+            ),
         }
         if self._scrape_rows:
             from transitdata_monitor_data_collector_spark.sources.gtfsrt import (

@@ -618,14 +618,17 @@ def window_topk_per_group(spark, sf_dir):
     )
     ORDER BY s_suppkey, ym
     """,
-    doc="W2-style cumulative window (running total per key over time).",
+    doc="W2-style cumulative window (running total per key over time). "
+    "ym stays TIMESTAMP on both sides (no .cast('date')): DuckDB's "
+    "date_trunc yields TIMESTAMP, and a Spark DATE column would "
+    "hash-mismatch in the driver's canonicalizer.",
     tags=("window",),
 )
 def window_running_sum(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     monthly = li.groupBy(
         F.col("l_suppkey").alias("s_suppkey"),
-        F.date_trunc("month", "l_shipdate").cast("date").alias("ym"),
+        F.date_trunc("month", "l_shipdate").alias("ym"),
     ).agg(F.sum("l_quantity").alias("month_qty"))
     w = W.partitionBy("s_suppkey").orderBy("ym")
     return monthly.select(

@@ -30,6 +30,7 @@ deterministically from a JSON-lines file and is the tested path.
 from __future__ import annotations
 
 import json
+import threading
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -47,7 +48,24 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["MqttDataSource", "MqttReplayDataSource", "MQTT_SCHEMA", "register_sources"]
+__all__ = [
+    "MqttDataSource",
+    "MqttReplayDataSource",
+    "MQTT_SCHEMA",
+    "CONNECTION_TOPIC",
+    "register_sources",
+]
+
+#: Reserved topic for connection-state events, interleaved into the message
+#: stream so downstream jobs can derive the reference's ``mqtt_connected``
+#: gauge and ``mqtt_connection_lost`` counter
+#: (MqttTopicMonitorListener.java:61-70,119-122). Per the MQTT spec a
+#: broker never delivers ``$``-prefixed topics to ``#`` subscriptions, so
+#: no real message can collide with this name; message jobs exclude it
+#: before fan-out (streaming/jobs.py:_fanout) so connection events never
+#: land in the unknown-bucket counters.
+#: Payloads: b"connect" | b"disconnect" | b"connection_lost".
+CONNECTION_TOPIC = "$connection"
 
 MQTT_SCHEMA = StructType(
     [
@@ -117,6 +135,11 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
         self._max_batch = int(options.get("maxBatchSize", "10000"))
         self._keep_alive = int(options.get("keepAlive", "20"))
         self._buffer: list[tuple] = []
+        # paho's network thread appends while Spark's read() drains; the
+        # lock makes the drain atomic (an unguarded two-slice swap could
+        # silently drop a message appended between the slices — loss beyond
+        # the intended QoS-0 at-most-once semantics)
+        self._lock = threading.Lock()
         self._seq = 0
         self._client = None
 
@@ -137,21 +160,35 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
         host, port = self._host_port()
         client = mqtt.Client()
 
+        def _now():
+            return datetime.now(timezone.utc).replace(tzinfo=None)
+
+        def _emit(topic: str, payload: bytes) -> None:
+            with self._lock:
+                self._buffer.append((self._broker, topic, payload, _now()))
+
         def on_connect(c, userdata, flags, rc):  # pragma: no cover - live path
+            # connection-state event first (mqtt_connected gauge input,
+            # MqttTopicMonitorListener.java:61-64), then (re)subscribe as
+            # in connectComplete (:104-116)
+            _emit(CONNECTION_TOPIC, b"connect")
             for f in self._filters:
                 c.subscribe(f, qos=self._qos)
 
-        def on_message(c, userdata, msg):  # pragma: no cover - live path
-            self._buffer.append(
-                (
-                    self._broker,
-                    msg.topic,
-                    bytes(msg.payload),
-                    datetime.now(timezone.utc).replace(tzinfo=None),
-                )
+        def on_disconnect(c, userdata, rc):  # pragma: no cover - live path
+            # rc != 0 is an UNEXPECTED drop — the reference's connectionLost
+            # callback, which increments mqtt_connection_lost (:119-122);
+            # rc == 0 is a clean close() disconnect, gauge-only
+            _emit(
+                CONNECTION_TOPIC,
+                b"connection_lost" if rc != 0 else b"disconnect",
             )
 
+        def on_message(c, userdata, msg):  # pragma: no cover - live path
+            _emit(msg.topic, bytes(msg.payload))
+
         client.on_connect = on_connect
+        client.on_disconnect = on_disconnect
         client.on_message = on_message
         client.connect(host, port, keepalive=self._keep_alive)
         client.loop_start()
@@ -164,8 +201,9 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):  # pragma: no cover - live path
         self._ensure_client()
-        n = min(len(self._buffer), self._max_batch)
-        rows, self._buffer = self._buffer[:n], self._buffer[n:]
+        with self._lock:
+            n = min(len(self._buffer), self._max_batch)
+            rows, self._buffer = self._buffer[:n], self._buffer[n:]
         self._seq += n
         return iter(rows), {"seq": self._seq}
 

@@ -26,14 +26,20 @@ from transitdata_monitor_data_collector_spark.functions.mqtt_match import (
     with_per_broker_fanout,
     with_topic_filter_fanout,
 )
+from transitdata_monitor_data_collector_spark.sources.mqtt import (
+    CONNECTION_TOPIC,
+)
 
 
 def _fanout(messages: DataFrame, filters) -> DataFrame:
     """Dispatch: a Mapping means per-broker filter sets (each message
     matched only against its broker's filters), a flat sequence means one
-    shared set for all brokers."""
+    shared set for all brokers. Connection-state meta-events are excluded
+    first — a real broker never delivers ``$``-topics to ``#``
+    subscriptions, so they must not reach the unknown bucket."""
     from collections.abc import Mapping as _Mapping
 
+    messages = messages.filter(F.col("topic") != CONNECTION_TOPIC)
     if isinstance(filters, _Mapping):
         return with_per_broker_fanout(messages, filters)
     return with_topic_filter_fanout(messages, filters)
@@ -72,6 +78,51 @@ def cumulative_counter_job(
     fanned = _fanout(messages, filters)
     return fanned.groupBy("broker", "topic_filter").agg(
         F.count("*").alias("messages_received_total")
+    )
+
+
+def connection_state_job(messages: DataFrame) -> DataFrame:
+    """``mqtt_connected`` gauge + ``mqtt_connection_lost`` counter per
+    broker, derived from the ``$connection`` meta-events the source
+    interleaves into the stream (MqttTopicMonitorListener.java:61-70 for
+    the gauge, :119-122 for the counter).
+
+    connected = 1 iff the latest connection event is ``connect`` (ties on
+    ts break deterministically via the struct max — event name is the
+    tiebreaker); connection_lost_total counts UNEXPECTED drops only, like
+    the reference's ``connectionLost`` callback. Run in update mode; state
+    is one row per broker — trivially small at any scale."""
+    conn = messages.filter(F.col("topic") == CONNECTION_TOPIC).select(
+        "broker", F.decode("payload", "UTF-8").alias("event"), "ts"
+    )
+    last_event = F.max(F.struct(F.col("ts"), F.col("event"))).getField("event")
+    return conn.groupBy("broker").agg(
+        F.when(last_event == "connect", 1).otherwise(0).alias("connected"),
+        F.sum(F.when(F.col("event") == "connection_lost", 1).otherwise(0))
+        .cast("long")
+        .alias("connection_lost_total"),
+        F.max("ts").alias("last_event_ts"),
+    )
+
+
+def connection_spans(messages: DataFrame) -> DataFrame:
+    """Per-broker (started_at, stopped_at) epoch seconds from connection
+    events — the live feed for the A2 disconnect/elapsed correction
+    (functions/rates.corrected_msg_rate; semantics from
+    mqtt_data_collector.py:99-134: ``started_at`` is the latest connect,
+    ``stopped_at`` the drop *after* it, NULL while still connected or
+    never connected)."""
+    conn = messages.filter(F.col("topic") == CONNECTION_TOPIC).select(
+        "broker",
+        F.decode("payload", "UTF-8").alias("event"),
+        F.unix_timestamp("ts").cast("double").alias("at_s"),
+    )
+    started = F.max(F.when(F.col("event") == "connect", F.col("at_s")))
+    stopped = F.max(F.when(F.col("event") != "connect", F.col("at_s")))
+    return conn.groupBy("broker").agg(
+        started.alias("started_at"),
+        # a drop older than the latest connect means we reconnected since
+        F.when(stopped > started, stopped).alias("stopped_at"),
     )
 
 
