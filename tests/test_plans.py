@@ -145,7 +145,11 @@ def test_lsh_neardup_has_no_nested_loop_join(spark, sf_dir):
     """The graded embedding near-dup queries must take the banded-LSH
     equi-join path — never a BroadcastNestedLoopJoin/CartesianProduct
     (the brute-force baseline emb_neardup_pairs is exempt by design)."""
-    for name in ("emb_neardup_lsh", "multimodal_feature_neardup"):
+    for name in (
+        "emb_neardup_lsh",
+        "multimodal_feature_neardup",
+        "doc_simhash_neardup",
+    ):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name

@@ -72,3 +72,51 @@ def test_candidates_are_a_superset_of_true_pairs(planted):
         for r in rp_banded_candidates(planted, dim=DIM).collect()
     }
     assert true_pairs <= cands
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded hamming near-dup (pigeonhole recall guarantee)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_banded_exact_dups_and_recall(spark):
+    from transitdata_monitor_data_collector_spark.operators.dedup import (
+        simhash_banded_neardup_pairs,
+        simhash_md5,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+            (4, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_banded_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text -> identical signature
+
+    # banded candidates vs brute force over the signatures: every pair
+    # within the hamming budget MUST be found (pigeonhole, not probability)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_md5(docs).collect()}
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert set(pairs) == brute
+
+
+def test_simhash_banded_rejects_bad_band_count(spark):
+    from transitdata_monitor_data_collector_spark.operators.dedup import (
+        simhash_banded_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_banded_neardup_pairs(docs, max_hamming=4, n_bands=4)

@@ -280,6 +280,111 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
 
 
+def simhash_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+) -> DataFrame:
+    """SimHash over word unigrams with a CROSS-ENGINE token hash: the first
+    15 hex chars of md5 (60 bits, fits a signed long) instead of xxhash64,
+    so a DuckDB oracle can reproduce signatures bit-for-bit
+    (``('0x'||substr(md5(t),1,15))::BIGINT`` ≡ ``conv(substring(md5(t),
+    1,15),16,10)``). Same row-wise, shuffle-free shape as :func:`simhash`;
+    use that (xxhash64, no string md5) when oracle parity isn't needed."""
+    df = spread_small_input(df, id_col)
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    def _vote(b: int):
+        # closure factory: a default-arg lambda would read as 3-arg to
+        # pyspark's arity introspection (same pitfall as _rehash above)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for bit in range(n_bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote(bit))
+        sig = sig + F.when(votes > 0, F.lit(1 << bit).cast("long")).otherwise(0)
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def simhash_sql(n_bits: int = 60) -> str:
+    """DuckDB expression computing the same signature as
+    :func:`simhash_md5` over a token-hash list column ``hs``."""
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) "
+        f"& 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"({terms})"
+
+
+def simhash_banded_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= ``max_hamming`` —
+    EXACT (not probabilistic) via the pigeonhole band trick: split the
+    signature into ``n_bands`` disjoint bit ranges; with
+    ``n_bands > max_hamming`` any qualifying pair has all its differing
+    bits inside at most ``max_hamming`` bands, so at least one band is
+    IDENTICAL. Candidates are therefore an equi-self-join on
+    (band, band_bits) with guaranteed recall 1, then the exact hamming
+    check (``bit_count(xor)``) filters. Plan shape mirrors MinHash-LSH:
+    narrow signature map -> explode n_bands key rows -> equi-join ->
+    exact verify. No cross join at any scale."""
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs n_bands > max_hamming, got {n_bands} <= {max_hamming}"
+        )
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash_md5(df, text_col, id_col, n_bits)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftright("simhash", band * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for band in range(n_bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def dedup_summary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-level dedup report: exact-dup groups and survivor counts."""
     groups = exact_dedup(df, text_col, id_col)

@@ -142,6 +142,41 @@ def doc_simhash(spark, sf_dir):
     return DD.simhash(table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# DuckDB mirror of operators/dedup.simhash_md5: md5-prefix token hashes,
+# then the machine-generated 60-term per-bit majority expression
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+      FROM documents
+    ),
+    sig AS (SELECT doc_id, {DD.simhash_sql()} AS simhash FROM toks)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "doc_simhash_neardup",
+    oracle=_SIMHASH_ORACLE,
+    doc="SimHash hamming near-dup (the consumer for the SimHash "
+    "signature): pigeonhole-banded candidates (4 disjoint 15-bit bands — "
+    "hamming <= 3 GUARANTEES one identical band, recall exactly 1) + "
+    "bit_count(xor) verify. Cross-engine md5-prefix token hash makes the "
+    "DuckDB oracle reproduce signatures bit-for-bit "
+    "(operators/dedup.py:simhash_md5/simhash_banded_neardup_pairs).",
+    tags=("llm", "dedup"),
+)
+def doc_simhash_neardup(spark, sf_dir):
+    return DD.simhash_banded_neardup_pairs(
+        table(spark, sf_dir, "documents")
+    ).orderBy("doc_a", "doc_b")
+
+
 @register(
     "doc_dedup_summary",
     oracle="""
