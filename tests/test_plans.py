@@ -153,3 +153,13 @@ def test_lsh_neardup_has_no_nested_loop_join(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_rate_over_store_prunes_partitions(spark, sf_dir):
+    """The store query's date range must land in PartitionFilters on the
+    dt partition column (directory pruning), not a post-scan Filter."""
+    plan = _plan(spark, sf_dir, "rate_over_store")
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines, "no PartitionFilters in the store scan"
+    pf = pf_lines[0]
+    assert "dt" in pf and (">=" in pf or "GreaterThanOrEqual" in pf), pf

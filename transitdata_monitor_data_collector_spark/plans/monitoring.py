@@ -734,6 +734,86 @@ def promql_increase_windowed(spark, sf_dir):
     )
 
 
+@register(
+    "rate_over_store",
+    oracle=f"""
+    WITH {_COUNTER_CTE},
+    uniq AS (
+      SELECT event_type, ts, max(counter) AS counter
+      FROM counter_samples GROUP BY 1, 2
+    ),
+    pruned AS (
+      SELECT * FROM uniq
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+    ),
+    step AS (
+      SELECT event_type, ts,
+             CASE WHEN lag(counter) OVER w IS NULL THEN 0.0
+                  WHEN counter - lag(counter) OVER w < 0 THEN counter
+                  ELSE counter - lag(counter) OVER w END AS inc
+      FROM pruned WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    )
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+           round(sum(inc), 6) AS increase,
+           round(round(sum(inc), 6) / 21600.0, 8) AS rate_per_s
+    FROM step GROUP BY 1, 2 ORDER BY event_type, window_start
+    """,
+    doc="The full Grafana-panel path over the AT-REST history store: "
+    "counter samples are materialized into a dt-partitioned parquet store "
+    "(sinks/parquet.write_time_partitioned), then queried with a date "
+    "range that prunes directories (PartitionFilters, asserted in "
+    "tests/test_plans.py) and the reset-guarded windowed rate "
+    "(functions/promql.rate_over_store). The oracle applies the same "
+    "date cut to the same samples — the store is just a materialization. "
+    "Store is written once per sf_dir (guarded by _SUCCESS).",
+    tags=("monitoring", "promql", "store"),
+)
+def rate_over_store_panel(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from transitdata_monitor_data_collector_spark.functions.promql import (
+        rate_over_store,
+    )
+    from transitdata_monitor_data_collector_spark.sinks.parquet import (
+        write_time_partitioned,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    uniq = (
+        ev.select(
+            "event_type", "ts", (F.sum("value").over(wc) % 1000.0).alias("counter")
+        )
+        .groupBy("event_type", "ts")
+        .agg(F.max("counter").alias("counter"))
+    )
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "tmdc_rate_store_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_time_partitioned(
+            uniq, store, ts_col="ts", sort_cols=("event_type",), mode="overwrite"
+        )
+    out = rate_over_store(
+        spark,
+        store,
+        keys=["event_type"],
+        window_duration="6 hours",
+        date_from="2024-01-05",
+        date_to="2024-01-09",
+    )
+    return out.select(
+        "window_start", "event_type", "increase", "rate_per_s"
+    ).orderBy("event_type", "window_start")
+
+
 # Per-broker filter registries (Main.java:76-85: one listener per broker,
 # each with its own topicFilters). Split the dashboard registry: the prod
 # broker watches HFP journeys, the dev broker watches GTFS-RT topics.
