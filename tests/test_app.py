@@ -78,18 +78,72 @@ def test_app_counters_and_metrics_page(spark, replay_stream):
         app.stop()
 
 
-def test_app_envelope_sink_receives_rates(spark, replay_stream):
+@pytest.fixture()
+def replay_stream_batched(spark, tmp_path):
+    """Multi-batch replay (rowsPerBatch) with tail sentinels past the
+    rate job's 2-minute watermark, so append-mode windows FINALIZE: the
+    00:00 window's 60 messages, then sentinels at 00:05 / 00:10 that
+    advance the watermark across batches."""
+    path = tmp_path / "messages_tail.jsonl"
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "broker": "tcp://mqtt.hsl.fi:1883",
+                "topic": "/hfp/v2/journey/ongoing/vp/bus",
+                "ts": f"2024-01-01T00:00:{i:02d}",
+            }
+        )
+    for m in (5, 10):
+        rows.append(
+            {
+                "broker": "tcp://mqtt.hsl.fi:1883",
+                "topic": "/hfp/v2/journey/ongoing/vp/bus",
+                "ts": f"2024-01-01T00:{m:02d}:00",
+            }
+        )
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    from transitdata_monitor_data_collector_spark.sources.mqtt import register_sources
+
+    register_sources(spark)
+    return (
+        spark.readStream.format("mqtt-replay")
+        .option("path", str(path))
+        .option("rowsPerBatch", "30")
+        .load()
+    )
+
+
+def test_app_envelope_sink_emits_finalized_windows_once(
+    spark, replay_stream_batched
+):
+    """The ADVICE regression: update mode re-emitted in-progress windows
+    with partial counts. Append mode must emit each finalized window
+    EXACTLY once, with the complete count."""
     batches = []
 
     def sink(batch_df, _batch_id):
         batches.extend(batch_df.collect())
 
-    app = CollectorApp(spark, CONFIG, replay_stream, envelope_sink=sink).start()
+    app = CollectorApp(
+        spark, CONFIG, replay_stream_batched, envelope_sink=sink
+    ).start()
     try:
         app.process_available()
         rated = [r for r in batches if r["topic_filter"] == "/hfp/v2/journey/#"]
         assert rated
-        assert {round(r["rate_msg_s"], 6) for r in rated} == {round(60 / 60.0, 6)}
+        seen = {}
+        for r in rated:
+            key = r["window_start"]
+            assert key not in seen, f"window {key} emitted more than once"
+            seen[key] = r
+        import datetime
+
+        w0 = seen[datetime.datetime(2024, 1, 1, 0, 0)]
+        assert w0["n"] == 60  # finalized count, never a partial
+        assert round(w0["rate_msg_s"], 6) == 1.0
+        # the 00:10 window is still open (watermark) -> must NOT be posted
+        assert datetime.datetime(2024, 1, 1, 0, 10) not in seen
     finally:
         app.stop()
 
@@ -170,7 +224,7 @@ def test_build_broker_streams_unions_replay(spark, tmp_path):
         app.stop()
 
 
-def test_app_full_azure_pipeline(spark, replay_stream, tmp_path):
+def test_app_full_azure_pipeline(spark, replay_stream_batched, tmp_path):
     import json as _json
 
     from transitdata_monitor_data_collector_spark.app import (
@@ -193,7 +247,7 @@ def test_app_full_azure_pipeline(spark, replay_stream, tmp_path):
     cache.ensure_exists()
     sink = AzureMonitorSink(post=poster, tokens=cache)
     app = CollectorApp(
-        spark, CONFIG, replay_stream,
+        spark, CONFIG, replay_stream_batched,
         envelope_sink=mqtt_azure_envelope_sink(sink),
     ).start()
     try:

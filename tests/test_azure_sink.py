@@ -152,3 +152,30 @@ def test_for_each_batch_filters_null_and_posts(spark, tmp_path):
     fn(batch, 0)
     doc = json.loads(calls[0][0])
     assert [s["dimValues"] for s in doc["data"]["baseData"]["series"]] == [["a"]]
+
+
+def test_envelope_series_order_survives_multipartition_input(spark):
+    """ADVICE regression: collect_list does not guarantee upstream sort
+    order through the final aggregation exchange. order_col pins the
+    series order inside the aggregation — verify over a deliberately
+    multi-partition, shuffled input."""
+    import random
+
+    rows = [(i, f"topic-{i}", float(i)) for i in range(50)]
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "registry_order long, topic string, v double"
+    ).repartition(16)
+    out = build_envelope_df(
+        df,
+        metric="M",
+        namespace="NS",
+        dim_names=["Topic"],
+        key_col="topic",
+        value_col="v",
+        time_str="2024-01-01T00:00:00Z",
+        order_col="registry_order",
+    ).collect()[0]
+    env = json.loads(out["envelope_json"])
+    names = [s["dimValues"][0] for s in env["data"]["baseData"]["series"]]
+    assert names == [f"topic-{i}" for i in range(50)]

@@ -46,6 +46,10 @@ def _norm(v):
         return repr(round(v, 9))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        # the driver's pandas canonicalizer widens DATE to datetime64
+        # (midnight), equating date and timestamp columns — mirror that
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
     if hasattr(v, "asDict"):  # pyspark Row (struct) — check BEFORE tuple:
         return tuple(sorted((k, _norm(x)) for k, x in v.asDict().items()))
     if isinstance(v, (list, tuple)):

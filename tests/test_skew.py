@@ -3,6 +3,8 @@ must never change answers) and hot-key spread."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from transitdata_monitor_data_collector_spark.operators.skew import (
@@ -101,3 +103,12 @@ def test_salted_distinct_merge(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_salted_join_rejects_right_preserving_joins(spark):
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "b")], "k long, w string")
+    with pytest.raises(ValueError, match="left-preserving"):
+        salted_join(left, right, "k", how="full_outer")
+    with pytest.raises(ValueError, match="left-preserving"):
+        salted_join(left, right, "k", how="right")

@@ -89,12 +89,19 @@ class CollectorApp:
             .start()
         )
 
-        # rate job -> envelope sink (skipped when no sink is wired)
+        # rate job -> envelope sink (skipped when no sink is wired).
+        # APPEND mode, not update: update would re-emit every in-progress
+        # 60 s window per micro-batch with partial counts (rate =
+        # n_so_far/60) — repeated under-reported posts per window, each
+        # with a fresh time_str. Append + the job's 2-minute watermark
+        # emits each window exactly once, finalized, matching the
+        # reference's one-post-per-window cadence
+        # (mqtt_data_collector.py:192-253).
         if self.envelope_sink is not None:
             rates = jobs.windowed_rate_job(self.message_stream, filters)
             self._queries.append(
                 rates.writeStream.foreachBatch(self.envelope_sink)
-                .outputMode("update")
+                .outputMode("append")
                 .option(
                     "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_app_")
                 )
@@ -118,6 +125,11 @@ class CollectorApp:
                     return
                 now = int(_time.time())
                 rows_out.extend(classify_scrape(u, fetcher, now) for u in urls)
+                # bounded history: keep the most recent scrape outcomes
+                # only — a long-running app must not grow driver memory
+                # (the reference's registry is similarly last-state-only)
+                if len(rows_out) > 10_000:
+                    del rows_out[: len(rows_out) - 10_000]
 
             ticker = (
                 self.spark.readStream.format("rate")

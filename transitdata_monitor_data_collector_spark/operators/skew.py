@@ -47,13 +47,28 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``left`` has hot keys: salt the left side, replicate
     the right side ``n_salts``x (explode over the salt range), join on
-    (key, salt). Result is identical to ``left.join(right, on, how)``;
-    the hot key's probe work spreads over ``n_salts`` tasks.
+    (key, salt). For the supported join types the result is identical to
+    ``left.join(right, on, how)``; the hot key's probe work spreads over
+    ``n_salts`` tasks.
+
+    Only left-preserving joins are supported ('inner', 'left'/'left_outer',
+    'left_semi', 'left_anti'): the right side is replicated, so a
+    right/full outer join would emit every UNMATCHED right row
+    ``n_salts``x — silently wrong. Those shapes need the mirrored
+    construction (salt right, replicate left); raise instead of guessing.
 
     Use when BOTH sides are too big to broadcast AND AQE's skew-join
     splitting is unavailable (e.g. shuffle-hash join path). Cost model:
     right side shuffles ``n_salts``x its size — pick n_salts ≈ (hot-key
     rows / rows-per-healthy-partition)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}; "
+            f"got {how!r} — a replicated right side would duplicate unmatched "
+            "right rows in right/full outer joins"
+        )
     salted_left = with_salt(left, n_salts)
     replicated_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -59,14 +59,8 @@ _JACCARD_ORACLE_BODY = f"""
 
 def _langid_sql() -> str:
     """DuckDB CASE mirroring functions.text.langid exactly."""
-    score = {
-        lang: (
-            f"len(list_filter({_DD_TOKENS}, t -> list_contains("
-            f"{markers!r}, lower(t))))".replace("'", "'").replace('"', "'")
-        )
-        for lang, markers in TX.LANG_MARKERS.items()
-    }
     # duckdb list literal: ['the', 'a', ...]
+    score = {}
     for lang, markers in TX.LANG_MARKERS.items():
         lit = "[" + ", ".join("'" + m + "'" for m in markers) + "]"
         score[lang] = (

@@ -79,6 +79,7 @@ def build_envelope_df(
     key_col: str,
     value_col: str,
     time_str: str,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Aggregate (key, value) rows into ONE envelope row whose
     ``envelope_json`` column is byte-compatible with the reference's
@@ -86,12 +87,29 @@ def build_envelope_df(
 
     ``collect_list`` over the series is safe: series cardinality = the
     monitored-key registry, a small dimension even at 100 TB of traffic.
+
+    ``order_col`` pins the series order INSIDE the aggregation: Spark
+    does not guarantee collect_list preserves any upstream orderBy
+    through the final single-partition exchange, so ordered callers
+    (the Pulsar allowlist's registry order) collect (order, element)
+    structs, array_sort them, and strip the key — deterministic on any
+    number of input partitions.
     """
-    env = df.agg(
-        F.collect_list(series_element(F.col(key_col), F.col(value_col))).alias(
-            "series"
+    if order_col is not None:
+        collected = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    series_element(F.col(key_col), F.col(value_col)).alias("e"),
+                )
+            )
         )
-    ).select(
+        series = F.transform(collected, lambda s: s["e"])
+    else:
+        series = F.collect_list(
+            series_element(F.col(key_col), F.col(value_col))
+        )
+    env = df.agg(series.alias("series")).select(
         F.to_json(
             F.struct(
                 F.lit(time_str).alias("time"),

@@ -149,10 +149,22 @@ def compact_store(
     data_files = [
         f for f in os.listdir(tmp) if not f.startswith(("_", "."))
     ]
-    for f in os.listdir(part_dir):
-        if not f.startswith(("_", ".")):
-            os.remove(os.path.join(part_dir, f))
+    originals = [
+        f for f in os.listdir(part_dir) if not f.startswith(("_", "."))
+    ]
+    # Crash-safe order: land the compacted files FIRST (dot-prefixed names
+    # are invisible to parquet readers), rename them live, and delete the
+    # originals LAST. A crash before the renames leaves the partition
+    # untouched; between rename and delete it's transiently duplicated
+    # (readers over-count briefly) — never missing, and recovery is just
+    # deleting the leftover originals / dot-files. The old
+    # delete-then-move order lost the whole partition on a crash in the
+    # window and served a partial partition to concurrent readers.
     for f in data_files:
-        shutil.move(os.path.join(tmp, f), os.path.join(part_dir, f))
+        shutil.move(os.path.join(tmp, f), os.path.join(part_dir, "." + f))
+    for f in data_files:
+        os.rename(os.path.join(part_dir, "." + f), os.path.join(part_dir, f))
+    for f in originals:
+        os.remove(os.path.join(part_dir, f))
     shutil.rmtree(tmp, ignore_errors=True)
     return len(data_files)

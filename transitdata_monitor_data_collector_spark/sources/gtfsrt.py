@@ -307,6 +307,10 @@ def scheduled_scrape_stream(
         .option("rowsPerSecond", 1)
         .load()
     )
+    # bounded history: a long-running poller would otherwise grow driver
+    # memory forever; keep the most recent window (the reference keeps
+    # only in-memory Micrometer state, i.e. effectively the latest)
+    max_kept = 10_000
     results: list = []
 
     def scrape_batch(batch_df, batch_id: int) -> None:
@@ -318,6 +322,8 @@ def scheduled_scrape_stream(
             f"{name}_latest"
         )
         results.extend(rows)
+        if len(results) > max_kept:
+            del results[: len(results) - max_kept]
 
     interval_secs = poll_interval  # spark trigger grammar matches ours
     q = (

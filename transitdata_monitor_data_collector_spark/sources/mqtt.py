@@ -253,12 +253,19 @@ class _ReplayReader(DataSourceStreamReader):
         self._rows_per_batch = int(options.get("rowsPerBatch", "1000"))
         with open(self._path) as f:
             self._total = sum(1 for line in f if line.strip())
+        self._offered = 0
 
     def initialOffset(self) -> dict:
         return {"row": 0}
 
     def latestOffset(self) -> dict:
-        return {"row": self._total}
+        # Advance at most rowsPerBatch per trigger, so the replay is
+        # genuinely MULTI-BATCH: watermarks progress between micro-batches
+        # and append-mode windows finalize exactly as they would against a
+        # live broker. (Returning the file end here would collapse the
+        # whole replay into one batch — watermark semantics untestable.)
+        self._offered = min(self._offered + self._rows_per_batch, self._total)
+        return {"row": self._offered}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["row"], end["row"]

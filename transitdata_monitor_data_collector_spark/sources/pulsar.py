@@ -215,8 +215,13 @@ def pulsar_metric_envelopes(
             key_col="topic",
             value_col=col,
             time_str=time_str,
+            # registry order enforced INSIDE the aggregation: an upstream
+            # orderBy is not guaranteed to survive collect_list's final
+            # exchange on multi-partition inputs
+            order_col="registry_order",
         )
     backlog = allowlisted("subscriptions", SUBSCRIPTION_TOPICS).select(
+        "registry_order",
         F.lit("msgBacklog").alias("dim_key"),  # reference quirk (:196-205)
         F.col("subscriptions")[HFP_SUBSCRIPTION]["msgBacklog"]
         .cast("double")
@@ -230,5 +235,6 @@ def pulsar_metric_envelopes(
         key_col="dim_key",
         value_col="backlog",
         time_str=time_str,
+        order_col="registry_order",
     )
     return out

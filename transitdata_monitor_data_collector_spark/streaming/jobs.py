@@ -185,8 +185,16 @@ def run_to_memory(
     output_mode: str = "append",
     name: str | None = None,
 ) -> DataFrame:
-    """Drive an unbounded DataFrame with availableNow into a memory sink;
-    returns the result as a batch DataFrame. Deterministic replay path."""
+    """Drive an unbounded DataFrame to exhaustion into a memory sink;
+    returns the result as a batch DataFrame. Deterministic replay path.
+
+    Uses the default ASAP trigger + ``processAllAvailable`` rather than
+    ``availableNow``: availableNow snapshots the target offset ONCE at
+    query start, which collapses a rate-limited replay source (the
+    mqtt-replay ``rowsPerBatch`` batching) into a single batch — no
+    watermark progression, so append-mode windows could never finalize in
+    tests. processAllAvailable keeps triggering until the source stops
+    advancing, giving real multi-batch watermark semantics."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     # replay/test path only: tmpfs checkpoints skip per-micro-batch fsync
     # latency. Production jobs pass their own durable checkpointLocation.
@@ -197,9 +205,10 @@ def run_to_memory(
         .queryName(name)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
         .start()
     )
+    q.processAllAvailable()
+    q.stop()
     q.awaitTermination()
     return spark.table(name)
 
