@@ -32,7 +32,9 @@ HEADLINE = [
     # LLM-data pipeline extensions
     "doc_exact_dedup",
     "doc_minhash_lsh_neardup",
+    "doc_simhash_neardup",
     "emb_cosine_topk",
+    "emb_neardup_lsh",
     "text_quality_scores",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)

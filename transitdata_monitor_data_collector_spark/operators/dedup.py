@@ -297,17 +297,38 @@ def simhash_md5(
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    def _vote(b: int):
-        # closure factory: a default-arg lambda would read as 3-arg to
-        # pyspark's arity introspection (same pitfall as _rehash above)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    # ONE pass over the token array accumulating all n_bits vote counters
+    # at once (array accumulator), instead of n_bits independent aggregates
+    # each rescanning the tokens — an n_bits× reduction in array scans and
+    # a far smaller expression tree (stays inside codegen limits)
+    zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
 
-    sig = F.lit(0).cast("long")
-    for bit in range(n_bits):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote(bit))
-        sig = sig + F.when(votes > 0, F.lit(1 << bit).cast("long")).otherwise(0)
+    def _bit_votes(h):
+        # per-token ±1 vote vector; bit positions are python ints
+        # (F.shiftright requires a literal shift amount)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for b in range(n_bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(acc, _bit_votes(h), lambda a, v: a + v),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    sig = F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
 
 
@@ -346,7 +367,10 @@ def simhash_banded_neardup_pairs(
         )
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
-    sigs = simhash_md5(df, text_col, id_col, n_bits)
+    # cache: the signature frame feeds the banded self-join (both sides)
+    # AND the exact-verify joins — without it the md5+vote pipeline would
+    # evaluate 4x (tiny frame: one long per doc)
+    sigs = simhash_md5(df, text_col, id_col, n_bits).cache()
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),

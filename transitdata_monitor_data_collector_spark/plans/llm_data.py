@@ -412,13 +412,15 @@ def emb_neardup_pairs(spark, sf_dir):
     WHERE round({_COS_DD}, 6) >= 0.9
     ORDER BY id_a, id_b
     """,
-    doc="Embedding near-dup via banded RP-LSH + exact cosine verify — the "
-    "100 TB scale path, checked against the SAME brute-force oracle as "
-    "emb_neardup_pairs. Plan shape: narrow signature map -> explode 18 "
-    "(band, 4-bit key) triples -> equi-self-join -> exact cosine on "
-    "candidates only. Miss probability at the 0.9 threshold ≈ 9e-7 "
-    "(operators/similarity.py:rp_banded_candidates). No nested-loop or "
-    "cartesian join anywhere in the plan (asserted in tests/test_plans.py).",
+    doc="Embedding near-dup via banded RP-LSH + hamming refine + exact "
+    "cosine verify — the 100 TB scale path, checked against the SAME "
+    "brute-force oracle as emb_neardup_pairs. Plan shape: one Arrow-"
+    "batched signature matmul -> explode 44 (band, 8-bit key) triples -> "
+    "equi-self-join -> bit_count(xor) hamming cut on packed 352-bit "
+    "signatures -> exact cosine on survivors only. Miss probability at "
+    "the 0.9 threshold ≈ 3e-7 (operators/similarity.py). No nested-loop "
+    "or cartesian join anywhere in the plan (asserted in tests/"
+    "test_plans.py).",
     tags=("llm", "similarity", "dedup"),
 )
 def emb_neardup_lsh(spark, sf_dir):
@@ -594,11 +596,15 @@ def emb_ann_ivf_topk(spark, sf_dir):
     doc="The full multimodal near-dup path: synthesize binary payloads -> "
     "extract_features (L1-normalized byte histogram, operators/"
     "multimodal.py — a real computed feature, not a stub) -> banded "
-    "RP-LSH candidates + exact cosine verify (operators/similarity.py; "
-    "no nested-loop join — same scale path as emb_neardup_lsh; at the "
-    "0.999 threshold the per-band agree probability is 0.986^4 ≈ 0.944, "
-    "miss ≈ 0.056^18 ≈ 3e-23). Swap the histogram for a CLIP embedding "
-    "and this query is production image dedup.",
+    "RP-LSH candidates + hamming refine + exact cosine verify (operators/"
+    "similarity.py; no nested-loop join — same scale path as "
+    "emb_neardup_lsh). Histogram features all cluster near the uniform "
+    "direction, so the BANDING degenerates (most pairs collide in some "
+    "band) — it is the packed-signature hamming cut that keeps the "
+    "verify stage linear here, rejecting pairs below ~cos 0.99 via "
+    "codegen bit_count(xor) before any vector is fetched. Swap the "
+    "histogram for a CLIP embedding and this query is production image "
+    "dedup.",
     tags=("llm", "multimodal", "dedup"),
 )
 def multimodal_feature_neardup(spark, sf_dir):
