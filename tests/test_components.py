@@ -1,0 +1,78 @@
+"""Connected components (operators/components.py) and the dedup-cluster
+pipeline built on it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transitdata_monitor_data_collector_spark.operators.components import (
+    connected_components,
+)
+from transitdata_monitor_data_collector_spark.operators.dedup import dedup_clusters
+
+
+def _labels(df):
+    return {r["id"]: r["label"] for r in df.collect()}
+
+
+def test_chain_collapses_transitively(spark):
+    # 1-2, 2-3, 3-4 never pair (1,4) directly; one component anyway
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = _labels(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_nodes_frame_adds_singletons(spark):
+    edges = spark.createDataFrame([(2, 5)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (5,), (9,)], "id long")
+    got = _labels(connected_components(edges, nodes=nodes))
+    assert got == {1: 1, 2: 2, 5: 2, 9: 9}
+
+
+def test_edge_direction_is_irrelevant(spark):
+    fwd = spark.createDataFrame([(7, 3), (3, 9)], "src long, dst long")
+    rev = spark.createDataFrame([(3, 7), (9, 3)], "src long, dst long")
+    assert _labels(connected_components(fwd)) == _labels(
+        connected_components(rev)
+    ) == {3: 3, 7: 3, 9: 3}
+
+
+def test_long_chain_within_round_budget(spark):
+    # a 20-node path needs ~19 propagation rounds; max_iter=25 must cover it
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    got = _labels(connected_components(edges))
+    assert set(got.values()) == {0} and len(got) == 21
+
+
+def test_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_dedup_clusters_covers_every_doc_and_respects_pairs(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.dedup import (
+        minhash_lsh_neardup_pairs,
+    )
+    from transitdata_monitor_data_collector_spark.plans import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = dedup_clusters(docs, threshold=0.5).collect()
+    assert len(out) == docs.count()
+    label = {r["doc_id"]: r["cluster_id"] for r in out}
+    # every verified near-dup pair lands in the same cluster
+    for p in minhash_lsh_neardup_pairs(docs, threshold=0.5).collect():
+        assert label[p["doc_a"]] == label[p["doc_b"]]
+    # cluster id is a member of its own cluster and the minimum of it
+    for doc, c in label.items():
+        assert label[c] == c and c <= doc
+    # survivor flag == (doc is the representative)
+    for r in out:
+        assert r["is_kept"] == (r["doc_id"] == r["cluster_id"])

@@ -417,3 +417,41 @@ def dedup_summary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.sum("n_copies").alias("n_docs"),
         F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy-dedup cluster assignment: (doc_id, cluster_id, is_kept).
+
+    Near-dup PAIRS don't dedupe a corpus — transitive groups must collapse
+    to one survivor (A~B and B~C puts A, B, C in one cluster even when
+    (A, C) is below the pair threshold). Pipeline: MinHash-LSH pairs with
+    exact Jaccard verification (:func:`minhash_lsh_neardup_pairs`) ->
+    distributed connected components (min-label propagation,
+    ``operators/components.py``) -> cluster_id = min doc_id of the
+    component, is_kept = (doc_id == cluster_id). Every doc appears in the
+    output; unmatched docs are their own singleton cluster.
+
+    At 100 TB: the pair stage is the bucketed LSH plan; the component
+    stage adds O(cluster diameter) join rounds over ONLY the pair edges
+    (tiny relative to the corpus), never over the documents themselves.
+    """
+    from transitdata_monitor_data_collector_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_neardup_pairs(df, text_col, id_col, n, threshold)
+    nodes = df.select(F.col(id_col).alias("doc_id"))
+    labels = connected_components(
+        pairs.select("doc_a", "doc_b"), nodes=nodes, src="doc_a", dst="doc_b"
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).alias("is_kept"),
+    )

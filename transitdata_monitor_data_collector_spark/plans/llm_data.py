@@ -125,6 +125,61 @@ def doc_minhash_lsh_neardup(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+# Connected components in ANSI SQL: the recursive CTE enumerates every
+# (node, reachable-label) pair over the verified near-dup edges; min() per
+# node is the component representative. Tractable for the oracle because
+# sf0.01 components are tiny; Spark does it with bounded label-propagation
+# rounds instead (operators/components.py).
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_DD_SHINGLES} AS shingles FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6)
+            >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, reach.r FROM edges e JOIN reach ON reach.id = e.s
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_kept
+    FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_dedup_clusters",
+    oracle=_CLUSTER_ORACLE,
+    doc="Fuzzy-dedup CLUSTER assignment — the missing half of near-dup "
+    "detection: MinHash-LSH verified pairs -> distributed connected "
+    "components (min-label propagation, one equi-join + agg per round, "
+    "rounds = O(cluster diameter), lineage truncated per round) -> "
+    "cluster_id = min doc_id, is_kept = survivor flag. Every doc is "
+    "assigned; singletons keep themselves. Oracle: recursive-CTE "
+    "transitive closure over the same brute-force Jaccard pairs.",
+    tags=("llm", "dedup"),
+)
+def doc_dedup_clusters(spark, sf_dir):
+    return DD.dedup_clusters(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_id")
+
+
 @register(
     "doc_simhash",
     oracle=None,  # signature values are hash-function-specific (rows-only check)
