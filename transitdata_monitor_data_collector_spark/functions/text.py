@@ -107,6 +107,62 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """ALL word n-grams of lowercased text, duplicates preserved (unlike
+    :func:`word_shingles`, which is the distinct SET for Jaccard)."""
+    toks = tokens(F.lower(text))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        ),
+    )
+
+
+def dup_ngram_frac(text: Column, n: int = 1) -> Column:
+    """Fraction of word n-gram occurrences that are repeats of an earlier
+    occurrence (0 = all distinct, →1 = highly repetitive). The Gopher-rule
+    style repetition signal, shuffle-free: per-row array arithmetic only."""
+    g = word_ngrams(text, n)
+    total = F.size(g)
+    return F.when(
+        total > 0,
+        1.0 - F.size(F.array_distinct(g)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def top_token_frac(text: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token.
+
+    Computed as the longest run in the SORTED token array — one
+    ``array_sort`` plus one linear ``aggregate`` pass per row, shuffle-free
+    (the explode → groupBy(doc, word) → max alternative would shuffle every
+    token occurrence in the corpus)."""
+    toks = F.array_sort(tokens(F.lower(text)))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _step(acc, t):
+        run = F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(toks, init, _step, lambda acc: acc["best"])
+    n = F.size(toks)
+    return F.when(n > 0, best.cast("double") / n).otherwise(F.lit(0.0))
+
+
 def content_fingerprint(text: Column) -> Column:
     """Normalization-stable content hash: lowercase, squeeze whitespace, md5."""
     return F.md5(F.lower(F.regexp_replace(text, _WS, " ")))

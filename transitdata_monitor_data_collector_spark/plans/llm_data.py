@@ -315,6 +315,67 @@ def text_quality_scores(spark, sf_dir):
 
 
 @register(
+    "text_repetition_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DD_TOKENS_LOWER} AS tk FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest(tk) AS word FROM toks)
+      GROUP BY doc_id, word
+    ),
+    top AS (SELECT doc_id, max(c) AS top_c FROM wc GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id, len(tk) AS n_words,
+             CASE WHEN len(tk) >= 2
+                  THEN [array_to_string(tk[i:i+1], ' ')
+                        for i in generate_series(1, len(tk) - 1)]
+                  ELSE CAST([] AS VARCHAR[]) END AS g2,
+             CASE WHEN len(tk) >= 3
+                  THEN [array_to_string(tk[i:i+2], ' ')
+                        for i in generate_series(1, len(tk) - 2)]
+                  ELSE CAST([] AS VARCHAR[]) END AS g3,
+             tk
+      FROM toks
+    )
+    SELECT g.doc_id, g.n_words,
+           round(CASE WHEN g.n_words > 0
+                 THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / g.n_words
+                 ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN g.n_words > 0
+                 THEN CAST(top_c AS DOUBLE) / g.n_words
+                 ELSE 0.0 END, 6) AS top_word_frac,
+           round(CASE WHEN len(g2) > 0
+                 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                 ELSE 0.0 END, 6) AS dup_2gram_frac,
+           round(CASE WHEN len(g3) > 0
+                 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                 ELSE 0.0 END, 6) AS dup_3gram_frac
+    FROM grams g JOIN top USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition quality signals per doc: duplicate-word "
+    "fraction, most-frequent-token share, duplicate 2-/3-gram fractions. "
+    "All shuffle-free row-wise array arithmetic — top_token_frac is a "
+    "longest-run scan of the SORTED token array rather than an explode + "
+    "groupBy(doc, word), which would shuffle every token occurrence in "
+    "the corpus (functions/text.py).",
+    tags=("llm", "text"),
+)
+def text_repetition_scores(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_words"),
+        F.round(TX.dup_ngram_frac(F.col("text"), 1), 6).alias("dup_word_frac"),
+        F.round(TX.top_token_frac(F.col("text")), 6).alias("top_word_frac"),
+        F.round(TX.dup_ngram_frac(F.col("text"), 2), 6).alias("dup_2gram_frac"),
+        F.round(TX.dup_ngram_frac(F.col("text"), 3), 6).alias("dup_3gram_frac"),
+    ).orderBy("doc_id")
+
+
+@register(
     "text_langid",
     oracle=f"""
     SELECT doc_id, {_langid_sql()} AS pred_lang
