@@ -125,13 +125,10 @@ def doc_minhash_lsh_neardup(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-# Connected components in ANSI SQL: the recursive CTE enumerates every
-# (node, reachable-label) pair over the verified near-dup edges; min() per
-# node is the component representative. Tractable for the oracle because
-# sf0.01 components are tiny; Spark does it with bounded label-propagation
-# rounds instead (operators/components.py).
-_CLUSTER_ORACLE = f"""
-    WITH RECURSIVE sh AS (
+# The recursive transitive-closure fragment shared by the cluster and
+# curation oracles (everything through `comp`: doc_id -> component min).
+_COMPONENT_CTES = f"""
+    sh AS (
       SELECT doc_id, {_DD_SHINGLES} AS shingles FROM documents
     ),
     ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
@@ -156,9 +153,20 @@ _CLUSTER_ORACLE = f"""
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.d, reach.r FROM edges e JOIN reach ON reach.id = e.s
-    )
-    SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_kept
-    FROM reach GROUP BY id ORDER BY doc_id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+# Connected components in ANSI SQL: the recursive CTE enumerates every
+# (node, reachable-label) pair over the verified near-dup edges; min() per
+# node is the component representative. Tractable for the oracle because
+# sf0.01 components are tiny; Spark does it with bounded label-propagation
+# rounds instead (operators/components.py).
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE {_COMPONENT_CTES}
+    SELECT doc_id, cluster_id, cluster_id = doc_id AS is_kept
+    FROM comp ORDER BY doc_id
 """
 
 
@@ -178,6 +186,121 @@ def doc_dedup_clusters(spark, sf_dir):
     return DD.dedup_clusters(
         table(spark, sf_dir, "documents"), threshold=0.5
     ).orderBy("doc_id")
+
+
+# Full curation-pipeline oracle: language gate -> quality gate ->
+# repetition gate -> exact-dup survivor -> near-dup cluster survivor.
+_CURATION_ORACLE = f"""
+    WITH RECURSIVE {_COMPONENT_CTES},
+    qt AS (
+      SELECT doc_id,
+             CAST(len({_DD_TOKENS}) AS DOUBLE) AS tc,
+             CASE WHEN len({_DD_TOKENS}) > 0
+                  THEN CAST(list_sum(list_transform({_DD_TOKENS}, t -> length(t)))
+                            AS DOUBLE) / len({_DD_TOKENS})
+                  ELSE 0.0 END AS mtl,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text)
+                            - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN len({_DD_TOKENS}) > 0
+                  THEN CAST(len(list_filter({_DD_TOKENS},
+                         t -> list_contains({TX.EN_STOPWORDS!r}, lower(t))))
+                       AS DOUBLE) / len({_DD_TOKENS})
+                  ELSE 0.0 END AS sr
+      FROM documents
+    ),
+    feat AS (
+      SELECT d.doc_id,
+             {{langid}} AS lang_pred,
+             round(0.3 * least(tc / 100.0, 1.0)
+                   + 0.2 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0
+                            THEN 1.0 ELSE 0.5 END)
+                   + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+                   + 0.2 * least(sr * 4.0, 1.0), 6) AS quality,
+             round(CASE WHEN len({_DD_TOKENS_LOWER}) > 0
+                   THEN 1.0 - CAST(len(list_distinct({_DD_TOKENS_LOWER}))
+                                   AS DOUBLE) / len({_DD_TOKENS_LOWER})
+                   ELSE 0.0 END, 6) AS dup_word_frac,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5
+      FROM documents d JOIN qt USING (doc_id)
+    ),
+    keepers AS (
+      SELECT content_md5, min(doc_id) AS keep_id
+      FROM (SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                     AS content_md5
+            FROM documents)
+      GROUP BY 1
+    ),
+    final AS (
+      SELECT f.doc_id, f.lang_pred, f.quality, f.dup_word_frac,
+             CASE WHEN f.lang_pred <> 'en' THEN 'lang'
+                  WHEN f.quality < 0.6 THEN 'quality'
+                  WHEN f.dup_word_frac > 0.65 THEN 'repetition'
+                  WHEN f.doc_id <> k.keep_id THEN 'exact_dup'
+                  WHEN f.doc_id <> c.cluster_id THEN 'near_dup'
+                  ELSE 'kept' END AS status
+      FROM feat f
+      JOIN keepers k USING (content_md5)
+      JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, lang_pred, quality, dup_word_frac, status,
+           status = 'kept' AS kept
+    FROM final ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_curation",
+    oracle=_CURATION_ORACLE.replace("{langid}", _langid_sql()),
+    doc="The END-TO-END training-data curation pipeline as ONE query: "
+    "language-ID gate -> quality-score gate -> repetition gate -> exact-"
+    "dedup survivor -> fuzzy-dedup cluster survivor, with the first "
+    "failing rule as the per-doc status. Composes langid, quality_score, "
+    "dup_ngram_frac (all narrow row-wise), one content-hash aggregate, "
+    "and the LSH + connected-components cluster path — i.e. every dedup/"
+    "quality operator in the engine, at their individual scale shapes.",
+    tags=("llm", "text", "dedup"),
+)
+def doc_curation(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        TX.langid(F.col("text")).alias("lang_pred"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        F.round(TX.dup_ngram_frac(F.col("text"), 1), 6).alias("dup_word_frac"),
+        TX.content_fingerprint(F.col("text")).alias("content_md5"),
+    )
+    keepers = DD.exact_dedup(docs).select("content_md5", "keep_id")
+    clusters = DD.dedup_clusters(docs, threshold=0.5).select(
+        "doc_id", "cluster_id"
+    )
+    status = (
+        F.when(F.col("lang_pred") != "en", "lang")
+        .when(F.col("quality") < 0.6, "quality")
+        .when(F.col("dup_word_frac") > 0.65, "repetition")
+        .when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+        .when(F.col("doc_id") != F.col("cluster_id"), "near_dup")
+        .otherwise("kept")
+    )
+    return (
+        # both sides are corpus-sized: a plain shuffle join (AQE decides),
+        # NOT a broadcast — keepers has one row per distinct document
+        feat.join(keepers, "content_md5")
+        .join(clusters, "doc_id")
+        .withColumn("status", status)
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality",
+            "dup_word_frac",
+            "status",
+            (F.col("status") == "kept").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
