@@ -155,6 +155,23 @@ def test_lsh_neardup_has_no_nested_loop_join(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_cluster_and_curation_have_no_nested_loop_join(spark, sf_dir):
+    """The fuzzy-dedup cluster pipeline (LSH pairs -> connected
+    components) and the composed curation query must stay on equi-join
+    paths end to end."""
+    for name in ("doc_dedup_clusters", "doc_curation"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    """Top-k by count must plan as TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge), never a global Sort of the vocabulary."""
+    plan = _plan(spark, sf_dir, "text_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_rate_over_store_prunes_partitions(spark, sf_dir):
     """The store query's date range must land in PartitionFilters on the
     dt partition column (directory pruning), not a post-scan Filter."""

@@ -13,6 +13,7 @@ are registered without an oracle (driver records rows-only).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from transitdata_monitor_data_collector_spark.functions import text as TX
 from transitdata_monitor_data_collector_spark.functions.vectors import cosine
@@ -567,6 +568,104 @@ def text_lang_source_rollup(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
+    )
+
+
+# Cross-engine deterministic uniform hash in [0, 100): md5 prefix, the same
+# trick that makes simhash_md5 oracle-checkable. NO rand()/sample(): the
+# selection is a pure function of doc_id, so it is identical on retry, on
+# re-partition, and across engines — the only sane way to sample at 100 TB.
+_MD5_PCT = (
+    "pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
+    " AS bigint), 100)"
+)
+_MD5_PCT_DD = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 + 100) % 100"
+
+
+@register(
+    "doc_sample_hash",
+    oracle=f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE {_MD5_PCT_DD} < 10
+    ORDER BY doc_id
+    """,
+    doc="Deterministic 10% corpus sample: md5(doc_id) bucket < 10. A pure "
+    "narrow filter (pushdown-friendly, no rand(), no shuffle) that yields "
+    "the SAME sample on every run, every retry, and in the DuckDB oracle "
+    "— reproducible subsetting for eval splits / ablations.",
+    tags=("llm", "text", "sampling"),
+)
+def doc_sample_hash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.expr(_MD5_PCT) < 10)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_MD5_PCT_DD}, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    ORDER BY source, doc_id
+    """,
+    doc="Stratified per-source quota sample (5 docs per source), ordered "
+    "by the deterministic md5 bucket — balanced mixture sampling for "
+    "training-data composition control. One window per stratum "
+    "(partitioned shuffle on source); rank, not rand(), so reproducible.",
+    tags=("llm", "text", "sampling"),
+)
+def doc_sample_stratified(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.expr(_MD5_PCT).asc(), F.col("doc_id"))
+    )
+    return (
+        d.select("doc_id", "source", rk.alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT word, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({_DD_TOKENS_LOWER}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary head: top-50 words by occurrence with document "
+    "frequency — the tokenizer/vocab-building precursor. Plan: explode -> "
+    "partial (map-side) count per word -> single final agg -> "
+    "TakeOrderedAndProject (per-partition top-k, k-row driver merge; no "
+    "global sort).",
+    tags=("llm", "text"),
+)
+def text_vocab_topk(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(50)
     )
 
 
