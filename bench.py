@@ -36,8 +36,27 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_neardup_lsh",
     "text_quality_scores",
+    "doc_dedup_clusters",
+    "doc_curation",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
+    "streaming_windowed_rate",
+]
+
+# The round-1 headline set (BENCH_r01.json) — its subtotal is reported
+# separately so totals stay comparable across rounds as coverage grows.
+ROUND1_SET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "mqtt_fanout_window_rate",
+    "mqtt_counter_totals",
+    "promql_rate_window",
+    "grafana_panel_hfp_journey",
+    "doc_exact_dedup",
+    "doc_minhash_lsh_neardup",
+    "emb_cosine_topk",
+    "text_quality_scores",
     "streaming_windowed_rate",
 ]
 
@@ -83,6 +102,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "round1_set_sec": round(
+                    sum(timings[q] for q in ROUND1_SET if q in timings), 3
+                ),
                 "sf": sf_val,
             }
         )

@@ -111,6 +111,10 @@ def word_ngrams(text: Column, n: int) -> Column:
     """ALL word n-grams of lowercased text, duplicates preserved (unlike
     :func:`word_shingles`, which is the distinct SET for Jaccard)."""
     toks = tokens(F.lower(text))
+    if n == 1:
+        # unigrams ARE the token array — skip the interpreted per-element
+        # rebuild (transform + element_at per token is ~10x the cost)
+        return toks
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))

@@ -267,7 +267,9 @@ _CURATION_ORACLE = f"""
 )
 def doc_curation(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    feat = docs.select(
+    # the feature stage is CPU-heavy narrow compute (langid markers,
+    # quality, repetition) — spread a single-split corpus across cores
+    feat = _docs_spread(spark, sf_dir).select(
         "doc_id",
         TX.langid(F.col("text")).alias("lang_pred"),
         TX.quality_score(F.col("text")).alias("quality"),
@@ -376,6 +378,18 @@ def doc_dedup_summary(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+
+def _docs_spread(spark, sf_dir):
+    """documents table, spread across cores: every text query below is a
+    CPU-heavy narrow pipeline, and a small corpus arrives as one file
+    split (partitioning.spread_small_input is a no-op at real scale)."""
+    from transitdata_monitor_data_collector_spark.partitioning import (
+        spread_small_input,
+    )
+
+    return spread_small_input(table(spark, sf_dir, "documents"), "doc_id")
+
+
 @register(
     "text_token_counts",
     oracle=f"""
@@ -390,7 +404,7 @@ def doc_dedup_summary(spark, sf_dir):
     tags=("llm", "text"),
 )
 def text_token_counts(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return d.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
@@ -432,7 +446,7 @@ def text_token_counts(spark, sf_dir):
     tags=("llm", "text"),
 )
 def text_quality_scores(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return d.select(
         "doc_id", TX.quality_score(F.col("text")).alias("quality")
     ).orderBy("doc_id")
@@ -488,7 +502,7 @@ def text_quality_scores(spark, sf_dir):
     tags=("llm", "text"),
 )
 def text_repetition_scores(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return d.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_words"),
@@ -509,7 +523,7 @@ def text_repetition_scores(spark, sf_dir):
     tags=("llm", "text"),
 )
 def text_langid(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return d.select(
         "doc_id", TX.langid(F.col("text")).alias("pred_lang")
     ).orderBy("doc_id")
@@ -532,7 +546,7 @@ def text_langid(spark, sf_dir):
     tags=("llm", "text"),
 )
 def text_fingerprints(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     shingles = TX.word_shingles(F.col("text"), 3)
     return d.select(
         "doc_id",
@@ -667,6 +681,68 @@ def text_vocab_topk(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "word")
         .limit(50)
     )
+
+
+# PII patterns — identical strings compiled by Java regex (Spark) and RE2
+# (DuckDB): no lookarounds, no backrefs.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+[0-9][0-9 ]{7,}[0-9]"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || doc_id ||
+                       '@example.com for details'
+                  WHEN doc_id % 11 = 0
+                  THEN text || ' call +358 40 123 4567 today'
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>',
+                                             'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+    FROM aug ORDER BY doc_id
+    """,
+    doc="PII redaction pass: detect + replace emails and phone numbers "
+    "with placeholder tokens (narrow codegen regexp_replace — the "
+    "standard pre-training scrub stage). The corpus is synthetic, so "
+    "deterministic PII is INJECTED in-query (doc_id-keyed) on both "
+    "engines first; the scrubbed text is compared by md5 so the oracle "
+    "pins exact byte equality of the redaction.",
+    tags=("llm", "text"),
+)
+def text_pii_scrub(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com for details"),
+        ),
+    ).when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(" call +358 40 123 4567 today")),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
