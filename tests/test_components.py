@@ -76,3 +76,9 @@ def test_dedup_clusters_covers_every_doc_and_respects_pairs(spark, sf_dir):
     # survivor flag == (doc is the representative)
     for r in out:
         assert r["is_kept"] == (r["doc_id"] == r["cluster_id"])
+
+
+def test_no_edges_all_singletons(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    assert _labels(connected_components(edges, nodes=nodes)) == {1: 1, 2: 2, 3: 3}

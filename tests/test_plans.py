@@ -172,6 +172,25 @@ def test_vocab_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivf_store_probe_prunes_list_partitions(spark, sf_dir):
+    """The stored-IVF probe must scan only the probed inverted lists:
+    the list_id predicate lands in PartitionFilters (directory pruning),
+    never a post-scan Filter over the whole index."""
+    plan = _plan(spark, sf_dir, "emb_ivf_store_topk")
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines, "no PartitionFilters in the index scan"
+    assert "list_id" in pf_lines[0], pf_lines[0]
+    # and the result equals the non-stored IVF path (same centroids/probe)
+    from transitdata_monitor_data_collector_spark.plans import load_all
+
+    reg = load_all()
+    stored = reg["emb_ivf_store_topk"].build(spark, sf_dir).collect()
+    direct = reg["emb_ann_ivf_topk"].build(spark, sf_dir).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in stored] == [
+        (r["vec_id"], r["cos_sim"]) for r in direct
+    ]
+
+
 def test_rate_over_store_prunes_partitions(spark, sf_dir):
     """The store query's date range must land in PartitionFilters on the
     dt partition column (directory pruning), not a post-scan Filter."""

@@ -1003,6 +1003,65 @@ def emb_ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "emb_ivf_store_topk",
+    oracle=None,  # approximate (nprobe < n_lists); pruning + recall pinned
+    # by tests/test_plans.py and tests/test_ivf.py
+    doc="IVF ANN over a STORED index: centroids trained once, every vector "
+    "written to a parquet index partitioned by its inverted-list id "
+    "(one-time build, _SUCCESS-guarded, centroids persisted as index "
+    "metadata); a probe then reads ONLY the nprobe nearest list "
+    "partitions — the list_id filter lands in PartitionFilters "
+    "(directory pruning, asserted in tests/test_plans.py), so query cost "
+    "scales with nprobe/n_lists of the corpus, not the corpus. This is "
+    "the production shape of emb_ann_ivf_topk.",
+    tags=("llm", "similarity", "store"),
+)
+def emb_ivf_store_topk(spark, sf_dir):
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "tmdc_ivf_store_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    meta_path = os.path.join(store, "_centroids.json")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        centroids = SIM.ivf_train_centroids(emb, n_lists=16, max_iter=2)
+        SIM.ivf_assign(emb, centroids).withColumn(
+            "embedding", as_double(F.col("embedding"))
+        ).write.partitionBy("list_id").mode("overwrite").parquet(store)
+        with open(meta_path, "w") as f:
+            json.dump(centroids, f)
+    with open(meta_path) as f:
+        centroids = json.load(f)
+
+    query_vec = _query_vec(spark, sf_dir)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: sum(
+            (a - b) * (a - b) for a, b in zip(centroids[i], query_vec)
+        ),
+    )
+    probe = order[:4]
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    idx = spark.read.parquet(store).filter(F.col("list_id").isin(probe))
+    return (
+        idx.select(
+            "vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
     "multimodal_feature_neardup",
     oracle=None,  # feature extraction (mapInPandas byte histogram) is not
     # SQL-expressible in DuckDB; pair semantics are pinned by
