@@ -200,16 +200,29 @@ def run_to_memory(
     # latency. Production jobs pass their own durable checkpointLocation.
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     checkpoint = tempfile.mkdtemp(prefix="ckpt_", dir=ckpt_base)
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .start()
+    # State-store shards should track STATE SIZE (key cardinality), not
+    # batch CPU parallelism: every micro-batch pays per-shard commit
+    # overhead, and these jobs keep a handful of (broker, filter, window)
+    # keys. The count is pinned into the checkpoint at first batch, so
+    # set it before start and restore only after the blocking run ends.
+    # Production jobs size this to keys/executors in their own session.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(8, int(prev_sp or 8)))
     )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.table(name)
 
 
