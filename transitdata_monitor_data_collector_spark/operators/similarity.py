@@ -110,6 +110,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def rp_bucket_sql(
+    vec_expr: str, dim: int, n_planes: int, seed: int = 42
+) -> str:
+    """DuckDB expression computing the same bucket id as
+    :func:`rp_lsh_buckets` / the query-side signature in
+    :func:`ann_lsh_topk`: the literal hyperplanes are rendered into SQL
+    (``repr(float)`` is shortest-roundtrip, so both engines see identical
+    doubles), making the "approximate" index deterministically
+    oracle-checkable."""
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0"
+            f" THEN {2 ** i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     dim: int,

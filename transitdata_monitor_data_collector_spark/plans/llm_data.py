@@ -308,13 +308,25 @@ def doc_curation(spark, sf_dir):
 
 @register(
     "doc_simhash",
-    oracle=None,  # signature values are hash-function-specific (rows-only check)
-    doc="64-bit SimHash per doc (word unigrams, xxhash64 bit votes) — "
-    "shuffle-free row-wise op; hamming-join downstream for near-dup.",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+      FROM documents
+    )
+    SELECT doc_id, {DD.simhash_sql()} AS simhash FROM toks ORDER BY doc_id
+    """,
+    doc="60-bit SimHash per doc (word unigrams, md5-prefix bit votes) — "
+    "shuffle-free row-wise op; hamming-join downstream for near-dup. The "
+    "cross-engine md5-prefix token hash (operators/dedup.py:simhash_md5) "
+    "makes the signature itself bit-for-bit oracle-checkable; the "
+    "xxhash64 variant (operators/dedup.py:simhash) is the drop-in when "
+    "oracle parity isn't needed.",
     tags=("llm", "dedup", "approx"),
 )
 def doc_simhash(spark, sf_dir):
-    return DD.simhash(table(spark, sf_dir, "documents")).orderBy("doc_id")
+    return DD.simhash_md5(table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 # DuckDB mirror of operators/dedup.simhash_md5: md5-prefix token hashes,
@@ -845,10 +857,26 @@ def emb_neardup_lsh(spark, sf_dir):
 
 @register(
     "emb_ann_lsh_topk",
-    oracle=None,  # approximate: bucket membership is hash-specific (rows-only)
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {SIM.rp_bucket_sql("CAST(embedding AS DOUBLE[])", 64, 6)} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM s WHERE vec_id = 0)
+    SELECT s.vec_id AS vec_id,
+           round(list_dot_product(s.v, q.qv) /
+                 (sqrt(list_dot_product(s.v, s.v)) *
+                  sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM s, q WHERE s.bucket = q.qbucket
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
     doc="ANN via random-hyperplane LSH: literal hyperplanes folded into the "
     "plan, query restricted to its own bucket; at scale the bucket is a "
-    "partition key (partition pruning).",
+    "partition key (partition pruning). Though approximate, the index is "
+    "DETERMINISTIC given (dim, n_planes, seed), so the oracle recomputes "
+    "the same buckets in DuckDB (operators/similarity.py:rp_bucket_sql) "
+    "and the result is fully hash-checked.",
     tags=("llm", "similarity", "approx"),
 )
 def emb_ann_lsh_topk(spark, sf_dir):
