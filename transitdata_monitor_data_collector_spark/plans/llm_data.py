@@ -757,6 +757,183 @@ def text_pii_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKENS} AS ts FROM documents),
+    st AS (
+      SELECT doc_id, ts,
+             unnest(generate_series(1, greatest(len(ts), 1), 96)) AS chunk_start
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(ts[chunk_start:chunk_start + 127]) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(ts[chunk_start:chunk_start + 127], ' '))
+             AS chunk_md5
+    FROM st ORDER BY doc_id, chunk_start
+    """,
+    doc="Sliding-window document chunking (128-token chunks, stride 96 = "
+    "32-token overlap) — the context-window prep stage of every training/"
+    "RAG pipeline. Pure narrow codegen: sequence() of chunk starts -> "
+    "posexplode -> slice; no shuffle, no UDF, scales as a map-only stage. "
+    "Chunk text is compared by md5 so the oracle pins byte equality.",
+    tags=("llm", "text"),
+)
+def doc_chunking(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    ts = TX.tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(ts), F.lit(1)), F.lit(96)
+    )
+    chunk = F.slice(F.col("ts"), F.col("chunk_start"), 128)
+    return (
+        d.select(
+            "doc_id",
+            ts.alias("ts"),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+# 8-token shingle hashes of lowercased text (cross-engine md5-prefix), the
+# unit of train/eval overlap detection
+_DECON_SHINGLES_DD = f"""
+  CASE WHEN len({_DD_TOKENS_LOWER}) >= 8
+       THEN [('0x' || substr(md5(array_to_string(({_DD_TOKENS_LOWER})[i:i+7],
+                                                 ' ')), 1, 15))::BIGINT
+             for i in generate_series(1, len({_DD_TOKENS_LOWER}) - 7)]
+       ELSE CAST([] AS BIGINT[]) END
+"""
+
+
+@register(
+    "doc_decontamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {_MD5_PCT_DD} AS pct,
+             unnest({_DECON_SHINGLES_DD}) AS h
+      FROM documents
+    ),
+    tr AS (SELECT doc_id, h FROM sh WHERE pct >= 10),
+    ev AS (SELECT doc_id AS eval_id, h FROM sh WHERE pct < 10)
+    SELECT tr.doc_id AS doc_id,
+           CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shared_shingles,
+           CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+    FROM tr JOIN ev ON tr.h = ev.h
+    GROUP BY tr.doc_id ORDER BY doc_id
+    """,
+    doc="Train/eval decontamination: flag training docs sharing any 8-token "
+    "shingle with the held-out eval split (the doc_sample_hash 10% md5 "
+    "bucket — the engine's canonical deterministic split). Inverted-index "
+    "equi-join on md5-prefix shingle hashes — the same near-linear shape "
+    "as the n-gram Jaccard dedup, NOT an all-pairs compare; at 100 TB the "
+    "(small) eval shingle set is a broadcast semi-join against the "
+    "training explode.",
+    tags=("llm", "text", "dedup"),
+)
+def doc_decontamination(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    ts = TX.tokens(F.lower(F.col("text")))
+    n = F.size(ts)
+    hashes = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(ts, i, 8), " ")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    pct = F.expr(_MD5_PCT)
+    sh = d.select(
+        "doc_id", pct.alias("pct"), F.explode(hashes).alias("h")
+    ).distinct()
+    tr = sh.filter(F.col("pct") >= 10).select("doc_id", "h")
+    ev = sh.filter(F.col("pct") < 10).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    return (
+        tr.join(ev, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_DD_TOKENS_LOWER}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, term
+    """,
+    doc="Top-3 characteristic terms per document by TF-IDF — keyword "
+    "extraction / topic probing over the corpus. Two partial-aggregated "
+    "shuffles (term-frequency, document-frequency) + one per-doc window; "
+    "document count enters as a 1-row broadcast cross join. Ranking is on "
+    "the ROUNDED score with a term tie-break, so the ordering (and hence "
+    "the result) is identical across engines despite libm ln() ulps.",
+    tags=("llm", "text"),
+)
+def text_tfidf_topk(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
