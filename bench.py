@@ -29,6 +29,7 @@ HEADLINE = [
     "mqtt_counter_totals",
     "promql_rate_window",
     "grafana_panel_hfp_journey",
+    "q8_market_share",
     # LLM-data pipeline extensions
     "doc_exact_dedup",
     "doc_minhash_lsh_neardup",
@@ -38,6 +39,9 @@ HEADLINE = [
     "text_quality_scores",
     "doc_dedup_clusters",
     "doc_curation",
+    "doc_chunking",
+    "doc_decontamination",
+    "text_tfidf_topk",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
