@@ -128,6 +128,73 @@ def streaming_stream_join(spark, sf_dir):
 
 
 @register(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="T7 session windows as a REAL streaming run: dynamic-gap windows "
+    "merging in the state store (watermark-bounded), replayed to "
+    "exhaustion; the final table equals the batch session_window "
+    "aggregation and the gaps-and-islands oracle (same SQL as the batch "
+    "`session_windows` query).",
+    tags=("streaming", "window"),
+)
+def streaming_session_windows(spark, sf_dir):
+    raw = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    sessions = jobs.session_window_job(raw.filter(F.col("user_id") < 10))
+    return jobs.run_to_memory(spark, sessions, output_mode="complete").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@register(
+    "streaming_stateful_counter",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_FANOUT_CTE}
+    SELECT broker, topic_filter, count(*) AS messages_received_total
+    FROM fanned GROUP BY 1, 2 ORDER BY broker, topic_filter
+    """,
+    doc="UD4: the applyInPandasWithState CUSTOM stateful counter "
+    "(streaming/jobs.py:stateful_counter_job — one int64 of user-managed "
+    "state per (broker, topic_filter), the literal analog of the "
+    "reference's Micrometer counter objects, "
+    "MqttTopicMonitorListener.java:73-92) driven through the same replay "
+    "harness; the final per-key state must equal the batch fan-out count "
+    "(same oracle as streaming_counter_totals).",
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_counter(spark, sf_dir):
+    counters = jobs.stateful_counter_job(
+        _message_stream(spark, sf_dir), DASHBOARD_FILTERS
+    )
+    mem = jobs.run_to_memory(spark, counters, output_mode="update")
+    # update mode emits one row per key per micro-batch; keep the latest
+    return (
+        mem.groupBy("broker", "topic_filter")
+        .agg(F.max("messages_received_total").alias("messages_received_total"))
+        .orderBy("broker", "topic_filter")
+    )
+
+
+@register(
     "streaming_gauge_last",
     oracle=f"""
     WITH {_MSGS_CTE}

@@ -263,6 +263,28 @@ def _duration_seconds(s: str) -> int:
     return int(qty) * mult
 
 
+def session_window_job(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T7 session windows as a streaming aggregation: dynamic-gap windows
+    merge in the state store as events arrive; the watermark bounds state
+    by closing sessions older than max(ts) - watermark. With availableNow
+    replay + complete mode the final table equals the batch
+    ``session_window`` aggregation (pinned by the registry oracle)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key, F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )
+
+
 def stateful_counter_job(
     messages: DataFrame,
     filters: Sequence[str],
