@@ -79,9 +79,17 @@ def streaming_counter_totals(spark, sf_dir):
 
 @register(
     "streaming_dedup_within_watermark",
-    oracle=None,  # arrival-order dependent (rows-only check)
+    oracle=f"""
+    WITH {_MSGS_CTE}
+    SELECT broker, count(DISTINCT topic) AS n_unique_topics
+    FROM msgs GROUP BY broker ORDER BY broker
+    """,
     doc="T8 dropDuplicatesWithinWatermark over the replayed stream "
-    "(raw -> raw-deduplicated).",
+    "(raw -> raw-deduplicated). WHICH duplicate survives is arrival-order "
+    "dependent, but the registered aggregate (surviving rows per broker) "
+    "is survivor-invariant, and the deterministic single-file replay "
+    "admits no watermark leak — so it must equal the batch distinct-topic "
+    "count per broker.",
     tags=("streaming", "dedup"),
 )
 def streaming_dedup_within_watermark(spark, sf_dir):
