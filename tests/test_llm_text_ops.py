@@ -1,0 +1,72 @@
+"""Semantic invariants for the training-data prep operators (chunking,
+decontamination, TF-IDF) — properties the oracle hash-compare can't state
+explicitly, checked on real query output at sf0.001.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from transitdata_monitor_data_collector_spark.plans import load_all, table
+
+REGISTRY = load_all()
+
+
+def test_chunking_covers_every_token_with_fixed_stride(spark, sf_dir):
+    chunks = REGISTRY["doc_chunking"].build(spark, sf_dir).collect()
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        )
+        .collect()
+    }
+    by_doc: dict[int, list] = defaultdict(list)
+    for r in chunks:
+        by_doc[r["doc_id"]].append(r)
+    assert set(by_doc) == set(n_tokens)  # every doc is chunked
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_start"])
+        starts = [r["chunk_start"] for r in rows]
+        # arithmetic stride-96 sequence from 1, covering all n tokens
+        assert starts == list(range(1, max(n_tokens[doc_id], 1) + 1, 96))
+        n = max(n_tokens[doc_id], 1)
+        for r in rows:
+            # a chunk is full when 128 tokens remain, else runs to the end
+            expected = min(128, n - r["chunk_start"] + 1)
+            assert r["n_chunk_tokens"] == expected, (doc_id, r)
+        # the final chunk reaches exactly the last token
+        tail = rows[-1]
+        assert tail["chunk_start"] + tail["n_chunk_tokens"] - 1 == n
+
+
+def test_decontamination_flags_only_train_docs(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.plans.llm_data import _MD5_PCT
+
+    flagged = REGISTRY["doc_decontamination"].build(spark, sf_dir).collect()
+    eval_ids = {
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.expr(_MD5_PCT) < 10)
+        .select("doc_id")
+        .collect()
+    }
+    for r in flagged:
+        assert r["doc_id"] not in eval_ids  # eval docs never flag themselves
+        assert r["n_shared_shingles"] >= 1
+        assert r["n_eval_docs"] >= 1
+
+
+def test_tfidf_topk_is_per_doc_descending(spark, sf_dir):
+    rows = REGISTRY["text_tfidf_topk"].build(spark, sf_dir).collect()
+    by_doc: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    for doc_id, rs in by_doc.items():
+        assert 1 <= len(rs) <= 3
+        scores = [r["tfidf"] for r in rs]
+        assert scores == sorted(scores, reverse=True), doc_id
+        assert len({r["term"] for r in rs}) == len(rs)  # distinct terms

@@ -191,6 +191,36 @@ def test_ivf_store_probe_prunes_list_partitions(spark, sf_dir):
     ]
 
 
+def test_q7_q8_star_joins_broadcast_dims(spark, sf_dir):
+    """The nation/region/part/supplier dimension sides of the TPC-H star
+    joins must broadcast; the plan must never degrade to a nested-loop."""
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_chunking_is_narrow_map_stage(spark, sf_dir):
+    """Chunking must be scan -> generate -> project with no join and no
+    shuffle beyond the small-input spread (a no-op at real scale): a
+    shuffle or join here would be a scale bug in a map-only operator."""
+    plan = _plan(spark, sf_dir, "doc_chunking")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    # spread repartition + the output orderBy only
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_decontamination_is_equi_join(spark, sf_dir):
+    """Train/eval overlap must be the inverted-index equi-join on shingle
+    hashes — never an all-pairs document compare."""
+    plan = _plan(spark, sf_dir, "doc_decontamination")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final on doc_id
+
+
 def test_rate_over_store_prunes_partitions(spark, sf_dir):
     """The store query's date range must land in PartitionFilters on the
     dt partition column (directory pruning), not a post-scan Filter."""
