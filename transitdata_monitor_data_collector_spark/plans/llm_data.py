@@ -934,6 +934,62 @@ def text_tfidf_topk(spark, sf_dir):
     )
 
 
+@register(
+    "doc_pack_manifest",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len({_DD_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    offsets AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS tok_offset
+      FROM toks
+    )
+    SELECT source, CAST(tok_offset // 2048 AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM offsets
+    GROUP BY source, bin_id ORDER BY source, bin_id
+    """,
+    doc="Sequence-packing manifest: per-source running token offsets bin "
+    "documents into 2048-token training sequences (the concat-then-chunk "
+    "packing used by pre-training loaders), emitting per-bin doc counts "
+    "and fill. Deterministic doc_id order, windows PARTITIONED BY source "
+    "— per-shard packing, so no global single-partition cumsum exists at "
+    "any scale.",
+    tags=("llm", "text", "window"),
+)
+def doc_pack_manifest(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("n_tok")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = toks.withColumn(
+        "tok_offset", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return (
+        offsets.groupBy(
+            "source", F.floor(F.col("tok_offset") / 2048).alias("bin_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
