@@ -117,6 +117,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_corpus_neardup(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental dedup: exact n-gram Jaccard matches of NEW docs against
+    an EXISTING corpus — (doc_id, base_id, jaccard) for every cross pair
+    at or above the threshold. No self-joins on either side: the inverted
+    index joins new-side shingles to base-side shingles only.
+
+    The 100 TB shape of "dedup this crawl against the training set": the
+    new batch is typically orders of magnitude smaller than the base, so
+    its exploded shingle index is the broadcast/small side and the base
+    corpus is never self-paired (the quadratic term vanishes by
+    construction)."""
+    new_sets = shingle_sets(
+        spread_small_input(new_df, id_col), text_col, id_col, n
+    ).cache()
+    base_sets = shingle_sets(base_df, text_col, id_col, n).cache()
+    ne = new_sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    be = base_sets.select(
+        F.col("doc_id").alias("base_id"), F.explode("shingles").alias("shingle")
+    )
+    common = (
+        ne.join(be, "shingle")
+        .groupBy("doc_id", "base_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sn = new_sets.select("doc_id", F.col("set_size").alias("size_new"))
+    sb = base_sets.select(
+        F.col("doc_id").alias("base_id"), F.col("set_size").alias("size_base")
+    )
+    jac = F.col("n_common") / (
+        F.col("size_new") + F.col("size_base") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sn, "doc_id")
+        .join(sb, "base_id")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "base_id", "jaccard")
+    )
+
+
 def with_shingle_hashes(sets: DataFrame) -> DataFrame:
     """Add the per-shingle xxhash64-mod-P array. Callers that cache the
     shingle-set frame should cache AFTER this so the string hashing is paid

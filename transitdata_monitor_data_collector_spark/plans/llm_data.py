@@ -935,6 +935,69 @@ def text_tfidf_topk(spark, sf_dir):
 
 
 @register(
+    "doc_incremental_dedup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_MD5_PCT_DD} AS pct, {_DD_SHINGLES} AS shingles
+      FROM documents
+    ),
+    ne AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE pct >= 50),
+    be AS (SELECT doc_id AS base_id, unnest(shingles) AS shingle
+           FROM sh WHERE pct < 50),
+    common AS (
+      SELECT ne.doc_id, be.base_id, count(*) AS n_common
+      FROM ne JOIN be USING (shingle) GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    pairs AS (
+      SELECT c.doc_id, c.base_id,
+             round(n_common / CAST(sn.sz + sb.sz - n_common AS DOUBLE), 6)
+               AS jaccard
+      FROM common c
+      JOIN sizes sn ON sn.doc_id = c.doc_id
+      JOIN sizes sb ON sb.doc_id = c.base_id
+      WHERE round(n_common / CAST(sn.sz + sb.sz - n_common AS DOUBLE), 6)
+            >= 0.5
+    )
+    SELECT doc_id, n_matches, best_match_id, best_jaccard FROM (
+      SELECT doc_id, base_id AS best_match_id, jaccard AS best_jaccard,
+             count(*) OVER (PARTITION BY doc_id) AS n_matches,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY jaccard DESC, base_id) AS rn
+      FROM pairs
+    ) WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc="Incremental dedup: match each NEW doc (md5 bucket >= 50, i.e. "
+    "half the corpus standing in for a fresh crawl) against the EXISTING "
+    "corpus (bucket < 50) by exact 3-gram Jaccard >= 0.5, reporting match "
+    "count and best match per new doc. Asymmetric inverted-index join "
+    "(operators/dedup.py:cross_corpus_neardup) — neither side is "
+    "self-paired, and at 100 TB the new batch is the small broadcast "
+    "side, so the cost is ~linear in the base corpus.",
+    tags=("llm", "dedup"),
+)
+def doc_incremental_dedup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pct = F.expr(_MD5_PCT)
+    new_df = d.filter(pct >= 50)
+    base_df = d.filter(pct < 50)
+    pairs = DD.cross_corpus_neardup(new_df, base_df, threshold=0.5)
+    w = W.partitionBy("doc_id").orderBy(F.desc("jaccard"), "base_id")
+    return (
+        pairs.select(
+            "doc_id",
+            F.col("base_id").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+            F.count("*").over(W.partitionBy("doc_id")).alias("n_matches"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_matches", "best_match_id", "best_jaccard")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "doc_pack_manifest",
     oracle=f"""
     WITH toks AS (
