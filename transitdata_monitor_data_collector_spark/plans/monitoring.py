@@ -544,6 +544,122 @@ def session_windows(spark, sf_dir):
     )
 
 
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s ON e.user_id = s.user_id
+       AND e.ts > s.t_signup AND e.ts <= s.t_signup + INTERVAL '12 hours'
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+       AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL '12 hours'
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+    doc="Ordered funnel over the event stream: signup -> first click "
+    "within 12 h of signup -> first purchase within 12 h of that click, "
+    "counting users surviving each stage (150 -> 28 -> 11 at sf0.01). "
+    "Three user-keyed aggregation passes with interval-bounded joins — "
+    "each stage shuffles once on user_id and AQE reuses the exchange; no "
+    "window over the raw event log, no self cross-join.",
+    tags=("monitoring", "events", "join"),
+)
+def events_funnel(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', f.cohort_week,
+                           date_trunc('week', e.ts)) // 7 AS INTEGER)
+               AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM active GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Retention cohorts: users grouped by first-seen ISO week, counted "
+    "in each subsequent active week — the standard growth-analytics "
+    "matrix. One user-keyed aggregate for cohort assignment, a broadcast-"
+    "able join back onto the log, then DISTINCT + count; no per-week "
+    "scans, no self cross-join, all keys uniform.",
+    tags=("monitoring", "events", "agg"),
+)
+def events_retention_cohorts(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 # ---------------------------------------------------------------------------
 # T8 — dedup (the raw -> raw-deduplicated topic pattern).
 # ---------------------------------------------------------------------------
