@@ -1042,6 +1042,78 @@ def q4_order_priority_exists(spark, sf_dir):
 
 
 @register(
+    "agg_pivot_event_type",
+    oracle="""
+    SELECT date_trunc('week', ts) AS week,
+           round(sum(CASE WHEN event_type = 'click' THEN value END), 2)
+             AS click_value,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+             AS purchase_value,
+           round(sum(CASE WHEN event_type = 'view' THEN value END), 2)
+             AS view_value
+    FROM events
+    GROUP BY week ORDER BY week
+    """,
+    doc="PIVOT (long -> wide): per-week value totals spread into one "
+    "column per event type. Spark's pivot() with explicit values compiles "
+    "to a single conditional-sum aggregate pass — same one-shuffle cost "
+    "as the long-form groupBy, never one scan per pivot column.",
+    tags=("agg", "pivot"),
+)
+def agg_pivot_event_type(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.round(F.sum("value"), 2))
+        .withColumnsRenamed(
+            {
+                "click": "click_value",
+                "purchase": "purchase_value",
+                "view": "view_value",
+            }
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "agg_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_quantity), 4)         AS qty_var,
+           -- + 0.0 folds IEEE -0.0 to +0.0 (DuckDB round keeps the sign
+           -- bit, Spark's BigDecimal round drops it)
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
+           round(covar_samp(l_discount, l_tax), 6) + 0.0     AS disc_tax_covar
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Statistical aggregates (stddev/variance/correlation/covariance) "
+    "per group — single partial+final aggregation pass; Spark's moment "
+    "accumulators merge associatively so the shuffle carries O(groups) "
+    "state regardless of row count.",
+    tags=("agg", "stats"),
+)
+def agg_statistics(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + 0.0).alias(
+                "qty_price_corr"
+            ),
+            (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias(
+                "disc_tax_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
