@@ -226,6 +226,86 @@ def grafana_panel_hfp_journey(spark, sf_dir):
     )
 
 
+# All 9 dashboard panels: (panel_id, broker regex, topic_filter selector)
+# in dashboard order (grafana/mqtt-dashboard.json:92,183,274,365,456,547,
+# 638,729,820). Brokers absent from the synthetic stream yield empty
+# series, exactly as the live dashboard renders them.
+DASHBOARD_PANELS = [
+    (1, ".*hsl-mqtt-lab-d.*", "/hfp/v2/journey/ongoing/apc/#"),
+    (2, ".*mqtt\\.hsl\\.fi.*", "/hfp/v2/journey/#"),
+    (3, ".*mqtt\\.hsl\\.fi.*", "/hfp/v2/journey/ongoing/+/+/+/+/7280/#"),
+    (4, ".*mqtt\\.hsl\\.fi.*", "/hfp/v2/journey/ongoing/+/ferry/#"),
+    (5, ".*mqtt\\.hsl\\.fi.*", "/hfp/v2/journey/ongoing/+/metro/#"),
+    (6, ".*pred\\.rt\\.hsl\\.fi.*", "gtfsrt/v2/fi/hsl/tu"),
+    (7, ".*test91\\.rt\\.hsl\\.fi.*", "gtfsrt/dev/fi/hsl/sa"),
+    (8, ".*test91\\.rt\\.hsl\\.fi.*", "gtfsrt/dev/fi/hsl/tu"),
+    (9, ".*transitdata-dev-mqtt-broker.*", "gtfsrt/dev/fi/hsl/vp/#"),
+]
+
+_PANEL_VALUES = ",\n    ".join(
+    f"({pid}, '{re}', '{tf}')" for pid, re, tf in DASHBOARD_PANELS
+)
+
+
+@register(
+    "grafana_dashboard_all_panels",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_FANOUT_CTE},
+    rates AS (
+      SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+             broker, topic_filter, count(*) AS n
+      FROM fanned GROUP BY 1, 2, 3
+    ),
+    panels(panel_id, broker_re, panel_filter) AS (VALUES
+    {_PANEL_VALUES}
+    )
+    SELECT panel_id, window_start, broker, n,
+           round(n / 60.0, 6) AS rate_msg_s
+    FROM rates r JOIN panels p
+      ON r.topic_filter = p.panel_filter
+     AND regexp_matches(r.broker, p.broker_re)
+    ORDER BY panel_id, window_start, broker
+    """,
+    doc="The ENTIRE reference dashboard in one query: the rate series is "
+    "aggregated once per (window, broker, topic_filter), then the 9 panel "
+    "selectors (grafana/mqtt-dashboard.json:92-820) join as a broadcast "
+    "9-row dimension (equi on topic_filter + regex residual on broker) — "
+    "panel mapping costs nothing at any scale because it runs on the "
+    "aggregate, never the raw message log. Panels whose brokers are not "
+    "in the stream render empty, as on the live dashboard.",
+    tags=("monitoring",),
+)
+def grafana_dashboard_all_panels(spark, sf_dir):
+    rates = (
+        fanned_df(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "60 seconds").start.alias("window_start"),
+            "broker",
+            "topic_filter",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    panels = spark.createDataFrame(
+        DASHBOARD_PANELS, ["panel_id", "broker_re", "panel_filter"]
+    )
+    return (
+        rates.join(
+            F.broadcast(panels),
+            (F.col("topic_filter") == F.col("panel_filter"))
+            & F.regexp_like(F.col("broker"), F.col("broker_re")),
+        )
+        .select(
+            "panel_id",
+            "window_start",
+            "broker",
+            "n",
+            F.round(F.col("n") / 60.0, 6).alias("rate_msg_s"),
+        )
+        .orderBy("panel_id", "window_start", "broker")
+    )
+
+
 @register(
     "legend_mean_max",
     oracle=f"""
