@@ -1042,6 +1042,46 @@ def q4_order_priority_exists(spark, sf_dir):
 
 
 @register(
+    "join_salted_hot_key",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    doc="The skew-mitigation join through the driver gate: "
+    "operators/skew.py:salted_join salts the (hot) fact side and "
+    "replicates the dimension side 8x, joining on (key, salt) — the "
+    "result must be IDENTICAL to the plain join, which is exactly what "
+    "the unsalted oracle asserts. At cluster scale this is the residual "
+    "defense when both sides are too big to broadcast and AQE's "
+    "skew-split is unavailable (shuffle-hash path); the reference's own "
+    "hot key is the ~1,833 msg/s topic filter "
+    "(MqttTopicMonitorListener.java:31-32).",
+    tags=("join", "skew"),
+)
+def join_salted_hot_key(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.skew import (
+        salted_join,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, supp, on="s_suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@register(
     "agg_pivot_event_type",
     oracle="""
     SELECT date_trunc('week', ts) AS week,
