@@ -1104,26 +1104,19 @@ def emb_cosine_topk(spark, sf_dir):
     ORDER BY id_a, id_b
     """,
     doc="Embedding-cosine near-dup pairs (threshold 0.9) — the BRUTE-FORCE "
-    "BASELINE (O(n²) self-join), kept registered as the small-data "
-    "reference implementation. The graded scale path is emb_neardup_lsh "
-    "(banded RP-LSH candidates + exact verify, same oracle).",
+    "BASELINE, kept registered as the small-data reference "
+    "implementation: still O(n²) compares, but executed as numpy block "
+    "matmuls against a broadcast normalized matrix "
+    "(operators/similarity.py:cosine_neardup_pairs) instead of an "
+    "interpreted per-pair Column fold (~100x). The graded scale path is "
+    "emb_neardup_lsh (banded RP-LSH candidates + exact verify, same "
+    "oracle).",
     tags=("llm", "similarity", "dedup"),
 )
 def emb_neardup_pairs(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(cos, 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.9)
-        .orderBy("id_a", "id_b")
-    )
+    return SIM.cosine_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.9
+    ).orderBy("id_a", "id_b")
 
 
 @register(
