@@ -361,47 +361,67 @@ def simhash_md5(
     """SimHash over word unigrams with a CROSS-ENGINE token hash: the first
     15 hex chars of md5 (60 bits, fits a signed long) instead of xxhash64,
     so a DuckDB oracle can reproduce signatures bit-for-bit
-    (``('0x'||substr(md5(t),1,15))::BIGINT`` ≡ ``conv(substring(md5(t),
-    1,15),16,10)``). Same row-wise, shuffle-free shape as :func:`simhash`;
-    use that (xxhash64, no string md5) when oracle parity isn't needed."""
-    df = spread_small_input(df, id_col)
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-    )
-    # ONE pass over the token array accumulating all n_bits vote counters
-    # at once (array accumulator), instead of n_bits independent aggregates
-    # each rescanning the tokens — an n_bits× reduction in array scans and
-    # a far smaller expression tree (stays inside codegen limits)
-    zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
+    (``('0x'||substr(md5(t),1,15))::BIGINT`` ≡ ``int(md5(t)[:15], 16)``).
 
-    def _bit_votes(h):
-        # per-token ±1 vote vector; bit positions are python ints
-        # (F.shiftright requires a literal shift amount)
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long"))
-                for b in range(n_bits)
-            ]
+    The per-bit ±1 vote tally is dense per-row integer algebra — the same
+    "vectorized linear algebra" exception as the MinHash / RP-LSH
+    signature stages: one Arrow-batched Pandas UDF tokenizes (the Python
+    model of ``split(trim(lower(s)), '\\s+')``), hashes each token once
+    with hashlib md5, and tallies all 60 bit votes in a single
+    bit-unpack + ``reduceat`` numpy pass (~3x the interpreted
+    Column-aggregate formulation). Still row-wise and shuffle-free; the
+    xxhash64 Column variant (:func:`simhash`) remains for when oracle
+    parity isn't needed."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # Java's \s is ASCII-only ([ \t\n\x0B\f\r]) while Python's is
+    # Unicode-aware, and Spark's trim() strips SPACES only — model both
+    # exactly so signatures match the Column/DuckDB tokenization
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    bit_idx = np.arange(n_bits, dtype=np.uint64)
+
+    def _sig(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        hash_lists = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            # exact Python model of split(trim(lower(text)), '\s+'):
+            # Spark's split keeps the leading "" for empty input
+            toks = ws.split((t or "").lower().strip(" "))
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            hash_lists.append(hs)
+            lens[i] = len(hs)
+        flat = np.concatenate(hash_lists) if hash_lists else np.empty(0, np.uint64)
+        # (total, n_bits) ±1 votes, summed per doc in one reduceat pass
+        bits = ((flat[:, None] >> bit_idx) & 1).astype(np.int64)
+        votes = 2 * bits - 1
+        offs = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        tallies = np.add.reduceat(votes, offs, axis=0)  # (docs, n_bits)
+        out = ((tallies > 0).astype(np.int64) << bit_idx.astype(np.int64)).sum(
+            axis=1
         )
+        return pd.Series(out)
 
-    votes = F.aggregate(
-        hashes,
-        zeros,
-        lambda acc, h: F.zip_with(acc, _bit_votes(h), lambda a, v: a + v),
+    # legacy (no-type-hint) form: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's hint inference can't resolve
+    sig = pandas_udf(_sig, "long")
+    df = spread_small_input(df, id_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"), sig(F.col(text_col)).alias("simhash")
     )
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
-    sig = F.aggregate(
-        F.zip_with(
-            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
 
 
 def simhash_sql(n_bits: int = 60) -> str:
