@@ -253,6 +253,15 @@ def read_parquet_stream(
     df = reader.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    # Naive-micros (TIMESTAMP_NTZ) columns can't carry a watermark; interpret
+    # the wall clock as UTC TIMESTAMP_LTZ (same normalization as plans.table).
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
