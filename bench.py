@@ -36,6 +36,7 @@ HEADLINE = [
     "doc_simhash_neardup",
     "emb_cosine_topk",
     "emb_neardup_lsh",
+    "emb_neardup_planted",
     "text_quality_scores",
     "doc_dedup_clusters",
     "doc_curation",
@@ -92,7 +93,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         run_once(name)  # untimed warm-up: JVM codegen compile amortizes
-        timings[name] = round(run_once(name), 3)
+        # min of two timed runs: a single sample is hostage to ambient
+        # load spikes on a shared machine (BENCH_r02 recorded ~2x uniform
+        # inflation vs a clean re-run of the identical build)
+        timings[name] = round(min(run_once(name), run_once(name)), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

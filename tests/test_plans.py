@@ -147,6 +147,7 @@ def test_lsh_neardup_has_no_nested_loop_join(spark, sf_dir):
     (the brute-force baseline emb_neardup_pairs is exempt by design)."""
     for name in (
         "emb_neardup_lsh",
+        "emb_neardup_planted",
         "multimodal_feature_neardup",
         "doc_simhash_neardup",
     ):

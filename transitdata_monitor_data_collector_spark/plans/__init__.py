@@ -106,6 +106,8 @@ GATE_ORDER: list[str] = [
     "struct_envelope_build",
     "join_salted_hot_key",
     "rate_over_store",
+    # new this round: non-vacuous LSH recall gate (planted near-dups)
+    "emb_neardup_planted",
     # green in r01 but absent from r02 — re-validate the heavier ones
     "q1_pricing_summary",
     "q3_shipping_priority",

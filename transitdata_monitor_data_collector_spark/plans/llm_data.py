@@ -1144,6 +1144,72 @@ def emb_neardup_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# The synthetic embeddings are i.i.d. unit vectors: the max pairwise cosine
+# is ~0.56 at sf0.01, so the 0.9-threshold near-dup queries above correctly
+# return 0 rows — a vacuous (0 == 0) correctness check. This variant plants
+# near-duplicates DERIVED FROM THE DATA inside the query: union each vector
+# with a deterministically perturbed copy (+0.05 on two of every three
+# coordinates, id offset +100000). Planted pairs land at cosine 0.944-0.966,
+# background pairs stay <= 0.6, so the LSH path must recover exactly the 500
+# planted pairs — a non-vacuous recall check against the brute-force oracle.
+# Perturbation margins: banded-LSH miss probability at cos 0.944 is
+# (1 - 0.893^8)^44 ≈ 1e-10; rounded cosines sit >= 3e-10 from any 1e-6
+# rounding boundary while cross-engine summation-order error is < 2e-14.
+_PLANT_DD = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        (x, i) -> x + CAST(0.05 AS DOUBLE)
+                                    * CAST((i % 3) - 1 AS DOUBLE)) AS embedding
+  FROM embeddings
+"""
+
+
+def _planted_embeddings(spark, sf_dir):
+    """embeddings ∪ perturbed copy — Spark twin of _PLANT_DD.
+
+    DuckDB lambda indices are 1-based, Spark's are 0-based, so the Spark
+    coefficient is ((i+1) % 3) - 1; both engines do the identical IEEE
+    double ops (float->double widening is exact, k ∈ {-1,0,1})."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.lit(0.05) * (((i + F.lit(1)) % F.lit(3)) - F.lit(1)).cast("double"),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+@register(
+    "emb_neardup_planted",
+    oracle=f"""
+    WITH u AS ({_PLANT_DD})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_DD}, 6) AS cos_sim
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE round({_COS_DD}, 6) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    doc="Non-vacuous recall gate for the banded RP-LSH near-dup path: the "
+    "corpus is unioned with a deterministic perturbed copy of itself "
+    "(planted pairs at cosine 0.944-0.966, background <= 0.6), and the "
+    "LSH + hamming-refine + exact-verify pipeline must emit exactly the "
+    "planted pairs that the brute-force DuckDB oracle finds. Same plan "
+    "shape as emb_neardup_lsh — banded equi-self-join, no nested-loop or "
+    "cartesian join.",
+    tags=("llm", "similarity", "dedup"),
+)
+def emb_neardup_planted(spark, sf_dir):
+    return SIM.rp_lsh_neardup_pairs(
+        _planted_embeddings(spark, sf_dir), dim=64, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "emb_ann_lsh_topk",
     oracle=f"""
