@@ -108,6 +108,14 @@ GATE_ORDER: list[str] = [
     "rate_over_store",
     # new this round: non-vacuous LSH recall gate (planted near-dups)
     "emb_neardup_planted",
+    # round 3: TPC-H completion set — first driver rows needed
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q16_part_supplier_variety",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
     # green in r01 but absent from r02 — re-validate the heavier ones
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -134,6 +142,7 @@ def load_all() -> dict[str, Query]:
         monitoring,
         relational,
         streaming_queries,
+        tpch_extra,
     )
 
     prioritized = {n: REGISTRY[n] for n in GATE_ORDER if n in REGISTRY}
