@@ -116,6 +116,10 @@ GATE_ORDER: list[str] = [
     "q16_part_supplier_variety",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
+    # round 3: monitoring/LLM-data extensions — first driver rows needed
+    "prometheus_histogram_buckets",
+    "timeseries_gap_fill_locf",
+    "emb_dim_stats",
     # green in r01 but absent from r02 — re-validate the heavier ones
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -1479,3 +1479,55 @@ def multimodal_feature_neardup(spark, sf_dir):
     return rp_lsh_neardup_pairs(
         feats, dim=64, threshold=0.999, vec_col="feature", id_col="doc_id"
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA: per-dimension statistics. The standard pre-training check
+# for dead/clipped/exploding dimensions before indexing or training.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+    WITH exploded AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    SELECT dim, count(*) AS n_vals,
+           round(CAST(sum(CAST(round(val, 6) AS DECIMAL(28, 6))) AS DOUBLE)
+                 / count(*), 6) AS mean_val,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val
+    FROM exploded
+    GROUP BY dim ORDER BY dim
+    """,
+    doc="Per-dimension embedding statistics (dead/clipped-dimension QA "
+    "before ANN indexing — pairs with emb_ann_* and the IVF trainer in "
+    "operators/similarity.py). posexplode fans each vector into (dim, "
+    "val) pairs, but the aggregate collapses map-side to n_dims rows per "
+    "task before the single tiny shuffle (64 groups); means go through "
+    "exact decimal sums so partial-aggregation order cannot flip the "
+    "rounded value vs the sequential oracle.",
+    tags=("llm", "embedding", "agg"),
+)
+def emb_dim_stats(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("dim", "raw_val")
+    ).select("dim", F.col("raw_val").cast("double").alias("val"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("*").alias("n_vals"),
+            F.round(
+                F.sum(F.round("val", 6).cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )

@@ -1062,3 +1062,167 @@ def mqtt_per_broker_counter_totals(spark, sf_dir):
         .agg(F.count("*").alias("messages_received_total"))
         .orderBy("broker", "topic_filter")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prometheus histogram buckets: the exposition format's cumulative le-bucket
+# series for a DistributionSummary. The scale-right plan assigns each row
+# ONE bucket (CASE), aggregates to at most n_types x n_buckets rows, densifies
+# against a literal bucket grid, and takes a running sum per type — a single
+# fact shuffle on low-cardinality keys, never a buckets-x-rows fan-out.
+# ---------------------------------------------------------------------------
+
+_HISTO_LES = [1.0, 5.0, 10.0, 50.0, 100.0]
+
+
+@register(
+    "prometheus_histogram_buckets",
+    oracle="""
+    WITH bucketed AS (
+        SELECT event_type,
+               CASE WHEN value <= 1.0 THEN 0 WHEN value <= 5.0 THEN 1
+                    WHEN value <= 10.0 THEN 2 WHEN value <= 50.0 THEN 3
+                    WHEN value <= 100.0 THEN 4 ELSE 5 END AS bucket_idx,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT event_type, bucket_idx, le
+        FROM (SELECT DISTINCT event_type FROM events),
+             (VALUES (0, '1'), (1, '5'), (2, '10'), (3, '50'), (4, '100'),
+                     (5, '+Inf')) b(bucket_idx, le)
+    )
+    SELECT g.event_type, g.le,
+           CAST(sum(coalesce(n, 0)) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_count
+    FROM grid g LEFT JOIN bucketed USING (event_type, bucket_idx)
+    ORDER BY g.event_type, g.bucket_idx
+    """,
+    doc="Prometheus histogram exposition (le-bucket cumulative counts) for "
+    "the DistributionSummary meter (GtfsRtMetricsRegistry.java:26-39; the "
+    "reference's summaries surface max/sum — this adds the bucket series a "
+    "Prometheus histogram would export). Cumulative counts come from a "
+    "running-sum window over per-bucket partial counts, not a per-row "
+    "buckets-x fan-out.",
+    tags=("monitoring", "agg", "window"),
+)
+def prometheus_histogram_buckets(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bucket_idx = F.lit(len(_HISTO_LES))
+    for i, le in reversed(list(enumerate(_HISTO_LES))):
+        bucket_idx = F.when(F.col("value") <= le, i).otherwise(bucket_idx)
+    bucketed = ev.groupBy(
+        "event_type", bucket_idx.alias("bucket_idx")
+    ).agg(F.count("*").alias("n"))
+    les = [*[str(int(v)) for v in _HISTO_LES], "+Inf"]
+    grid_b = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("bucket_idx"), F.lit(le).alias("le"))
+                for i, le in enumerate(les)
+            ]
+        )
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", grid_b.alias("b"))
+        .select("event_type", "b.bucket_idx", "b.le")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(bucketed, ["event_type", "bucket_idx"], "left")
+        .withColumn(
+            "cumulative_count",
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).over(w).cast("bigint"),
+        )
+        .select("event_type", "le", "cumulative_count", "bucket_idx")
+        .orderBy("event_type", "bucket_idx")
+        .drop("bucket_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + LOCF: what a Grafana panel does implicitly when it
+# connects points across empty intervals. Dense per-minute grid per series
+# (sequence/explode from the series' own min/max — no driver-side loop),
+# left join of observed per-minute gauges, then last-observation-carried-
+# forward via an ignore-nulls window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_gap_fill_locf",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, date_trunc('minute', ts) AS minute,
+               sum(CAST(round(value, 4) AS DECIMAL(18, 4))) AS val_sum,
+               count(*) AS n
+        FROM events WHERE event_type IN ('error', 'signup')
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(minute) AS tmin, max(minute) AS tmax
+        FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(tmin, tmax, INTERVAL 1 MINUTE)) AS minute
+        FROM bounds
+    )
+    SELECT g.event_type, g.minute,
+           round(last_value(round(CAST(val_sum AS DOUBLE) / n, 4)
+                            IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS gauge_locf
+    FROM grid g LEFT JOIN obs USING (event_type, minute)
+    ORDER BY g.event_type, g.minute
+    """,
+    doc="Gap fill + last-observation-carried-forward over per-minute gauge "
+    "series — the dense-grid semantics Grafana applies to the reference's "
+    "sparse scrape gauges (GtfsRtMetricsRegistry.java:40-44). The grid is "
+    "sequence()/explode from per-series bounds (distributed, no driver "
+    "loop); LOCF is one last(ignorenulls) window per series. Per-minute "
+    "means go through exact decimal sums so Spark's partial aggregation "
+    "matches DuckDB bit-for-bit.",
+    tags=("monitoring", "window", "timeseries"),
+)
+def timeseries_gap_fill_locf(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "signup")
+    )
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(
+        F.sum(F.round("value", 4).cast("decimal(18,4)")).alias("val_sum"),
+        F.count("*").alias("n"),
+    )
+    grid = (
+        obs.groupBy("event_type")
+        .agg(F.min("minute").alias("tmin"), F.max("minute").alias("tmax"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("tmin", "tmax", F.expr("INTERVAL 1 MINUTE"))
+            ).alias("minute"),
+        )
+    )
+    gauge = F.round(F.col("val_sum").cast("double") / F.col("n"), 4)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(obs, ["event_type", "minute"], "left")
+        .withColumn("gauge_locf", F.round(F.last(gauge, ignorenulls=True).over(w), 4))
+        .select("event_type", "minute", "gauge_locf")
+        .orderBy("event_type", "minute")
+    )
