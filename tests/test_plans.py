@@ -230,3 +230,58 @@ def test_rate_over_store_prunes_partitions(spark, sf_dir):
     assert pf_lines, "no PartitionFilters in the store scan"
     pf = pf_lines[0]
     assert "dt" in pf and (">=" in pf or "GreaterThanOrEqual" in pf), pf
+
+
+def test_tpch_completion_set_joins_broadcast_and_decorrelate(spark, sf_dir):
+    # q2/q9/q20/q21: every dim side broadcasts, nothing degenerates into
+    # a nested-loop join, and the q21 EXISTS/NOT EXISTS pair is
+    # de-correlated into aggregates (no per-row correlated probes)
+    for name in (
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q16_part_supplier_variety",
+        "q20_excess_suppliers",
+        "q21_waiting_suppliers",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q11_scalar_subquery_is_broadcast_not_recompute(spark, sf_dir):
+    # the fraction-of-global threshold must reach the filter as a
+    # broadcast (1-row) side, not a per-row subquery
+    plan = _plan(spark, sf_dir, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exactly one scan pair: value_by_part feeds both sides
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_histogram_buckets_no_row_fanout(spark, sf_dir):
+    # cumulative buckets must come from per-bucket counts + window, not
+    # an events-x-buckets explode: no join against the fact after agg
+    plan = _plan(spark, sf_dir, "prometheus_histogram_buckets")
+    # exactly one explode, and it feeds off the distinct-types aggregate
+    # (6-element literal grid), never the raw fact rows
+    assert plan.count("Generate explode") == 1
+    gen_line = next(ln for ln in plan.splitlines() if "Generate explode" in ln)
+    assert "[event_type" in gen_line and "value" not in gen_line
+    # fact side collapses map-side before its single shuffle
+    assert "partial_count" in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_gap_fill_grid_is_distributed(spark, sf_dir):
+    # the dense grid comes from sequence()/explode inside the plan (no
+    # driver-side loop), and LOCF is a single window over the series
+    plan = _plan(spark, sf_dir, "timeseries_gap_fill_locf")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "Window" in plan
+
+
+def test_emb_dim_stats_partial_aggregation(spark, sf_dir):
+    # posexplode fan-out must collapse map-side: partial+final aggs
+    plan = _plan(spark, sf_dir, "emb_dim_stats")
+    assert "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
