@@ -43,6 +43,11 @@ HEADLINE = [
     "doc_chunking",
     "doc_decontamination",
     "text_tfidf_topk",
+    # round-3 additions: TPC-H completion + monitoring/embedding extensions
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
+    "prometheus_histogram_buckets",
+    "emb_dim_stats",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
