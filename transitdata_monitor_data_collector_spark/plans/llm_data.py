@@ -1531,3 +1531,154 @@ def emb_dim_stats(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling: deterministic hash-rate downsampling to a target
+# language mix — the "data mixing" stage of a pre-training pipeline.
+# ---------------------------------------------------------------------------
+
+_MD5_PPM = (
+    "pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
+    " AS bigint), 1000000)"
+)
+_MD5_PPM_DD = (
+    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000"
+    " + 1000000) % 1000000"
+)
+
+
+@register(
+    "doc_mixture_resample",
+    oracle=f"""
+    WITH lang_cnt AS (
+        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+    ),
+    cap AS (SELECT min(cnt) AS cap FROM lang_cnt)
+    SELECT doc_id, lang
+    FROM documents JOIN lang_cnt USING (lang), cap
+    WHERE {_MD5_PPM_DD} * cnt < cap * 1000000
+    ORDER BY doc_id
+    """,
+    doc="Downsample to a uniform language mixture: per-language acceptance "
+    "rate = min_lang_count / lang_count, applied as a deterministic "
+    "md5(doc_id) threshold in parts-per-million — INTEGER comparison "
+    "(bucket * cnt < cap * 1e6), so the kept set is exact, retry-stable, "
+    "and engine-independent. The scale path: per-language counts are a "
+    "tiny broadcast, the filter is a narrow map over the corpus — no "
+    "per-stratum window sort (contrast doc_sample_stratified's exact-"
+    "quota rank, which pays a window shuffle for exact counts).",
+    tags=("llm", "text", "sampling"),
+)
+def doc_mixture_resample(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    lang_cnt = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    cap = lang_cnt.agg(F.min("cnt").alias("cap"))
+    return (
+        d.join(F.broadcast(lang_cnt), "lang")
+        .crossJoin(F.broadcast(cap))
+        .filter(F.expr(_MD5_PPM) * F.col("cnt") < F.col("cap") * F.lit(1000000))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: per-label centroid, then the most-similar vectors
+# from OTHER labels — contrastive-training data prep.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_hard_negatives_centroid",
+    oracle="""
+    WITH exploded AS (
+        SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    dim_means AS (
+        SELECT label, dim,
+               round(CAST(sum(CAST(round(val, 6) AS DECIMAL(28, 6)))
+                          AS DOUBLE) / count(*), 6) AS mean_val
+        FROM exploded GROUP BY label, dim
+    ),
+    cent AS (
+        SELECT label AS anchor_label,
+               list(mean_val ORDER BY dim) AS centroid
+        FROM dim_means GROUP BY label
+    ),
+    scored AS (
+        SELECT anchor_label, vec_id,
+               round(list_dot_product(centroid, CAST(e.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(centroid, centroid))
+                        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))),
+                     6) AS cos_sim
+        FROM cent JOIN embeddings e ON e.label <> cent.anchor_label
+    )
+    SELECT anchor_label, vec_id, cos_sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY anchor_label
+                               ORDER BY cos_sim DESC, vec_id) <= 5
+    ORDER BY anchor_label, cos_sim DESC, vec_id
+    """,
+    doc="Hard-negative mining for contrastive training: per-label centroid "
+    "(decimal-exact per-dimension means, rounded so both engines build the "
+    "identical vector), then the top-5 most-similar vectors from OTHER "
+    "labels per centroid. Scale shape: centroids are n_labels x dim "
+    "doubles (broadcast), scoring is one narrow pass over the corpus "
+    "(n_labels cosines per row), and the per-label top-k is a bounded "
+    "window — no pairwise vector join anywhere.",
+    tags=("llm", "similarity", "embedding"),
+)
+def emb_hard_negatives_centroid(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+        dot,
+        l2_norm,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "raw")
+    ).select("label", "dim", F.col("raw").cast("double").alias("val"))
+    dim_means = exploded.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.round("val", 6).cast("decimal(28,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_val")
+    )
+    cent = (
+        dim_means.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("s")
+        )
+        .select(
+            F.col("label").alias("anchor_label"),
+            F.transform("s", lambda x: x["mean_val"]).alias("centroid"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_label",
+            "vec_id",
+            F.round(
+                dot(F.col("centroid"), F.col("embedding"))
+                / (
+                    l2_norm(F.col("centroid"))
+                    * l2_norm(as_double(F.col("embedding")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("anchor_label").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("anchor_label", F.desc("cos_sim"), "vec_id")
+    )
