@@ -1226,3 +1226,83 @@ def timeseries_gap_fill_locf(spark, sf_dir):
         .select("event_type", "minute", "gauge_locf")
         .orderBy("event_type", "minute")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomaly detection. All moments come from exact
+# DECIMAL window sums (sum, sum of squares) so the derived mean/std — and
+# therefore the emitted z-scores — are bit-identical across engines and
+# across Spark's own frame-evaluation order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH scored AS (
+      SELECT event_type, event_id, ts, value,
+             CAST(sum(CAST(round(value, 4) AS DECIMAL(18, 4))) OVER w
+                  AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(value * value, 4) AS DECIMAL(28, 4))) OVER w
+                  AS DOUBLE) AS s2,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY epoch(ts)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, round(value, 4) AS value,
+           round((value - s1 / n)
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore
+    FROM scored
+    WHERE n >= 30
+      AND abs(round((value - s1 / n)
+                    / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)) > 3.0
+    ORDER BY event_type, event_id
+    """,
+    doc="Trailing-1h z-score anomaly detector per metric series (the "
+    "alerting-layer analog of the dashboard's rate panels): a RANGE "
+    "window over event-time epoch seconds accumulates exact decimal "
+    "(sum, sum-of-squares, count), mean/std derive from those in double, "
+    "and rows with |z| > 3 after >= 30 observations are flagged. The "
+    "window is one sort per series partition; no self-join, no "
+    "per-row subquery — the O(n log n) shape that survives 100 TB.",
+    tags=("monitoring", "window", "timeseries"),
+)
+def events_anomaly_zscore(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    s1 = F.sum(F.round("value", 4).cast("decimal(18,4)")).over(w).cast("double")
+    s2 = (
+        F.sum(F.round(F.col("value") * F.col("value"), 4).cast("decimal(28,4)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count("*").over(w)
+    scored = ev.select(
+        "event_type",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        n.alias("n"),
+        F.col("value").alias("raw_value"),
+    )
+    z = F.round(
+        (F.col("raw_value") - F.col("s1") / F.col("n"))
+        / F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ),
+        6,
+    )
+    return (
+        scored.withColumn("zscore", z)
+        .filter((F.col("n") >= 30) & (F.abs(F.col("zscore")) > 3.0))
+        .select("event_type", "event_id", "value", "zscore")
+        .orderBy("event_type", "event_id")
+    )

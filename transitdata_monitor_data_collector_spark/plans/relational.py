@@ -1472,3 +1472,41 @@ def agg_grouping_sets(spark, sf_dir):
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT event_type, quartile,
+           count(*) AS n,
+           round(min(value), 4) AS q_min,
+           round(max(value), 4) AS q_max
+    FROM (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS quartile
+      FROM events
+    )
+    GROUP BY event_type, quartile
+    ORDER BY event_type, quartile
+    """,
+    doc="W: ntile quartile assignment per group (exact integer bucketing, "
+    "event_id tiebreak makes the assignment total-order deterministic), "
+    "reduced to per-quartile summary stats — one window sort + one "
+    "aggregate, both on the same (event_type) partitioning so the second "
+    "shuffle is elided.",
+    tags=("window", "agg"),
+)
+def window_ntile_quartiles(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("q_min"),
+            F.round(F.max("value"), 4).alias("q_max"),
+        )
+        .orderBy("event_type", "quartile")
+    )
