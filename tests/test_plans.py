@@ -285,3 +285,32 @@ def test_emb_dim_stats_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_dim_stats")
     assert "partial_" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_mixture_resample_is_narrow_with_broadcast_rates(spark, sf_dir):
+    # acceptance rates join as broadcast dims; the corpus pass is a filter,
+    # not a window sort (contrast doc_sample_stratified)
+    plan = _plan(spark, sf_dir, "doc_mixture_resample")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_hard_negatives_has_no_pairwise_join(spark, sf_dir):
+    # centroids broadcast; scoring is one pass; top-k is a bounded window.
+    # No embeddings-x-embeddings join anywhere.
+    plan = _plan(spark, sf_dir, "emb_hard_negatives_centroid")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") <= 2  # corpus + centroid source
+    assert "Window" in plan
+
+
+def test_anomaly_zscore_single_window_no_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_anomaly_zscore")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_quantize_range_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "emb_quantize_int8")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
