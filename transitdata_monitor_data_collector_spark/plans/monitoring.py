@@ -1306,3 +1306,95 @@ def events_anomaly_zscore(spark, sf_dir):
         .select("event_type", "event_id", "value", "zscore")
         .orderBy("event_type", "event_id")
     )
+
+
+@register(
+    "events_user_profile",
+    oracle="""
+    SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+           count(*) AS n_types,
+           string_agg(event_type || ':' || CAST(cnt AS VARCHAR), ','
+                      ORDER BY event_type) AS profile
+    FROM (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    GROUP BY user_id
+    HAVING sum(cnt) >= 20
+    ORDER BY user_id
+    """,
+    doc="Per-user activity profile: per-(user, type) counts collapsed to "
+    "one deterministic 'type:count,...' string per user (sorted inside "
+    "the aggregation — collect_list order is NOT trusted across "
+    "exchanges, same fix as the Pulsar envelope series). Two partial+"
+    "final aggregates on the same user_id partitioning; the profile "
+    "string keeps the output scalar-typed for the driver canonicalizer.",
+    tags=("monitoring", "agg"),
+)
+def events_user_profile(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(":", "event_type", F.col("cnt").cast("string"))
+                    )
+                ),
+                ",",
+            ).alias("profile"),
+        )
+        .filter(F.col("n_events") >= 20)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    SELECT path, count(*) AS n
+    FROM (
+      SELECT event_type
+             || '>' || lead(event_type, 1) OVER w
+             || '>' || lead(event_type, 2) OVER w AS path
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    doc="Path mining: top-10 3-step event sequences across user journeys "
+    "— two lead() windows on one per-user sort (no self-joins: the "
+    "classic funnel-discovery query at O(n log n) per partition), then "
+    "a global top-k that plans as TakeOrderedAndProject.",
+    tags=("monitoring", "window", "topk"),
+)
+def events_top_paths(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    # concat_ws skips NULLs rather than propagating, so guard explicitly:
+    # a 2-step tail must not masquerade as a 3-step path
+    return (
+        ev.select(
+            F.when(
+                F.lead("event_type", 2).over(w).isNotNull(), path
+            ).alias("path")
+        )
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
