@@ -1496,8 +1496,8 @@ def multimodal_feature_neardup(spark, sf_dir):
         FROM embeddings
     )
     SELECT dim, count(*) AS n_vals,
-           round(CAST(sum(CAST(round(val, 6) AS DECIMAL(28, 6))) AS DOUBLE)
-                 / count(*), 6) AS mean_val,
+           floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / count(*) + 0.5) / 1e6 AS mean_val,
            round(min(val), 6) AS min_val,
            round(max(val), 6) AS max_val
     FROM exploded
@@ -1521,10 +1521,14 @@ def emb_dim_stats(spark, sf_dir):
         exploded.groupBy("dim")
         .agg(
             F.count("*").alias("n_vals"),
-            F.round(
-                F.sum(F.round("val", 6).cast("decimal(28,6)")).cast("double")
-                / F.count("*"),
-                6,
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("val") * 1e6 + 0.5).cast("long"))
+                    .cast("double")
+                    / F.count("*")
+                    + 0.5
+                )
+                / 1e6
             ).alias("mean_val"),
             F.round(F.min("val"), 6).alias("min_val"),
             F.round(F.max("val"), 6).alias("max_val"),
@@ -1599,23 +1603,34 @@ def doc_mixture_resample(spark, sf_dir):
     ),
     dim_means AS (
         SELECT label, dim,
-               round(CAST(sum(CAST(round(val, 6) AS DECIMAL(28, 6)))
-                          AS DOUBLE) / count(*), 6) AS mean_val
+               floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT))
+                          AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_val
         FROM exploded GROUP BY label, dim
     ),
-    cent AS (
+    norm_c AS (
         SELECT label AS anchor_label,
-               list(mean_val ORDER BY dim) AS centroid
+               CAST(sum(CAST(floor(mean_val * mean_val * 1e12 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e12 AS nc
         FROM dim_means GROUP BY label
+    ),
+    norm_v AS (
+        SELECT vec_id,
+               CAST(sum(CAST(floor(val * val * 1e12 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e12 AS nv
+        FROM exploded GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT m.label AS anchor_label, e.vec_id,
+               CAST(sum(CAST(floor(m.mean_val * e.val * 1e12 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+        FROM dim_means m JOIN exploded e USING (dim)
+        WHERE e.label <> m.label
+        GROUP BY 1, 2
     ),
     scored AS (
         SELECT anchor_label, vec_id,
-               round(list_dot_product(centroid, CAST(e.embedding AS DOUBLE[]))
-                     / (sqrt(list_dot_product(centroid, centroid))
-                        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                                CAST(e.embedding AS DOUBLE[])))),
-                     6) AS cos_sim
-        FROM cent JOIN embeddings e ON e.label <> cent.anchor_label
+               floor(dp / (sqrt(nc) * sqrt(nv)) * 1e6 + 0.5) / 1e6 AS cos_sim
+        FROM dots JOIN norm_c USING (anchor_label) JOIN norm_v USING (vec_id)
     )
     SELECT anchor_label, vec_id, cos_sim FROM scored
     QUALIFY row_number() OVER (PARTITION BY anchor_label
@@ -1623,9 +1638,11 @@ def doc_mixture_resample(spark, sf_dir):
     ORDER BY anchor_label, cos_sim DESC, vec_id
     """,
     doc="Hard-negative mining for contrastive training: per-label centroid "
-    "(decimal-exact per-dimension means, rounded so both engines build the "
-    "identical vector), then the top-5 most-similar vectors from OTHER "
-    "labels per centroid. Scale shape: centroids are n_labels x dim "
+    "(micro-unit-quantized per-dimension means via floor(x*1e6 + 0.5) — "
+    "engine-independent where round() is NOT: Spark rounds the exact "
+    "decimal expansion, DuckDB rounds a scaled double, and float32-derived "
+    "means land on .5 boundaries often enough to flip the 6th decimal), "
+    "then the top-5 most-similar vectors from OTHER labels per centroid. Scale shape: centroids are n_labels x dim "
     "doubles (broadcast), scoring is one narrow pass over the corpus "
     "(n_labels cosines per row), and the per-label top-k is a bounded "
     "window — no pairwise vector join anywhere.",
@@ -1634,19 +1651,39 @@ def doc_mixture_resample(spark, sf_dir):
 def emb_hard_negatives_centroid(spark, sf_dir):
     from transitdata_monitor_data_collector_spark.functions.vectors import (
         as_double,
-        dot,
-        l2_norm,
     )
+
+    # Exact inner products via scaled-integer accumulation: a plain double
+    # fold differs from DuckDB's list_dot_product by an ulp often enough
+    # to flip the 6th decimal of cos_sim at sf0.1. Each product term is
+    # scaled to picounits and rounded to a LONG (identical on both
+    # engines from identical doubles); the integer sum is exact and
+    # order-independent, and cos derives in double from identical inputs.
+    # (A DECIMAL fold is NOT type-stable here: Spark widens p+s on add
+    # and truncates the scale at the precision cap, so the aggregate
+    # lambda's type drifts from the accumulator's.)
+    def dec_dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: F.floor(x * y * 1e12 + 0.5).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.lit(1e12)
 
     emb = table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("dim", "raw")
     ).select("label", "dim", F.col("raw").cast("double").alias("val"))
     dim_means = exploded.groupBy("label", "dim").agg(
-        F.round(
-            F.sum(F.round("val", 6).cast("decimal(28,6)")).cast("double")
-            / F.count("*"),
-            6,
+        (
+            F.floor(
+                F.sum(F.floor(F.col("val") * 1e6 + 0.5).cast("long"))
+                .cast("double")
+                / F.count("*")
+                + 0.5
+            )
+            / 1e6
         ).alias("mean_val")
     )
     cent = (
@@ -1659,19 +1696,24 @@ def emb_hard_negatives_centroid(spark, sf_dir):
             F.transform("s", lambda x: x["mean_val"]).alias("centroid"),
         )
     )
+    v = as_double(F.col("embedding"))
     scored = (
         emb.crossJoin(F.broadcast(cent))
         .filter(F.col("label") != F.col("anchor_label"))
         .select(
             "anchor_label",
             "vec_id",
-            F.round(
-                dot(F.col("centroid"), F.col("embedding"))
-                / (
-                    l2_norm(F.col("centroid"))
-                    * l2_norm(as_double(F.col("embedding")))
-                ),
-                6,
+            (
+                F.floor(
+                    dec_dot(F.col("centroid"), v)
+                    / (
+                        F.sqrt(dec_dot(F.col("centroid"), F.col("centroid")))
+                        * F.sqrt(dec_dot(v, v))
+                    )
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
             ).alias("cos_sim"),
         )
     )

@@ -1248,8 +1248,8 @@ def timeseries_gap_fill_locf(spark, sf_dir):
              count(*) OVER w AS n
       FROM events
       WINDOW w AS (PARTITION BY event_type
-                   ORDER BY epoch(ts)
-                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, event_id, round(value, 4) AS value,
            round((value - s1 / n)
@@ -1271,10 +1271,14 @@ def timeseries_gap_fill_locf(spark, sf_dir):
 )
 def events_anomaly_zscore(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
+    # ORDER BY integer MICROseconds, not a seconds cast: cast-to-long
+    # truncates sub-second precision, silently shifting which rows fall
+    # inside the trailing hour vs an oracle ordering on exact epoch —
+    # the frame must be identical down to the microsecond on both sides
     w = (
         W.partitionBy("event_type")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     s1 = F.sum(F.round("value", 4).cast("decimal(18,4)")).over(w).cast("double")
     s2 = (
