@@ -1508,8 +1508,10 @@ def multimodal_feature_neardup(spark, sf_dir):
     "operators/similarity.py). posexplode fans each vector into (dim, "
     "val) pairs, but the aggregate collapses map-side to n_dims rows per "
     "task before the single tiny shuffle (64 groups); means go through "
-    "exact decimal sums so partial-aggregation order cannot flip the "
-    "rounded value vs the sequential oracle.",
+    "exact micro-unit integer sums (floor(x*1e6 + 0.5), engine-"
+    "independent half-up on identical doubles) so neither partial-"
+    "aggregation order nor the engines' differing round() algorithms "
+    "can flip the value.",
     tags=("llm", "embedding", "agg"),
 )
 def emb_dim_stats(spark, sf_dir):
