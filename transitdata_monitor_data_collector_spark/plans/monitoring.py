@@ -1402,3 +1402,116 @@ def events_top_paths(spark, sf_dir):
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@register(
+    "promql_histogram_quantile",
+    oracle="""
+    WITH bucketed AS (
+        SELECT event_type,
+               CASE WHEN value <= 1.0 THEN 0 WHEN value <= 5.0 THEN 1
+                    WHEN value <= 10.0 THEN 2 WHEN value <= 50.0 THEN 3
+                    WHEN value <= 100.0 THEN 4 ELSE 5 END AS bucket_idx,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT event_type, b.bucket_idx, b.lo, b.hi
+        FROM (SELECT DISTINCT event_type FROM events),
+             (VALUES (0, 0.0, 1.0), (1, 1.0, 5.0), (2, 5.0, 10.0),
+                     (3, 10.0, 50.0), (4, 50.0, 100.0),
+                     (5, 100.0, 100.0)) b(bucket_idx, lo, hi)
+    ),
+    cum AS (
+        SELECT g.event_type, g.bucket_idx, g.lo, g.hi,
+               sum(coalesce(n, 0)) OVER w AS cum_n,
+               sum(coalesce(n, 0)) OVER (PARTITION BY g.event_type) AS total_n
+        FROM grid g LEFT JOIN bucketed USING (event_type, bucket_idx)
+        WINDOW w AS (PARTITION BY g.event_type ORDER BY g.bucket_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    crossing AS (
+        SELECT event_type, bucket_idx, lo, hi, cum_n, total_n,
+               lag(cum_n, 1, 0) OVER (
+                   PARTITION BY event_type ORDER BY bucket_idx) AS prev_cum,
+               cum_n - lag(cum_n, 1, 0) OVER (
+                   PARTITION BY event_type ORDER BY bucket_idx) AS in_bucket
+        FROM cum
+    )
+    SELECT event_type,
+           floor(CASE
+             WHEN bucket_idx = 5 THEN 100.0
+             ELSE lo + (0.95 * total_n - prev_cum) / in_bucket * (hi - lo)
+           END * 1e6 + 0.5) / 1e6 AS p95
+    FROM crossing
+    WHERE cum_n >= 0.95 * total_n
+      AND prev_cum < 0.95 * total_n
+    ORDER BY event_type
+    """,
+    doc="PromQL histogram_quantile(0.95, ...) over the le-bucket series: "
+    "linear interpolation inside the first bucket whose cumulative count "
+    "crosses the quantile rank (Prometheus semantics, incl. clamping to "
+    "the highest finite bound when the crossing lands in +Inf). Built "
+    "entirely from the integer cumulative counts of the histogram "
+    "query — the interpolation arithmetic runs on identical integers on "
+    "both engines, and the output goes through the engine-independent "
+    "floor-micro rounding.",
+    tags=("monitoring", "promql", "window"),
+)
+def promql_histogram_quantile(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bounds = [(0, 0.0, 1.0), (1, 1.0, 5.0), (2, 5.0, 10.0),
+              (3, 10.0, 50.0), (4, 50.0, 100.0), (5, 100.0, 100.0)]
+    bucket_idx = F.lit(len(_HISTO_LES))
+    for i, le in reversed(list(enumerate(_HISTO_LES))):
+        bucket_idx = F.when(F.col("value") <= le, i).otherwise(bucket_idx)
+    bucketed = ev.groupBy(
+        "event_type", bucket_idx.alias("bucket_idx")
+    ).agg(F.count("*").alias("n"))
+    grid_b = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("bucket_idx"),
+                    F.lit(lo).alias("lo"),
+                    F.lit(hi).alias("hi"),
+                )
+                for i, lo, hi in bounds
+            ]
+        )
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", grid_b.alias("b"))
+        .select("event_type", "b.bucket_idx", "b.lo", "b.hi")
+    )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_lag = W.partitionBy("event_type").orderBy("bucket_idx")
+    cum = (
+        grid.join(bucketed, ["event_type", "bucket_idx"], "left")
+        .withColumn("nn", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("cum_n", F.sum("nn").over(w_cum))
+        .withColumn(
+            "total_n", F.sum("nn").over(W.partitionBy("event_type"))
+        )
+        .withColumn("prev_cum", F.lag("cum_n", 1, 0).over(w_lag))
+    )
+    in_bucket = F.col("cum_n") - F.col("prev_cum")
+    rank = 0.95 * F.col("total_n")
+    p95 = F.when(F.col("bucket_idx") == 5, F.lit(100.0)).otherwise(
+        F.col("lo")
+        + (rank - F.col("prev_cum")) / in_bucket * (F.col("hi") - F.col("lo"))
+    )
+    return (
+        cum.filter((F.col("cum_n") >= rank) & (F.col("prev_cum") < rank))
+        .select(
+            "event_type",
+            (F.floor(p95 * 1e6 + 0.5) / 1e6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
