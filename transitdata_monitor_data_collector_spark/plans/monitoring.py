@@ -1515,3 +1515,51 @@ def promql_histogram_quantile(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "promql_avg_max_over_time",
+    oracle="""
+    SELECT event_type, event_id,
+           floor(CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) OVER w
+                      AS DOUBLE) / count(*) OVER w + 0.5) / 1e4
+               AS avg_15m,
+           round(max(value) OVER w, 4) AS max_15m
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, event_id
+    """,
+    doc="PromQL avg_over_time / max_over_time with a trailing 15-minute "
+    "range vector, evaluated at every sample (the dashboard's smoothing "
+    "panels): one RANGE window on integer epoch-microseconds per series "
+    "— O(n log n) per partition, no self-join. The trailing mean goes "
+    "through exact integer sums of 1e-4-quantized samples + floor-micro "
+    "division so frame-accumulation order and engine round() differences "
+    "cannot flip it; max is exact selection.",
+    tags=("monitoring", "promql", "window", "timeseries"),
+)
+def promql_avg_max_over_time(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-900_000_000, 0)
+    )
+    avg_15m = (
+        F.floor(
+            F.sum(F.floor(F.col("value") * 1e4 + 0.5).cast("long"))
+            .over(w)
+            .cast("double")
+            / F.count("*").over(w)
+            + 0.5
+        )
+        / 1e4
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        avg_15m.alias("avg_15m"),
+        F.round(F.max("value").over(w), 4).alias("max_15m"),
+    ).orderBy("event_type", "event_id")
