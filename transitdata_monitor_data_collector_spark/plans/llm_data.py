@@ -425,6 +425,37 @@ def text_token_counts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# Dialect-shared quality-score SQL (DuckDB side), reused by the
+# quality-weighted sampler below. repr() of the stopword list is valid
+# DuckDB list syntax (single-quoted strings).
+EN_STOPWORDS_LIT = repr(list(TX.EN_STOPWORDS))
+
+_QUALITY_T_CTE = f"""t AS (
+      SELECT doc_id, lang,
+             CAST(len({_DD_TOKENS}) AS DOUBLE) AS tc,
+             CASE WHEN len({_DD_TOKENS}) > 0
+                  THEN CAST(list_sum(list_transform({_DD_TOKENS}, t -> length(t)))
+                            AS DOUBLE) / len({_DD_TOKENS})
+                  ELSE 0.0 END AS mtl,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text)
+                            - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN len({_DD_TOKENS}) > 0
+                  THEN CAST(len(list_filter({_DD_TOKENS},
+                         t -> list_contains({EN_STOPWORDS_LIT}, lower(t))))
+                       AS DOUBLE) / len({_DD_TOKENS})
+                  ELSE 0.0 END AS sr
+      FROM documents
+    )"""
+
+_QUALITY_EXPR = """round(0.3 * least(tc / 100.0, 1.0)
+                 + 0.2 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+                 + 0.2 * least(sr * 4.0, 1.0), 6)"""
+
+
 @register(
     "text_quality_scores",
     oracle=f"""
@@ -1808,4 +1839,84 @@ def emb_quantize_int8(spark, sf_dir):
             ).alias("mse"),
         )
         .orderBy("dim")
+    )
+
+
+@register(
+    "doc_quality_weighted_sample",
+    oracle=f"""
+    WITH {_QUALITY_T_CTE},
+    scored AS (
+        SELECT doc_id, lang, {_QUALITY_EXPR} AS quality FROM t
+    )
+    SELECT doc_id, lang, quality
+    FROM scored
+    WHERE {_MD5_PPM_DD} < quality * 500000
+    ORDER BY doc_id
+    """,
+    doc="Quality-weighted deterministic sampling: acceptance probability "
+    "proportional to the heuristic quality score (keep-rate = q/2), "
+    "applied as the md5(doc_id) parts-per-million threshold — the "
+    "DSIR-style 'sample good documents more' curation stage, with zero "
+    "randomness: identical keep set on retry, re-partition, and in the "
+    "oracle. Narrow filter over the corpus; no shuffle before the "
+    "output sort.",
+    tags=("llm", "text", "sampling"),
+)
+def doc_quality_weighted_sample(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return (
+        scored.filter(F.expr(_MD5_PPM) < F.col("quality") * 500000)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bigrams_topk",
+    oracle=f"""
+    SELECT bigram, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(
+        CASE WHEN len({_DD_TOKENS_LOWER}) >= 2
+             THEN list_transform(range(1, len({_DD_TOKENS_LOWER})),
+                    i -> ({_DD_TOKENS_LOWER})[i] || ' '
+                         || ({_DD_TOKENS_LOWER})[i+1])
+             ELSE [] END) AS bigram
+      FROM documents
+    )
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 20
+    """,
+    doc="Corpus bigram head: top-20 adjacent-word pairs with document "
+    "frequency — the n-gram LM / tokenizer-merge precursor (pairs with "
+    "text_vocab_topk's unigrams). Bigrams are built row-wise with "
+    "transform over the token array (narrow, no self-join on token "
+    "position), then explode -> partial+final count -> TakeOrdered.",
+    tags=("llm", "text"),
+)
+def text_bigrams_topk(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 1), "
+            "i -> concat(element_at(split(trim(lower(text)), '\\\\s+'), i), ' ', "
+            "element_at(split(trim(lower(text)), '\\\\s+'), i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return (
+        exploded.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(20)
     )
