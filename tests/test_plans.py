@@ -314,3 +314,23 @@ def test_quantize_range_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_quantize_int8")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_elides_both_exchanges(spark, sf_dir):
+    # the registry's bucketed fact-fact join: with broadcast disabled
+    # (at real scale neither side broadcasts), the join must plan as
+    # SortMergeJoin fed DIRECTLY by the bucketed scans — the only hash
+    # exchange in the plan is the final groupBy's, never the join inputs'
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "join_bucketed_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan \
+        else plan.split("ShuffledHashJoin")[-1]
+    assert "Exchange hashpartitioning" not in join_part, (
+        "join inputs were shuffled — bucketing spec not picked up"
+    )
+    assert "Bucketed: true" in plan

@@ -1510,3 +1510,60 @@ def window_ntile_quartiles(spark, sf_dir):
         )
         .orderBy("event_type", "quartile")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(28, 4))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Co-located bucketed fact-fact join (bucketing.write_bucketed): "
+    "lineitem and orders are stored bucketed by the order key into the "
+    "same bucket count, so the join plans as a SortMergeJoin with NO "
+    "Exchange on either side — the shuffle is paid once at write time "
+    "and amortized over every subsequent join on the key (the 100 TB "
+    "answer to repeated fact-fact joins; asserted in tests/test_plans). "
+    "Bucket tables are written once per sf_dir (catalog-existence "
+    "guarded), stored under /tmp, and the oracle runs the identical "
+    "join on the raw parquet — same rows either way.",
+    tags=("join", "bucketed", "agg"),
+)
+def join_bucketed_colocated(spark, sf_dir):
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    li_name, ord_name = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
+    base = f"/tmp/tmdc_bucketed_{tag}"
+    for name, tbl, key in (
+        (li_name, "lineitem", "l_orderkey"),
+        (ord_name, "orders", "o_orderkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            df = table(spark, sf_dir, tbl)
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{base}/{name}")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    li, orders = spark.table(li_name), spark.table(ord_name)
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(28,4)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
