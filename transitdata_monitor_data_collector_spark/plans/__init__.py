@@ -120,6 +120,9 @@ GATE_ORDER: list[str] = [
     "prometheus_histogram_buckets",
     "timeseries_gap_fill_locf",
     "emb_dim_stats",
+    # round-3 additions past the 50-row window (queries added after the
+    # window filled): they lead the round-4 rotation together with
+    # everything else registered below this list
     # green in r01 but absent from r02 — re-validate the heavier ones
     "q1_pricing_summary",
     "q3_shipping_priority",
