@@ -44,7 +44,8 @@ from transitdata_monitor_data_collector_spark.plans import register, table
         FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
-           p_partkey, p_name, round(unit_cost, 4) AS min_unit_cost
+           p_partkey, p_name,
+           floor(unit_cost * 1e4 + 0.5) / 1e4 AS min_unit_cost
     FROM supply
     JOIN part     ON p_partkey = partkey
     JOIN supplier ON s_suppkey = suppkey
@@ -86,7 +87,13 @@ def q2_min_cost_supplier(spark, sf_dir):
             "n_name",
             "p_partkey",
             "p_name",
-            F.round(F.col("unit_cost"), 4).alias("min_unit_cost"),
+            # floor-micro, not round(): price/qty lands exactly on
+            # .00005 boundaries where the engines' round() algorithms
+            # disagree (Spark rounds the exact expansion, DuckDB a
+            # scaled double) — floor on identical doubles cannot
+            (F.floor(F.col("unit_cost") * 1e4 + 0.5) / 1e4).alias(
+                "min_unit_cost"
+            ),
         )
         .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
