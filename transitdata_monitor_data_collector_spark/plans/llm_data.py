@@ -1475,11 +1475,37 @@ def emb_ivf_store_topk(spark, sf_dir):
     )
 
 
+_FEAT_DD = """
+    bytes_t AS (
+      SELECT doc_id, list_transform(range(1, length(text) + 1),
+                                    i -> ascii(substr(text, i, 1)) % 64) AS bs
+      FROM documents WHERE length(text) > 0
+    ),
+    feat AS (
+      SELECT doc_id, list_transform(range(0, 64),
+               b -> CAST(len(list_filter(bs, x -> x = b)) AS DOUBLE) / len(bs))
+               AS v
+      FROM bytes_t
+    )"""
+
+
 @register(
     "multimodal_feature_neardup",
-    oracle=None,  # feature extraction (mapInPandas byte histogram) is not
-    # SQL-expressible in DuckDB; pair semantics are pinned by
-    # tests/test_multimodal.py instead (rows-only check here)
+    oracle=f"""
+    WITH {_FEAT_DD}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM feat a JOIN feat b ON a.doc_id < b.doc_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.999
+    ORDER BY id_a, id_b
+    """,  # the fake payload body is the UTF-8 text (ASCII in this corpus),
+    # so the mapInPandas byte histogram is recomputable in SQL: per-char
+    # ascii()%64 counts over len — the oracle is the brute-force all-pairs
+    # cosine the LSH+hamming+verify pipeline must reproduce exactly
     doc="The full multimodal near-dup path: synthesize binary payloads -> "
     "extract_features (L1-normalized byte histogram, operators/"
     "multimodal.py — a real computed feature, not a stub) -> banded "
