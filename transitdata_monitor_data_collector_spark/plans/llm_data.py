@@ -1946,3 +1946,113 @@ def text_bigrams_topk(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "emb_ann_recall_report",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+               {SIM.rp_bucket_sql("CAST(embedding AS DOUBLE[])", 64, 6)}
+                   AS q_bucket
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv,
+               {SIM.rp_bucket_sql("CAST(embedding AS DOUBLE[])", 64, 6)}
+                   AS c_bucket
+        FROM embeddings
+    ),
+    bf AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.q_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                             c.c_id) AS rn
+            FROM q JOIN c ON c.c_id <> q.q_id
+        ) WHERE rn <= 10
+    ),
+    ann AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.q_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                             c.c_id) AS rn
+            FROM q JOIN c ON c.c_bucket = q.q_bucket AND c.c_id <> q.q_id
+        ) WHERE rn <= 10
+    )
+    SELECT bf.q_id AS query_id,
+           CAST(count(ann.c_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM bf LEFT JOIN ann USING (q_id, c_id)
+    GROUP BY bf.q_id ORDER BY query_id
+    """,
+    doc="ANN self-measurement: recall@10 of the RP-LSH bucket probe "
+    "against the exact brute-force top-10, per query vector (the "
+    "'measure, don't guess' gate every approximate index needs before "
+    "production). Ten query vectors broadcast against the corpus; both "
+    "rankings use the identical rounded-cosine + id tiebreak, so the "
+    "report is deterministic and fully oracle-checked — the literal "
+    "hyperplanes render into the DuckDB oracle (rp_bucket_sql) exactly "
+    "as in emb_ann_lsh_topk.",
+    tags=("llm", "similarity", "approx"),
+)
+def emb_ann_recall_report(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = SIM.rp_lsh_buckets(emb, dim=64, n_planes=6)
+    cand = bucketed.select(
+        F.col("vec_id").alias("c_id"),
+        as_double(F.col("embedding")).alias("cv"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    qry = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos_r = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+
+    def topk(pairs):
+        return (
+            pairs.withColumn("cos", cos_r)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("q_id", "c_id")
+        )
+
+    bf = topk(
+        cand.join(F.broadcast(qry), F.col("c_id") != F.col("q_id"))
+    )
+    ann = topk(
+        cand.join(
+            F.broadcast(qry),
+            (F.col("c_bucket") == F.col("q_bucket"))
+            & (F.col("c_id") != F.col("q_id")),
+        )
+    )
+    hits = bf.join(ann, ["q_id", "c_id"], "left_semi")
+    return (
+        bf.groupBy("q_id")
+        .agg(F.count("*").alias("n_bf"))
+        .join(
+            hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left"
+        )
+        .select(
+            F.col("q_id").alias("query_id"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / 10.0).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
