@@ -1563,3 +1563,102 @@ def promql_avg_max_over_time(spark, sf_dir):
         avg_15m.alias("avg_15m"),
         F.round(F.max("value").over(w), 4).alias("max_15m"),
     ).orderBy("event_type", "event_id")
+
+
+@register(
+    "events_error_budget_burn",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err,
+             count(*) AS n_total
+      FROM events GROUP BY 1
+    )
+    SELECT hour_start, n_err, n_total,
+           floor(CAST(n_err AS DOUBLE) / n_total / 0.02 * 1e6 + 0.5) / 1e6
+               AS burn_rate
+    FROM hourly
+    WHERE CAST(n_err AS DOUBLE) / n_total > 0.02
+    ORDER BY hour_start
+    """,
+    doc="SRE error-budget burn: hourly error ratio against a 2% SLO "
+    "budget, emitting the hours whose burn rate exceeds 1x (the "
+    "alerting-rule analog of the dashboard's error panels). One windowed "
+    "aggregate on the hour bucket — counts are exact integers, the burn "
+    "ratio derives from identical integers on both engines with "
+    "floor-micro rounding.",
+    tags=("monitoring", "agg", "timeseries"),
+)
+def events_error_budget_burn(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("hour_start")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_err"
+        ),
+        F.count("*").alias("n_total"),
+    )
+    ratio = F.col("n_err").cast("double") / F.col("n_total")
+    return (
+        hourly.filter(ratio > 0.02)
+        .select(
+            "hour_start",
+            "n_err",
+            "n_total",
+            (F.floor(ratio / 0.02 * 1e6 + 0.5) / 1e6).alias("burn_rate"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH windows(w_id, w_start, w_end) AS (VALUES
+        (1, TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-07 00:00:00'),
+        (2, TIMESTAMP '2024-01-12 06:00:00', TIMESTAMP '2024-01-13 18:00:00'),
+        (3, TIMESTAMP '2024-01-20 12:00:00', TIMESTAMP '2024-01-25 00:00:00'))
+    SELECT w_id, event_type, count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM windows JOIN events
+      ON ts >= w_start AND ts < w_end
+    GROUP BY w_id, event_type
+    ORDER BY w_id, event_type
+    """,
+    doc="J5 depth — interval-overlap join: classify the event stream "
+    "against a small table of maintenance windows (ts within [start, "
+    "end)). The window table is a literal 3-row broadcast, so the "
+    "non-equi join is a BroadcastNestedLoopJoin over a 3-row build side "
+    "— the correct plan for tiny-interval x big-fact (at many intervals "
+    "the scale path is the bucketed date-prefix equi-join used by "
+    "rate_over_store's partition pruning).",
+    tags=("join", "range", "agg"),
+)
+def join_interval_overlap(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    spark_windows = ev.sparkSession.createDataFrame(
+        [
+            (1, "2024-01-05 00:00:00", "2024-01-07 00:00:00"),
+            (2, "2024-01-12 06:00:00", "2024-01-13 18:00:00"),
+            (3, "2024-01-20 12:00:00", "2024-01-25 00:00:00"),
+        ],
+        "w_id int, w_start string, w_end string",
+    ).select(
+        "w_id",
+        F.to_timestamp("w_start").alias("w_start"),
+        F.to_timestamp("w_end").alias("w_end"),
+    )
+    return (
+        ev.join(
+            F.broadcast(spark_windows),
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+        )
+        .groupBy("w_id", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("w_id", "event_type")
+    )
