@@ -1567,3 +1567,48 @@ def join_bucketed_colocated(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH scd AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events
+    )
+    SELECT user_id, state, valid_from
+    FROM scd
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    ORDER BY user_id
+    """,
+    doc="SCD2 point-in-time snapshot: the event log becomes a type-2 "
+    "slowly-changing dimension (validity interval per state change via "
+    "one lead() window — no self-join), probed AS OF a literal "
+    "timestamp. The probe predicate lands on the interval columns, so "
+    "at rest (validity intervals stored partitioned by valid_from "
+    "date) the snapshot scan prunes to a partition range instead of "
+    "replaying history — the warehouse-standard temporal join the "
+    "as-of join (join_range_asof) generalizes.",
+    tags=("window", "temporal", "sql"),
+)
+def scd2_point_in_time(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    asof = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    scd = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return (
+        scd.filter(
+            (F.col("valid_from") <= asof)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+        )
+        .select("user_id", "state", "valid_from")
+        .orderBy("user_id")
+    )
