@@ -1662,3 +1662,105 @@ def join_interval_overlap(spark, sf_dir):
         )
         .orderBy("w_id", "event_type")
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    wau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events) d1
+      JOIN (SELECT DISTINCT CAST(ts AS DATE) AS active_day, user_id
+            FROM events) d2 USING (user_id)
+      WHERE d2.active_day BETWEEN d1.day - INTERVAL 6 DAY AND d1.day
+      GROUP BY day
+    )
+    SELECT day, dau, wau,
+           floor(CAST(dau AS DOUBLE) / wau * 1e6 + 0.5) / 1e6 AS stickiness
+    FROM dau JOIN wau USING (day)
+    ORDER BY day
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per day — the product-"
+    "analytics staple over the event log. WAU needs distinct users over "
+    "a sliding window, which does NOT decompose into per-day partials; "
+    "the implementation joins the distinct (day, user) pairs against "
+    "the 7-day trailing range and distinct-counts per anchor day (pair "
+    "cardinality is days x active-users — far smaller than the raw "
+    "log; the exact-distinct sliding window is the honest cost, "
+    "approx_count_distinct being the documented relaxation).",
+    tags=("monitoring", "agg", "timeseries"),
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = day_user.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    d2 = day_user.select(
+        F.col("day").alias("active_day"), F.col("user_id").alias("u2")
+    )
+    wau = (
+        day_user.join(
+            d2,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("active_day") >= F.date_sub(F.col("day"), 6))
+            & (F.col("active_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("u2").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (
+                F.floor(F.col("dau").cast("double") / F.col("wau") * 1e6 + 0.5)
+                / 1e6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_mode_most_frequent",
+    oracle="""
+    SELECT user_id, state AS modal_event_type, n AS n_occurrences
+    FROM (
+      SELECT user_id, event_type AS state, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Exact mode per group with a deterministic tiebreak (highest "
+    "count, then lexicographic): two-level aggregate — per-(key, value) "
+    "counts collapse map-side, then a bounded per-key window picks the "
+    "winner. The distributed-safe mode construction (no collect_list "
+    "of raw values).",
+    tags=("agg", "window"),
+)
+def agg_mode_most_frequent(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_event_type"),
+            F.col("n").alias("n_occurrences"),
+        )
+        .orderBy("user_id")
+    )
