@@ -1652,10 +1652,10 @@ def doc_mixture_resample(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "emb_hard_negatives_centroid",
-    oracle="""
-    WITH exploded AS (
+# Shared centroid CTEs (DuckDB side): exploded vectors + micro-quantized
+# per-(label, dim) means — used by the hard-negative miner and the
+# nearest-centroid classifier so the two oracles cannot drift.
+_CENT_CTES_DD = """exploded AS (
         SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
                CAST(unnest(embedding) AS DOUBLE) AS val
         FROM embeddings
@@ -1665,7 +1665,13 @@ def doc_mixture_resample(spark, sf_dir):
                floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT))
                           AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_val
         FROM exploded GROUP BY label, dim
-    ),
+    )"""
+
+
+@register(
+    "emb_hard_negatives_centroid",
+    oracle=f"""
+    WITH {_CENT_CTES_DD},
     norm_c AS (
         SELECT label AS anchor_label,
                CAST(sum(CAST(floor(mean_val * mean_val * 1e12 + 0.5)
@@ -2055,4 +2061,120 @@ def emb_ann_recall_report(spark, sf_dir):
             ),
         )
         .orderBy("query_id")
+    )
+
+
+@register(
+    "emb_centroid_confusion",
+    oracle=f"""
+    WITH {_CENT_CTES_DD},
+    cent_norm AS (
+        SELECT label AS c_label,
+               CAST(sum(CAST(floor(mean_val * mean_val * 1e12 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e12 AS nc
+        FROM dim_means GROUP BY label
+    ),
+    vec_norm AS (
+        SELECT vec_id,
+               CAST(sum(CAST(floor(val * val * 1e12 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e12 AS nv
+        FROM exploded GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT m.label AS c_label, e.vec_id,
+               CAST(sum(CAST(floor(m.mean_val * e.val * 1e12 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+        FROM dim_means m JOIN exploded e USING (dim)
+        GROUP BY 1, 2
+    ),
+    assigned AS (
+        SELECT vec_id, c_label AS pred_label
+        FROM (
+          SELECT d.vec_id, d.c_label,
+                 row_number() OVER (
+                     PARTITION BY d.vec_id
+                     ORDER BY floor(dp / (sqrt(nc) * sqrt(nv)) * 1e6 + 0.5)
+                              DESC,
+                              d.c_label) AS rn
+          FROM dots d JOIN cent_norm USING (c_label)
+                      JOIN vec_norm USING (vec_id)
+        ) WHERE rn = 1
+    )
+    SELECT e.label AS true_label, a.pred_label, count(*) AS n
+    FROM (SELECT DISTINCT vec_id, label FROM embeddings) e
+    JOIN assigned a USING (vec_id)
+    GROUP BY 1, 2
+    ORDER BY true_label, pred_label
+    """,
+    doc="Nearest-centroid classification confusion matrix: every vector "
+    "is assigned to its most-cosine-similar label centroid (micro-"
+    "quantized floor-rounding end to end, lowest-label tiebreak) and "
+    "counted against its true label — the clustering-quality / "
+    "label-noise probe run before training on weak labels. Scale shape: "
+    "centroids broadcast, one scoring pass, bounded per-vector argmax "
+    "window, tiny confusion output.",
+    tags=("llm", "embedding", "similarity"),
+)
+def emb_centroid_confusion(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+    )
+
+    def dec_dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: F.floor(x * y * 1e12 + 0.5).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.lit(1e12)
+
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "raw")
+    ).select("label", "dim", F.col("raw").cast("double").alias("val"))
+    dim_means = exploded.groupBy("label", "dim").agg(
+        (
+            F.floor(
+                F.sum(F.floor(F.col("val") * 1e6 + 0.5).cast("long"))
+                .cast("double")
+                / F.count("*")
+                + 0.5
+            )
+            / 1e6
+        ).alias("mean_val")
+    )
+    cent = (
+        dim_means.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("s")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("s", lambda x: x["mean_val"]).alias("centroid"),
+        )
+    )
+    v = as_double(F.col("embedding"))
+    cos_micro = F.floor(
+        dec_dot(F.col("centroid"), v)
+        / (
+            F.sqrt(dec_dot(F.col("centroid"), F.col("centroid")))
+            * F.sqrt(dec_dot(v, v))
+        )
+        * 1e6
+        + 0.5
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_m"), "c_label")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("cos_m", cos_micro)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("true_label"),
+                F.col("c_label").alias("pred_label"))
+    )
+    return (
+        assigned.groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_label", "pred_label")
     )
