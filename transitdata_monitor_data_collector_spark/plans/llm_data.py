@@ -2178,3 +2178,74 @@ def emb_centroid_confusion(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+@register(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DD_SHINGLES} AS shingles FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh)
+    SELECT doc_a, doc_b,
+           floor(n_common / CAST(sa.sz AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS cont_a_in_b,
+           floor(n_common / CAST(sb.sz AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS cont_b_in_a
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(n_common / CAST(sa.sz AS DOUBLE),
+                   n_common / CAST(sb.sz AS DOUBLE)) >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Asymmetric n-gram CONTAINMENT pairs (|A int B| / |A| in either "
+    "direction >= 0.6) — catches sub-document duplication that symmetric "
+    "Jaccard misses (a long doc embedding a short one dilutes the union "
+    "but not the smaller side's containment). Same inverted-index "
+    "equi-self-join as the Jaccard path: shuffle on shingle, never "
+    "all-pairs.",
+    tags=("llm", "dedup"),
+)
+def doc_containment_pairs(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.partitioning import (
+        spread_small_input,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sets = DD.shingle_sets(spread_small_input(docs, "doc_id")).cache()
+    exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("sz_b"))
+    c_ab = F.col("n_common") / F.col("sz_a").cast("double")
+    c_ba = F.col("n_common") / F.col("sz_b").cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(c_ab, c_ba) >= 0.6)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(c_ab * 1e6 + 0.5) / 1e6).alias("cont_a_in_b"),
+            (F.floor(c_ba * 1e6 + 0.5) / 1e6).alias("cont_b_in_a"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1764,3 +1764,58 @@ def agg_mode_most_frequent(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_alert_flap_detection",
+    oracle="""
+    WITH states AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS alerting,
+             lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_alerting
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev_alerting IS NOT NULL
+                          AND alerting <> prev_alerting
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+           count(*) AS n_events
+    FROM states
+    GROUP BY user_id
+    HAVING sum(CASE WHEN prev_alerting IS NOT NULL
+                     AND alerting <> prev_alerting
+                    THEN 1 ELSE 0 END) >= 10
+    ORDER BY user_id
+    """,
+    doc="Alert flap detection: per series, count ok<->alerting state "
+    "transitions (error vs non-error events) via one lag() window and "
+    "flag series with >= 10 flaps — the alert-fatigue guard an alerting "
+    "layer needs on top of threshold rules (pairs with "
+    "events_error_budget_burn). One window sort per series + one "
+    "aggregate; exact integer output.",
+    tags=("monitoring", "window", "timeseries"),
+)
+def events_alert_flap_detection(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    alerting = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    states = ev.select(
+        "user_id",
+        alerting.alias("alerting"),
+        F.lag(alerting).over(w).alias("prev_alerting"),
+    )
+    flip = F.when(
+        F.col("prev_alerting").isNotNull()
+        & (F.col("alerting") != F.col("prev_alerting")),
+        1,
+    ).otherwise(0)
+    return (
+        states.groupBy("user_id")
+        .agg(
+            F.sum(flip).alias("n_transitions"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_transitions") >= 10)
+        .orderBy("user_id")
+    )
