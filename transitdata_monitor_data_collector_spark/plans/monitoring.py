@@ -1819,3 +1819,84 @@ def events_alert_flap_detection(spark, sf_dir):
         .filter(F.col("n_transitions") >= 10)
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH per_hour AS (
+      SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+             CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT dow, hod,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           count(*) AS n_days,
+           floor(CAST(sum(n) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+               AS events_per_day
+    FROM per_hour
+    GROUP BY dow, hod
+    ORDER BY dow, hod
+    """,
+    doc="Hour-of-day x day-of-week seasonality profile: average event "
+    "volume per (dow, hod) cell over the days observed — the baseline "
+    "surface an anomaly detector normalizes against (pairs with "
+    "events_anomaly_zscore). Two exact integer aggregates; the per-day "
+    "mean uses floor-micro division. DuckDB's dayofweek() is 0=Sunday, "
+    "matching Spark's dayofweek()-1; both sides compute dow from the "
+    "same UTC timestamps.",
+    tags=("monitoring", "agg", "timeseries"),
+)
+def events_hourly_seasonality(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    per_hour = ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    return (
+        per_hour.groupBy("dow", "hod")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_days"),
+            (
+                F.floor(
+                    F.sum("n").cast("double") / F.count("*") * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("events_per_day"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@register(
+    "mqtt_topic_depth_stats",
+    oracle=f"""
+    WITH {_MSGS_CTE}
+    SELECT broker,
+           len(string_split(trim(topic, '/'), '/')) AS depth,
+           count(*) AS n,
+           min(topic) AS sample_topic
+    FROM msgs
+    GROUP BY 1, 2
+    ORDER BY broker, depth
+    """,
+    doc="Topic-hierarchy depth profile per broker (segment count of the "
+    "slash-separated topic path) — the namespace-shape probe used to "
+    "sanity-check wildcard filter coverage (deep HFP journey topics vs "
+    "flat GTFS-RT ones, FIXTURES.md §1). Narrow string ops + one "
+    "aggregate; min(topic) gives a deterministic example per cell.",
+    tags=("monitoring", "agg"),
+)
+def mqtt_topic_depth_stats(spark, sf_dir):
+    msgs = messages_df(spark, sf_dir)
+    depth = F.size(F.split(F.regexp_replace("topic", "^/+|/+$", ""), "/"))
+    return (
+        msgs.groupBy("broker", depth.alias("depth"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("topic").alias("sample_topic"),
+        )
+        .orderBy("broker", "depth")
+    )
