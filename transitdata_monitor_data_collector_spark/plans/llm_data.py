@@ -2249,3 +2249,56 @@ def doc_containment_pairs(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "doc_token_budget_trim",
+    oracle=f"""
+    WITH {_QUALITY_T_CTE},
+    scored AS (
+        SELECT t.doc_id, d.source, {_QUALITY_EXPR} AS quality,
+               len(str_split_regex(trim(d.text), '\\s+')) AS n_tokens
+        FROM t JOIN documents d ON d.doc_id = t.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, source, quality, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, source, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= 2000
+    ORDER BY source, cum_tokens
+    """,
+    doc="Token-budget curation: per source, greedily keep the highest-"
+    "quality documents until a 2,000-token budget fills (quality-desc, "
+    "doc_id tiebreak — the 'best docs under a budget' selection every "
+    "mixture-controlled pretraining run makes). The cumulative token "
+    "sum is a window PARTITIONED BY SOURCE, so the sort parallelizes "
+    "per source — never a global single-partition cumsum; token counts "
+    "and the cumulative sum are exact integers.",
+    tags=("llm", "text", "sampling", "window"),
+)
+def doc_token_budget_trim(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        TX.quality_score(F.col("text")).alias("quality"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 2000)
+        .select("doc_id", "source", "quality", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
