@@ -30,3 +30,35 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def pico_dot(a: Column, b: Column) -> Column:
+    """Exact inner product via picounit scaled-integer accumulation.
+
+    A plain double fold differs from DuckDB's ``list_dot_product`` by an
+    ulp often enough to flip the 6th decimal at sf0.1 — fatal wherever
+    the value feeds a rounded tiebreak.  Each product term is scaled to
+    picounits and floored to a LONG (identical on both engines from
+    identical doubles); the integer sum is exact and order-independent.
+    (A DECIMAL fold is NOT type-stable here: Spark widens p+s on add and
+    truncates the scale at the precision cap, so the aggregate lambda's
+    type drifts from the accumulator's.)  Oracle twin:
+    ``operators.similarity.pico_dot_sql``.
+    """
+    return F.aggregate(
+        F.zip_with(
+            as_double(a),
+            as_double(b),
+            lambda x, y: F.floor(x * y * 1e12 + 0.5).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(1e12)
+
+
+def pico_cosine(a: Column, b: Column) -> Column:
+    """Cosine from :func:`pico_dot` parts — cross-engine deterministic
+    given identical input doubles (IEEE sqrt/divide are exact-rounded)."""
+    return pico_dot(a, b) / (
+        F.sqrt(pico_dot(a, a)) * F.sqrt(pico_dot(b, b))
+    )

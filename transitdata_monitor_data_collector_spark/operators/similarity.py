@@ -141,6 +141,28 @@ def rp_bucket_sql(
     return "(" + " + ".join(terms) + ")"
 
 
+def pico_dot_sql(a_expr: str, b_expr: str, dim: int) -> str:
+    """DuckDB twin of ``functions.vectors.pico_dot``: picounit
+    scaled-integer inner product over two DOUBLE[] expressions —
+    floor(a[i]*b[i]*1e12 + 0.5) summed as BIGINT, descaled once.
+    Order-independent and bit-identical to the Spark fold, where
+    ``list_dot_product`` differs from a double fold by an ulp."""
+    return (
+        f"(CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(floor(({a_expr})[i] * ({b_expr})[i] * 1e12 + 0.5) "
+        f"AS BIGINT))) AS DOUBLE) / 1e12)"
+    )
+
+
+def pico_cosine_sql(a_expr: str, b_expr: str, dim: int) -> str:
+    """DuckDB twin of ``functions.vectors.pico_cosine``."""
+    return (
+        f"({pico_dot_sql(a_expr, b_expr, dim)} / "
+        f"(sqrt({pico_dot_sql(a_expr, a_expr, dim)}) * "
+        f"sqrt({pico_dot_sql(b_expr, b_expr, dim)})))"
+    )
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     dim: int,

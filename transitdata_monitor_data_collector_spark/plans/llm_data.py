@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from transitdata_monitor_data_collector_spark.functions import text as TX
-from transitdata_monitor_data_collector_spark.functions.vectors import cosine
+from transitdata_monitor_data_collector_spark.functions.rounding import fscaled
+from transitdata_monitor_data_collector_spark.functions.vectors import cosine, pico_dot
 from transitdata_monitor_data_collector_spark.operators import dedup as DD
 from transitdata_monitor_data_collector_spark.operators import similarity as SIM
 from transitdata_monitor_data_collector_spark.plans import register, table
@@ -1718,23 +1719,8 @@ def emb_hard_negatives_centroid(spark, sf_dir):
         as_double,
     )
 
-    # Exact inner products via scaled-integer accumulation: a plain double
-    # fold differs from DuckDB's list_dot_product by an ulp often enough
-    # to flip the 6th decimal of cos_sim at sf0.1. Each product term is
-    # scaled to picounits and rounded to a LONG (identical on both
-    # engines from identical doubles); the integer sum is exact and
-    # order-independent, and cos derives in double from identical inputs.
-    # (A DECIMAL fold is NOT type-stable here: Spark widens p+s on add
-    # and truncates the scale at the precision cap, so the aggregate
-    # lambda's type drifts from the accumulator's.)
-    def dec_dot(a, b):
-        return F.aggregate(
-            F.zip_with(
-                a, b, lambda x, y: F.floor(x * y * 1e12 + 0.5).cast("long")
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).cast("double") / F.lit(1e12)
+    # exact inner products: see functions.vectors.pico_dot
+    dec_dot = pico_dot
 
     emb = table(spark, sf_dir, "embeddings")
     exploded = emb.select(
@@ -1812,16 +1798,18 @@ def emb_hard_negatives_centroid(spark, sf_dir):
     ),
     coded AS (
         SELECT e.dim,
-               CAST(round((val - lo) * 255.0 / (hi - lo)) AS INT) - 128 AS code,
+               CAST(floor((val - lo) * 255.0 / (hi - lo) + 0.5) AS INT)
+                 - 128 AS code,
                val, lo, hi
         FROM exploded e JOIN dim_range USING (dim)
         WHERE hi > lo
     )
     SELECT dim, count(*) AS n,
            min(code) AS code_min, max(code) AS code_max,
-           round(CAST(sum(CAST(round(
-                 pow(val - (lo + (code + 128) * (hi - lo) / 255.0), 2), 12)
-               AS DECIMAL(38, 12))) AS DOUBLE) / count(*), 9) AS mse
+           floor(CAST(sum(CAST(floor(
+                 pow(val - (lo + (code + 128) * (hi - lo) / 255.0), 2)
+                 * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e12 / count(*) * 1e9 + 0.5) / 1e9 AS mse
     FROM coded
     GROUP BY dim ORDER BY dim
     """,
@@ -1842,13 +1830,16 @@ def emb_quantize_int8(spark, sf_dir):
     dim_range = exploded.groupBy("dim").agg(
         F.min("val").alias("lo"), F.max("val").alias("hi")
     )
+    # floor(x + 0.5) / picounit BIGINT sums, not round(): the code and the
+    # MSE must be bit-identical to the oracle (tests/test_rounding_contract)
     coded = (
         exploded.join(F.broadcast(dim_range), "dim")
         .filter(F.col("hi") > F.col("lo"))
         .withColumn(
             "code",
-            F.round(
+            F.floor(
                 (F.col("val") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo"))
+                + 0.5
             ).cast("int")
             - 128,
         )
@@ -1860,14 +1851,16 @@ def emb_quantize_int8(spark, sf_dir):
             F.count("*").alias("n"),
             F.min("code").alias("code_min"),
             F.max("code").alias("code_max"),
-            F.round(
-                F.sum(
-                    F.round(F.pow(F.col("val") - recon, 2), 12).cast(
-                        "decimal(38,12)"
-                    )
-                ).cast("double")
-                / F.count("*"),
-                9,
+            (
+                F.floor(
+                    F.sum(fscaled(F.pow(F.col("val") - recon, 2), 12))
+                    .cast("double")
+                    / 1e12
+                    / F.count("*")
+                    * 1e9
+                    + 0.5
+                )
+                / 1e9
             ).alias("mse"),
         )
         .orderBy("dim")
@@ -1974,9 +1967,8 @@ def text_bigrams_topk(spark, sf_dir):
             SELECT q.q_id, c.c_id,
                    row_number() OVER (
                        PARTITION BY q.q_id
-                       ORDER BY round(list_dot_product(qv, cv)
-                             / (sqrt(list_dot_product(qv, qv))
-                                * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                       ORDER BY floor({SIM.pico_cosine_sql("qv", "cv", 64)}
+                                      * 1e6 + 0.5) DESC,
                              c.c_id) AS rn
             FROM q JOIN c ON c.c_id <> q.q_id
         ) WHERE rn <= 10
@@ -1986,9 +1978,8 @@ def text_bigrams_topk(spark, sf_dir):
             SELECT q.q_id, c.c_id,
                    row_number() OVER (
                        PARTITION BY q.q_id
-                       ORDER BY round(list_dot_product(qv, cv)
-                             / (sqrt(list_dot_product(qv, qv))
-                                * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                       ORDER BY floor({SIM.pico_cosine_sql("qv", "cv", 64)}
+                                      * 1e6 + 0.5) DESC,
                              c.c_id) AS rn
             FROM q JOIN c ON c.c_bucket = q.q_bucket AND c.c_id <> q.q_id
         ) WHERE rn <= 10
@@ -2002,16 +1993,18 @@ def text_bigrams_topk(spark, sf_dir):
     "against the exact brute-force top-10, per query vector (the "
     "'measure, don't guess' gate every approximate index needs before "
     "production). Ten query vectors broadcast against the corpus; both "
-    "rankings use the identical rounded-cosine + id tiebreak, so the "
-    "report is deterministic and fully oracle-checked — the literal "
-    "hyperplanes render into the DuckDB oracle (rp_bucket_sql) exactly "
-    "as in emb_ann_lsh_topk.",
+    "rankings use the identical picounit-cosine (pico_dot — an ulp-"
+    "exact scaled-integer accumulation, NOT a double fold, which "
+    "differs from DuckDB's list_dot_product often enough to flip a "
+    "6-decimal tiebreak) + id tiebreak, so the report is deterministic "
+    "and fully oracle-checked — the literal hyperplanes render into "
+    "the DuckDB oracle (rp_bucket_sql) exactly as in emb_ann_lsh_topk.",
     tags=("llm", "similarity", "approx"),
 )
 def emb_ann_recall_report(spark, sf_dir):
     from transitdata_monitor_data_collector_spark.functions.vectors import (
         as_double,
-        cosine,
+        pico_cosine,
     )
 
     emb = table(spark, sf_dir, "embeddings")
@@ -2026,7 +2019,7 @@ def emb_ann_recall_report(spark, sf_dir):
         as_double(F.col("embedding")).alias("qv"),
         F.col("bucket").alias("q_bucket"),
     )
-    cos_r = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    cos_r = F.floor(pico_cosine(F.col("qv"), F.col("cv")) * 1e6 + 0.5)
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
 
     def topk(pairs):
@@ -2120,14 +2113,7 @@ def emb_centroid_confusion(spark, sf_dir):
         as_double,
     )
 
-    def dec_dot(a, b):
-        return F.aggregate(
-            F.zip_with(
-                a, b, lambda x, y: F.floor(x * y * 1e12 + 0.5).cast("long")
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).cast("double") / F.lit(1e12)
+    dec_dot = pico_dot  # shared ulp-exact inner product
 
     emb = table(spark, sf_dir, "embeddings")
     exploded = emb.select(

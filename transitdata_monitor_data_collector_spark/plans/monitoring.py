@@ -1672,13 +1672,14 @@ def join_interval_overlap(spark, sf_dir):
              CAST(count(DISTINCT user_id) AS BIGINT) AS dau
       FROM events GROUP BY 1
     ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS active_day, user_id
+              FROM events),
     wau AS (
-      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
-      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events) d1
-      JOIN (SELECT DISTINCT CAST(ts AS DATE) AS active_day, user_id
-            FROM events) d2 USING (user_id)
-      WHERE d2.active_day BETWEEN d1.day - INTERVAL 6 DAY AND d1.day
-      GROUP BY day
+      SELECT days.day AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM days JOIN pairs
+        ON pairs.active_day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+      GROUP BY days.day
     )
     SELECT day, dau, wau,
            floor(CAST(dau AS DOUBLE) / wau * 1e6 + 0.5) / 1e6 AS stickiness
@@ -1688,11 +1689,14 @@ def join_interval_overlap(spark, sf_dir):
     doc="DAU / trailing-7-day WAU / stickiness per day — the product-"
     "analytics staple over the event log. WAU needs distinct users over "
     "a sliding window, which does NOT decompose into per-day partials; "
-    "the implementation joins the distinct (day, user) pairs against "
-    "the 7-day trailing range and distinct-counts per anchor day (pair "
-    "cardinality is days x active-users — far smaller than the raw "
-    "log; the exact-distinct sliding window is the honest cost, "
-    "approx_count_distinct being the documented relaxation).",
+    "the implementation range-joins the tiny distinct-day dimension "
+    "(broadcast build side — 365 rows/year even at 100 TB) against the "
+    "distinct (active_day, user) pairs and distinct-counts per anchor "
+    "day. Anchoring on days (NOT on the pairs themselves) is load-"
+    "bearing: a pair-anchored self-join only counts users active ON the "
+    "anchor day, degenerating WAU to DAU. The exact-distinct sliding "
+    "window is the honest cost; events_dau_wau_stickiness_approx is the "
+    "registered scale default.",
     tags=("monitoring", "agg", "timeseries"),
 )
 def events_dau_wau_stickiness(spark, sf_dir):
@@ -1703,18 +1707,72 @@ def events_dau_wau_stickiness(spark, sf_dir):
     dau = day_user.groupBy("day").agg(
         F.countDistinct("user_id").alias("dau")
     )
-    d2 = day_user.select(
-        F.col("day").alias("active_day"), F.col("user_id").alias("u2")
+    days = day_user.select("day").distinct()
+    pairs = day_user.select(
+        F.col("day").alias("active_day"), "user_id"
     )
     wau = (
-        day_user.join(
-            d2,
-            (F.col("user_id") == F.col("u2"))
-            & (F.col("active_day") >= F.date_sub(F.col("day"), 6))
+        F.broadcast(days)
+        .join(
+            pairs,
+            (F.col("active_day") >= F.date_sub(F.col("day"), 6))
             & (F.col("active_day") <= F.col("day")),
         )
         .groupBy("day")
-        .agg(F.countDistinct("u2").alias("wau"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (
+                F.floor(F.col("dau").cast("double") / F.col("wau") * 1e6 + 0.5)
+                / 1e6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_dau_wau_stickiness_approx",
+    oracle=None,
+    doc="The registered 100 TB default for DAU/WAU/stickiness: identical "
+    "range-join shape to events_dau_wau_stickiness (the exact oracle-"
+    "twin, hash-checked against DuckDB) but with approx_count_distinct "
+    "(HLL++, rsd=0.005 => ~0.5% standard error) replacing the exact "
+    "distinct. The exact variant shuffles every (day,user) pair per "
+    "anchor day; this one collapses map-side into fixed-size HLL "
+    "sketches that merge associatively — partial aggregation the exact "
+    "distinct cannot have. Rows-only by design: HLL estimates are not "
+    "reproducible across engines (same reason as "
+    "agg_approx_count_distinct); correctness of the shared join shape "
+    "is carried by the exact twin's green row.",
+    tags=("monitoring", "agg", "timeseries", "approx"),
+)
+def events_dau_wau_stickiness_approx(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = day_user.groupBy("day").agg(
+        F.approx_count_distinct("user_id", 0.005).alias("dau")
+    )
+    days = day_user.select("day").distinct()
+    pairs = day_user.select(
+        F.col("day").alias("active_day"), "user_id"
+    )
+    wau = (
+        F.broadcast(days)
+        .join(
+            pairs,
+            (F.col("active_day") >= F.date_sub(F.col("day"), 6))
+            & (F.col("active_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.approx_count_distinct("user_id", 0.005).alias("wau"))
     )
     return (
         dau.join(wau, "day")

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from transitdata_monitor_data_collector_spark.functions.rounding import fround
 from transitdata_monitor_data_collector_spark.plans import register, table
 
 # ---------------------------------------------------------------------------
@@ -1512,13 +1513,62 @@ def window_ntile_quartiles(spark, sf_dir):
     )
 
 
+def ensure_bucketed_tables(spark, sf_dir) -> tuple[str, str]:
+    """Build-once fixture for the co-located bucketed join: write lineitem
+    and orders bucketed+sorted by the order key into the same bucket count
+    under /tmp, registered in the session catalog.
+
+    Validated, not just existence-guarded: a ``_src_stamp.json`` records
+    the source parquet's (mtime, size); if the catalog entry has lost its
+    /tmp data (persistent metastore outliving a reboot) or the sf_dir
+    contents changed, the table is dropped and rebuilt instead of serving
+    a failing read or stale rows.  Called as setup by bench/tests so the
+    timed query measures ONLY the zero-exchange join.
+    """
+    import hashlib
+    import json
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    li_name, ord_name = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
+    base = f"/tmp/tmdc_bucketed_{tag}"
+    for name, tbl, key in (
+        (li_name, "lineitem", "l_orderkey"),
+        (ord_name, "orders", "o_orderkey"),
+    ):
+        src = f"{sf_dir}/{tbl}.parquet"
+        sig = {"mtime": os.path.getmtime(src), "size": os.path.getsize(src)}
+        path, stamp = f"{base}/{name}", f"{base}/{name}/_src_stamp.json"
+        try:
+            with open(stamp) as fh:
+                valid = json.load(fh) == sig
+        except (OSError, ValueError):
+            valid = False
+        if spark.catalog.tableExists(name) and not valid:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if not spark.catalog.tableExists(name):
+            df = table(spark, sf_dir, tbl)
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", path)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+            with open(stamp, "w") as fh:
+                json.dump(sig, fh)
+    return li_name, ord_name
+
+
 @register(
     "join_bucketed_colocated",
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
-                               AS DECIMAL(28, 4))) AS DOUBLE), 2) AS revenue
+           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(28, 4))) AS DOUBLE) * 1e2 + 0.5)
+             / 1e2 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1529,31 +1579,13 @@ def window_ntile_quartiles(spark, sf_dir):
     "Exchange on either side — the shuffle is paid once at write time "
     "and amortized over every subsequent join on the key (the 100 TB "
     "answer to repeated fact-fact joins; asserted in tests/test_plans). "
-    "Bucket tables are written once per sf_dir (catalog-existence "
-    "guarded), stored under /tmp, and the oracle runs the identical "
-    "join on the raw parquet — same rows either way.",
+    "Bucket tables are built by ensure_bucketed_tables (stamp-validated "
+    "against the source parquet, rebuilt on mismatch); the oracle runs "
+    "the identical join on the raw parquet — same rows either way.",
     tags=("join", "bucketed", "agg"),
 )
 def join_bucketed_colocated(spark, sf_dir):
-    import hashlib
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    li_name, ord_name = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
-    base = f"/tmp/tmdc_bucketed_{tag}"
-    for name, tbl, key in (
-        (li_name, "lineitem", "l_orderkey"),
-        (ord_name, "orders", "o_orderkey"),
-    ):
-        if not spark.catalog.tableExists(name):
-            df = table(spark, sf_dir, tbl)
-            (
-                df.write.mode("overwrite")
-                .bucketBy(8, key)
-                .sortBy(key)
-                .option("path", f"{base}/{name}")
-                .format("parquet")
-                .saveAsTable(name)
-            )
+    li_name, ord_name = ensure_bucketed_tables(spark, sf_dir)
     li, orders = spark.table(li_name), spark.table(ord_name)
     rev = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
@@ -1563,7 +1595,7 @@ def join_bucketed_colocated(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            fround(F.sum(rev), 2).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from transitdata_monitor_data_collector_spark.functions.rounding import fround
 from transitdata_monitor_data_collector_spark.plans import register, table
 
 # ---------------------------------------------------------------------------
@@ -109,9 +110,10 @@ def q2_min_cost_supplier(spark, sf_dir):
     "q9_product_type_profit",
     oracle="""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
                                      - 0.1 * p_retailprice * l_quantity, 4)
-                               AS DECIMAL(28, 4))) AS DOUBLE), 2) AS sum_profit
+                               AS DECIMAL(28, 4))) AS DOUBLE) * 1e2 + 0.5)
+             / 1e2 AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -149,7 +151,10 @@ def q9_product_type_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+        # floor-micro on the final double, NOT round(): exact 4-decimal
+        # sums land on .xx50 boundaries where the engines' round()
+        # disagree (tests/test_rounding_contract.py)
+        .agg(fround(F.sum(profit), 2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -172,9 +177,11 @@ def q9_product_type_profit(spark, sf_dir):
         WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
         GROUP BY l_partkey
     )
-    SELECT partkey, round(CAST(val AS DOUBLE), 2) AS value
+    SELECT partkey,
+           floor(CAST(val AS DOUBLE) * 1e2 + 0.5) / 1e2 AS value
     FROM value_by_part
-    WHERE val > (SELECT 0.001 * sum(val) FROM value_by_part)
+    WHERE 1000 * CAST(val AS DOUBLE)
+          > (SELECT CAST(sum(val) AS DOUBLE) FROM value_by_part)
     ORDER BY value DESC, partkey
     """,
     doc="TPC-H Q11 analog (adapted: value = lineitem revenue for a "
@@ -204,14 +211,19 @@ def q11_important_stock(spark, sf_dir):
         .agg(F.sum(rev).alias("val"))
     )
     # cache-free exchange reuse: the same grouped result feeds the global
-    # scalar (crossJoin of a 1-row agg — Spark broadcasts it) and the filter
-    total = by_part.agg((0.001 * F.sum("val")).alias("threshold"))
+    # scalar (crossJoin of a 1-row agg — Spark broadcasts it) and the filter.
+    # The 0.1% threshold comparison is the IDENTICAL double expression on
+    # both engines: 1000 * CAST(val AS DOUBLE) > CAST(sum(val) AS DOUBLE).
+    # (0.001 * sum would be double on the Spark side but exact decimal in
+    # DuckDB; 1000 * val in decimal overflows precision 38. Same-expression
+    # double math is bit-deterministic: one cast + one exact-scale multiply.)
+    total = by_part.agg(F.sum("val").cast("double").alias("grand_total"))
     return (
         by_part.crossJoin(F.broadcast(total))
-        .filter(F.col("val") > F.col("threshold"))
+        .filter(F.col("val").cast("double") * 1000 > F.col("grand_total"))
         .select(
             "partkey",
-            F.round(F.col("val").cast("double"), 2).alias("value"),
+            fround(F.col("val"), 2).alias("value"),
         )
         .orderBy(F.desc("value"), "partkey")
     )
