@@ -70,3 +70,87 @@ def test_page_concatenation(spark):
     )
     assert page.index("c_total") < page.index("# TYPE g gauge")
     assert page.endswith("\n")
+
+
+def test_runtime_metrics_after_microbatch(spark, tmp_path):
+    """Engine self-observability (reference Main.java:37 JvmMemoryMetrics
+    analog): after a real stateful micro-batch, the runtime page exposes
+    JVM heap, scheduler load, and per-query progress + state-store rows."""
+    import json
+
+    from transitdata_monitor_data_collector_spark.sinks.prometheus import (
+        render_runtime,
+    )
+    from transitdata_monitor_data_collector_spark.sources.mqtt import (
+        register_sources,
+    )
+
+    msgs = [
+        {"broker": "b1", "topic": "/a", "ts": "2024-01-01T00:00:01"},
+        {"broker": "b1", "topic": "/b", "ts": "2024-01-01T00:00:02"},
+        {"broker": "b2", "topic": "/c", "ts": "2024-01-01T00:00:03"},
+    ]
+    p = tmp_path / "m.jsonl"
+    p.write_text("\n".join(json.dumps(m) for m in msgs) + "\n")
+    register_sources(spark)
+    stream = (
+        spark.readStream.format("mqtt-replay").option("path", str(p)).load()
+    )
+    q = (
+        stream.groupBy("broker")
+        .count()
+        .writeStream.format("memory")
+        .queryName("rt_probe")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        text = render_runtime(spark, [q])
+    finally:
+        q.stop()
+    assert "# TYPE jvm_memory_used_bytes gauge" in text
+    assert "jvm_memory_max_bytes " in text
+    assert "spark_default_parallelism " in text
+    assert 'spark_streaming_batch_id{query="rt_probe"}' in text
+    assert 'spark_streaming_processed_rows_per_second{query="rt_probe"}' in text
+    # the groupBy is stateful: state-store rows must be visible (2 brokers)
+    state_lines = [
+        ln for ln in text.splitlines()
+        if ln.startswith("spark_streaming_state_rows_total{")
+    ]
+    assert state_lines and any(
+        float(ln.rsplit(" ", 1)[1]) >= 2 for ln in state_lines
+    )
+
+
+def test_runtime_metrics_served_over_http(spark):
+    """render_runtime composes into the /metrics page end to end."""
+    import urllib.request
+
+    from transitdata_monitor_data_collector_spark.serving import (
+        MonitorHttpServer,
+    )
+    from transitdata_monitor_data_collector_spark.sinks.prometheus import (
+        render_runtime,
+    )
+    from transitdata_monitor_data_collector_spark.streaming.health import (
+        HealthStatus,
+    )
+
+    ok = HealthStatus(ok=True, http_status=200, detail="OK")
+    srv = MonitorHttpServer(
+        liveness=lambda: ok,
+        readiness=lambda: ok,
+        metrics_page=lambda: render_runtime(spark, []),
+        port=0,
+    ).start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=10
+        ).read().decode()
+    finally:
+        srv.close()
+    assert "jvm_memory_used_bytes" in body
+    assert "spark_active_jobs" in body

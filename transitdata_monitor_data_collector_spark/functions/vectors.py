@@ -62,3 +62,19 @@ def pico_cosine(a: Column, b: Column) -> Column:
     return pico_dot(a, b) / (
         F.sqrt(pico_dot(a, a)) * F.sqrt(pico_dot(b, b))
     )
+
+
+def pico_sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance via the same picounit accumulation as
+    :func:`pico_dot` — used wherever a distance feeds an argmin tiebreak
+    that must agree with the DuckDB oracle
+    (``operators.similarity.pico_sqdist_sql``)."""
+    return F.aggregate(
+        F.zip_with(
+            as_double(a),
+            as_double(b),
+            lambda x, y: F.floor(F.pow(x - y, 2) * 1e12 + 0.5).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(1e12)

@@ -52,11 +52,18 @@ def cosine_topk(
     )
 
 
+#: Hard ceiling for the brute-force baseline: above this the O(n²)
+#: compare (and the driver-collected matrix) cannot be an accident —
+#: callers must use :func:`rp_lsh_neardup_pairs` instead.
+BRUTE_FORCE_MAX_ROWS = 200_000
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup detection) —
     the BRUTE-FORCE baseline, vectorized.
@@ -72,7 +79,17 @@ def cosine_neardup_pairs(
     import pandas as pd
 
     src = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    pdf = src.toPandas()  # bounded: brute force presumes n is modest
+    n = src.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs is the O(n²) brute-force BASELINE and "
+            f"refuses {n:,} input rows (> {max_rows:,}): at this size the "
+            f"quadratic compare (and the driver-side matrix broadcast) is "
+            f"a scale bug, not a reference run. Use rp_lsh_neardup_pairs "
+            f"(banded RP-LSH + exact verify — same output contract) or "
+            f"pass max_rows explicitly for a deliberate oracle run."
+        )
+    pdf = src.toPandas()  # bounded: the guard above caps n
     ids_all = pdf["id"].to_numpy()
     m_all = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     m_all /= np.maximum(np.linalg.norm(m_all, axis=1, keepdims=True), 1e-300)
@@ -160,6 +177,15 @@ def pico_cosine_sql(a_expr: str, b_expr: str, dim: int) -> str:
         f"({pico_dot_sql(a_expr, b_expr, dim)} / "
         f"(sqrt({pico_dot_sql(a_expr, a_expr, dim)}) * "
         f"sqrt({pico_dot_sql(b_expr, b_expr, dim)})))"
+    )
+
+
+def pico_sqdist_sql(a_expr: str, b_expr: str, dim: int) -> str:
+    """DuckDB twin of ``functions.vectors.pico_sqdist``."""
+    return (
+        f"(CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(floor(pow(({a_expr})[i] - ({b_expr})[i], 2) * 1e12 "
+        f"+ 0.5) AS BIGINT))) AS DOUBLE) / 1e12)"
     )
 
 

@@ -62,68 +62,46 @@ def register(
 # green row yet (or whose last row was red), most-at-risk first; everything
 # not listed follows in registration order.
 GATE_ORDER: list[str] = [
-    # never driver-gated (rounds 1-2) — streaming first: they exercise
-    # checkpoints/memory sinks under the driver harness, highest risk
-    "streaming_windowed_rate",
-    "streaming_counter_totals",
-    "streaming_gauge_last",
-    "streaming_stream_join",
-    "streaming_dedup_within_watermark",
-    "streaming_session_windows",
-    "streaming_stateful_counter",
-    # red in r01 (hash −0.0 mismatch), fixed since — must re-prove
-    "rate_disconnect_correction",
-    # never gated: relational/TPC-H spine
-    "q4_order_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    # never gated: aggregates / set ops / windows / scalar surface
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_count_distinct",
-    "agg_approx_count_distinct",
-    "agg_percentiles",
-    "agg_pivot_event_type",
-    "agg_statistics",
-    "setop_intersect",
-    "setop_except",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_delta",
-    "sort_limit_deterministic",
-    "scalar_kitchen_sink",
-    "json_extract_props",
-    "struct_envelope_build",
-    "join_salted_hot_key",
-    "rate_over_store",
-    # new this round: non-vacuous LSH recall gate (planted near-dups)
-    "emb_neardup_planted",
-    # round 3: TPC-H completion set — first driver rows needed
-    "q2_min_cost_supplier",
+    # ------- round-4 rotation: every query that has never earned a
+    # driver CORRECTNESS row (24 round-3 additions + round-4 additions),
+    # then re-gates for queries whose oracle/plan changed this round,
+    # backfilled to the 50-row window with the OLDEST green rows (r1).
+    # never gated: monitoring/events analytics (round 3)
+    "events_dau_wau_stickiness",  # WAU fix this round — both sides
+    "events_dau_wau_stickiness_approx",  # rows-only (HLL, by design)
+    "events_anomaly_zscore",
+    "events_user_profile",
+    "events_top_paths",
+    "events_error_budget_burn",
+    "events_alert_flap_detection",
+    "events_hourly_seasonality",
+    "agg_mode_most_frequent",
+    "promql_histogram_quantile",
+    "promql_avg_max_over_time",
+    "mqtt_topic_depth_stats",
+    "window_ntile_quartiles",
+    # never gated: joins / temporal (round 3)
+    "join_interval_overlap",
+    "join_bucketed_colocated",  # floor-micro fix this round
+    "scd2_point_in_time",
+    # never gated: LLM-data extensions (round 3)
+    "doc_containment_pairs",
+    "doc_mixture_resample",
+    "doc_quality_weighted_sample",
+    "doc_token_budget_trim",
+    "text_bigrams_topk",
+    "emb_ann_recall_report",  # picounit ranking fix this round
+    "emb_centroid_confusion",
+    "emb_hard_negatives_centroid",
+    "emb_quantize_int8",  # floor-micro fix this round
+    # round 4: IVF recall report (deterministic Lloyd -> oracle-checkable)
+    "emb_ivf_recall_report",
+    # re-gate: full SQL oracle landed AFTER its r02 rows-only row
+    "multimodal_feature_neardup",
+    # re-gate: oracle/plan changed this round (old green rows are stale)
     "q9_product_type_profit",
     "q11_important_stock",
-    "q12_priority_shipping",
-    "q16_part_supplier_variety",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    # round 3: monitoring/LLM-data extensions — first driver rows needed
-    "prometheus_histogram_buckets",
-    "timeseries_gap_fill_locf",
-    "emb_dim_stats",
-    # round-3 additions past the 50-row window (queries added after the
-    # window filled): they lead the round-4 rotation together with
-    # everything else registered below this list
-    # green in r01 but absent from r02 — re-validate the heavier ones
+    # backfill: oldest rows (green r1, absent r2/r3)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -131,10 +109,21 @@ GATE_ORDER: list[str] = [
     "join_full_outer",
     "join_broadcast_inner",
     "join_left_semi",
+    "join_left_anti",
     "union_distinct_merge",
     "promql_increase_windowed",
     "mqtt_per_broker_counter_totals",
     "pulsar_big_backlog",
+    "filter_isin_allowlist",
+    "filter_null_sentinel",
+    "filter_rlike",
+    "filter_threshold",
+    "proj_column_pruning",
+    # backfill: flagship LLM near-dup paths (green r2) — keep re-proving
+    "doc_minhash_lsh_neardup",
+    "doc_dedup_clusters",
+    "emb_neardup_lsh",
+    "doc_curation",
 ]
 
 

@@ -2057,6 +2057,239 @@ def emb_ann_recall_report(spark, sf_dir):
     )
 
 
+# --- deterministic IVF (emb_ivf_recall_report) ------------------------------
+# The production IVF path (operators.similarity.ivf_*) trains k-means with
+# float Lloyd iterations — correct, but FP-iteration-order-sensitive, so its
+# quality claim was only ever rows-only checkable. This report re-derives an
+# IVF index in a fully engine-deterministic dialect: md5-seeded init, a FIXED
+# number of Lloyd rounds, micro-quantized centroid means, picounit distances
+# — every step bit-identical in Spark and DuckDB, making recall@10 of the
+# nprobe probe vs brute force a hash-checkable driver row.
+
+_IVF_K, _IVF_NPROBE, _IVF_ROUNDS, _IVF_DIM = 8, 2, 2, 64
+
+
+def _ivf_assign_cte(name: str, cent: str) -> str:
+    d = SIM.pico_sqdist_sql("e.v", "c.cv", _IVF_DIM)
+    return f"""
+    {name} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d}, c.cid) AS rn
+        FROM e CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )"""
+
+
+def _ivf_update_cte(name: str, assigned: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT cid, list(mean_val ORDER BY dim) AS cv FROM (
+        SELECT cid, dim,
+               floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT))
+                          AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_val
+        FROM (SELECT cid, generate_subscripts(v, 1) - 1 AS dim,
+                     unnest(v) AS val
+              FROM {assigned})
+        GROUP BY cid, dim
+      ) GROUP BY cid
+    )"""
+
+
+def _ivf_oracle_sql() -> str:
+    rounds = []
+    cent = "c0"
+    for i in range(1, _IVF_ROUNDS + 1):
+        rounds.append(_ivf_assign_cte(f"a{i}", cent))
+        rounds.append(_ivf_update_cte(f"c{i}", f"a{i}"))
+        cent = f"c{i}"
+    cos_rank = (
+        f"floor({SIM.pico_cosine_sql('qv', 'cv', _IVF_DIM)} * 1e6 + 0.5)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT cid, cv FROM (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid,
+                   v AS cv
+            FROM e
+        ) WHERE cid < {_IVF_K}
+    ),
+    {",".join(rounds)},
+    {_ivf_assign_cte("afin", cent)},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    probe AS (
+      SELECT q_id, qv, cid FROM (
+        SELECT q.q_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {SIM.pico_sqdist_sql("q.qv", "c.cv", _IVF_DIM)},
+                            c.cid) AS rn
+        FROM q CROSS JOIN {cent} c
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    bf AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {cos_rank.replace("cv", "c.v")} DESC,
+                            c.vec_id) AS rn
+        FROM q JOIN e c ON c.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    ),
+    ann AS (
+      SELECT q_id, c_id FROM (
+        SELECT p.q_id, a.vec_id AS c_id,
+               row_number() OVER (PARTITION BY p.q_id
+                   ORDER BY {cos_rank.replace("qv", "p.qv")
+                                     .replace("cv", "a.v")} DESC,
+                            a.vec_id) AS rn
+        FROM probe p JOIN afin a USING (cid)
+        WHERE a.vec_id <> p.q_id
+      ) WHERE rn <= 10
+    )
+    SELECT bf.q_id AS query_id,
+           CAST(count(ann.c_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM bf LEFT JOIN ann USING (q_id, c_id)
+    GROUP BY bf.q_id ORDER BY query_id
+    """
+
+
+@register(
+    "emb_ivf_recall_report",
+    oracle=_ivf_oracle_sql(),
+    doc="IVF ANN quality gate, fully oracle-checkable: recall@10 of an "
+    f"nprobe={_IVF_NPROBE} probe over a k={_IVF_K} inverted-file index vs "
+    "the exact brute-force top-10, per query vector. Unlike the "
+    "production float-Lloyd IVF (operators.similarity.ivf_train_"
+    "centroids — FP-iteration-order-sensitive, rows-only), training here "
+    "is engine-deterministic end to end: md5-seeded init (first k "
+    f"vectors by md5(vec_id)), a FIXED {_IVF_ROUNDS} Lloyd rounds whose "
+    "centroid means are micro-quantized via picounit BIGINT sums, and "
+    "picounit squared distances for every argmin — so the DuckDB oracle "
+    "replays the identical training and the recall report hash-matches. "
+    "Scale shape: centroids are k x dim doubles broadcast each round "
+    "(never collected), assignment is one narrow pass + bounded window, "
+    "probe candidates prune to nprobe/k of the corpus.",
+    tags=("llm", "similarity", "approx", "embedding"),
+)
+def emb_ivf_recall_report(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+        pico_cosine,
+        pico_sqdist,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+
+    def assign(cent):
+        w = W.partitionBy("vec_id").orderBy(
+            pico_sqdist(F.col("v"), F.col("cv")), "cid"
+        )
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    def update(assigned):
+        exploded = assigned.select(
+            "cid", F.posexplode("v").alias("dim", "val")
+        )
+        dim_means = exploded.groupBy("cid", "dim").agg(
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("val") * 1e6 + 0.5).cast("long"))
+                    .cast("double")
+                    / F.count("*")
+                    + 0.5
+                )
+                / 1e6
+            ).alias("mean_val")
+        )
+        return (
+            dim_means.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mean_val"))
+                ).alias("s")
+            )
+            .select(
+                "cid", F.transform("s", lambda x: x["mean_val"]).alias("cv")
+            )
+        )
+
+    w_seed = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    cent = (
+        e.withColumn("cid", F.row_number().over(w_seed) - 1)
+        .filter(F.col("cid") < _IVF_K)
+        .select("cid", F.col("v").alias("cv"))
+    )
+    for _ in range(_IVF_ROUNDS):
+        cent = update(assign(cent))
+    afin = assign(cent)
+
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    w_probe = W.partitionBy("q_id").orderBy(
+        pico_sqdist(F.col("qv"), F.col("cv")), "cid"
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("q_id", "qv", "cid")
+    )
+
+    cos_rank = F.floor(
+        pico_cosine(F.col("qv"), F.col("cv")) * 1e6 + 0.5
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.desc("cos_m"), "c_id")
+
+    def topk(pairs):
+        return (
+            pairs.withColumn("cos_m", cos_rank)
+            .withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= 10)
+            .select("q_id", "c_id")
+        )
+
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    bf = topk(
+        corpus.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+    )
+    ann = topk(
+        probe.join(
+            afin.select(
+                "cid", F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+            ),
+            "cid",
+        ).filter(F.col("c_id") != F.col("q_id"))
+    )
+    hits = bf.join(ann, ["q_id", "c_id"], "left_semi")
+    return (
+        bf.groupBy("q_id")
+        .agg(F.count("*").alias("n_bf"))
+        .join(
+            hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left"
+        )
+        .select(
+            F.col("q_id").alias("query_id"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / 10.0).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "emb_centroid_confusion",
     oracle=f"""

@@ -15,6 +15,7 @@ port (Main.java's shutdown hook analog).
 
 from __future__ import annotations
 
+import logging
 import threading
 from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -22,6 +23,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from transitdata_monitor_data_collector_spark.streaming.health import HealthStatus
 
 __all__ = ["MonitorHttpServer"]
+
+log = logging.getLogger(__name__)
 
 _PROM_CONTENT_TYPE = "text/plain; version=0.0.4; charset=utf-8"
 
@@ -76,14 +79,21 @@ class MonitorHttpServer:
                     self._reply(404, b"not found")
 
             def _reply(self, code: int, body: bytes, ctype: str = "text/plain"):
-                self.send_response(code)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                try:
+                    self.send_response(code)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except OSError as e:
+                    # client went away mid-send: not fatal, but never silent
+                    log.warning(
+                        "failed to send %s response for %s: %s",
+                        code, self.path, e,
+                    )
 
-            def log_message(self, *args):  # quiet: no per-request stderr
-                pass
+            def log_message(self, fmt, *args):  # route to logging, not stderr
+                log.debug("%s " + fmt, self.client_address[0], *args)
 
         return _Handler
 
