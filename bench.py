@@ -48,6 +48,13 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "prometheus_histogram_buckets",
     "emb_dim_stats",
+    # round-4 additions: biggest result set in the registry, the
+    # containment inverted-index join, the fixed WAU range join, and the
+    # deterministic IVF recall probe — tracked before they gate
+    "timeseries_gap_fill_locf",
+    "doc_containment_pairs",
+    "events_dau_wau_stickiness",
+    "emb_ivf_recall_report",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

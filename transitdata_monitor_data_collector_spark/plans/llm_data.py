@@ -2521,3 +2521,279 @@ def doc_token_budget_trim(spark, sf_dir):
         .select("doc_id", "source", "quality", "cum_tokens")
         .orderBy("source", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 widening: retrieval scoring (BM25), tokenizer-training statistics
+# (BPE merge pairs), per-source deterministic reservoir, and winnowing
+# fingerprints — the remaining text-pipeline staples, each oracle-checked.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "hash", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DD_TOKENS_LOWER} AS toks FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(toks) AS dl FROM tk
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term,
+             len(list_filter(toks, x -> x = term)) AS tf
+      FROM tk CROSS JOIN (
+        SELECT unnest({_BM25_TERMS!r}) AS term
+      )
+      WHERE len(list_filter(toks, x -> x = term)) > 0
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                     + {_BM25_B} * dl / avgdl))
+               * 1e9 + 0.5) AS BIGINT) AS score_nano
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           floor(CAST(sum(score_nano) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+             AS bm25_score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT 25
+    """,
+    doc="BM25 retrieval scoring for a literal term set — the classic "
+    "search/RAG ranking function computed corpus-wide (k1=1.2, b=0.75). "
+    "Per-term partial scores are nano-quantized BIGINTs so the per-doc "
+    "sum is order-independent and hash-identical to the oracle (a "
+    "double sum over terms would be addition-order-dependent). Scale "
+    "shape: term stats (df, N, avgdl) are a 3-row broadcast; scoring is "
+    "one narrow pass over the token arrays; top-25 is "
+    "TakeOrderedAndProject. At 100 TB the same plan serves with an "
+    "inverted-index table replacing the full-scan tf step.",
+    tags=("llm", "text", "search"),
+)
+def text_bm25_search(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    tk = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+    terms = tk.sparkSession.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "term string"
+    )
+    tf = (
+        tk.crossJoin(F.broadcast(terms))
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            F.size(
+                F.filter("toks", lambda x: x == F.col("term"))
+            ).alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    df_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = tk.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    score_nano = F.floor(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        * 1e9
+        + 0.5
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(df_stats), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", score_nano.alias("score_nano"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(
+                    F.sum("score_nano").cast("double") / 1e9 * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("bm25_score")
+        )
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(25)
+    )
+
+
+@register(
+    "text_bpe_merge_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_DD_TOKENS_LOWER}) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT unnest([substr(w, i, 2)
+                     for i in generate_series(1, length(w) - 1)]) AS pair
+      FROM words
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    doc="BPE tokenizer-training statistic: the top-20 adjacent character "
+    "pairs across all corpus words — exactly the count a byte-pair-"
+    "encoding trainer computes to pick its first merge. Explode words "
+    "-> per-word character bigrams (narrow transform, no position self-"
+    "join) -> partial+final count -> TakeOrdered. The full BPE loop is "
+    "this query iterated with a merge applied between rounds.",
+    tags=("llm", "text"),
+)
+def text_bpe_merge_pairs(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    words = d.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_reservoir_per_source",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+    doc="Deterministic per-source reservoir: keep exactly 5 documents per "
+    "source, selected by md5(doc_id) order — the per-domain downsampling "
+    "every mixture-balanced corpus build needs, with zero randomness "
+    "(identical keep set on retry and re-partition; the md5 order IS the "
+    "uniform draw). One bounded window per source partition; no global "
+    "sort, no collect.",
+    tags=("llm", "sampling", "window"),
+)
+def doc_reservoir_per_source(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len({_DD_TOKENS_LOWER}) >= 3
+                  THEN [array_to_string(({_DD_TOKENS_LOWER})[i:i+2], ' ')
+                        for i in generate_series(1, len({_DD_TOKENS_LOWER}) - 2)]
+                  ELSE CAST([] AS VARCHAR[]) END AS shingles
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             generate_subscripts(shingles, 1) AS p,
+             md5(unnest(shingles)) AS h
+      FROM sh
+    ),
+    winmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM pos
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           min(fp) AS fp_min
+    FROM winmin
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash the "
+    "POSITIONAL 3-word shingle sequence, slide a 4-shingle window, and "
+    "keep each window's minimum hash — the guarantee-bearing sketch for "
+    "plagiarism / near-copy detection (any shared run >= w+n-1 words "
+    "shares a fingerprint). Reported per doc as distinct-fingerprint "
+    "count + minimal fingerprint. Narrow posexplode + one bounded "
+    "window per doc — at 100 TB the fingerprints feed the same banded "
+    "bucket-join used by every other near-dup path.",
+    tags=("llm", "text", "dedup"),
+)
+def doc_winnowing_fingerprints(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(shingles).alias("p", "s")
+    ).select("doc_id", "p", F.md5("s").alias("h"))
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(W.currentRow, 3)
+    )
+    return (
+        pos.select("doc_id", F.min("h").over(w).alias("fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("fp_min"),
+        )
+        .orderBy("doc_id")
+    )

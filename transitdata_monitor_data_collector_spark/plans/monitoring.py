@@ -1958,3 +1958,65 @@ def mqtt_topic_depth_stats(spark, sf_dir):
         )
         .orderBy("broker", "depth")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS from_state, event_type AS to_state,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT from_state, to_state, n,
+           floor(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_state) * 1e6 + 0.5) / 1e6
+             AS p
+    FROM trans
+    ORDER BY from_state, to_state
+    """,
+    doc="First-order Markov transition matrix over the event stream: "
+    "per-user lag() gives (prev, next) state pairs, aggregated to "
+    "counts and row-normalized probabilities — the user-journey / "
+    "process-mining staple (and the input to any sequence-model "
+    "baseline). One window sort per user partition + one bounded "
+    "aggregate (|event_type|^2 cells); probabilities floor-micro'd so "
+    "the division hashes identically cross-engine.",
+    tags=("monitoring", "window", "agg"),
+)
+def events_transition_matrix(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_state"),
+            F.col("event_type").alias("to_state"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w_norm = W.partitionBy("from_state")
+    return trans.select(
+        "from_state",
+        "to_state",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double")
+                / F.sum("n").over(w_norm)
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("p"),
+    ).orderBy("from_state", "to_state")
