@@ -90,3 +90,61 @@ def test_stream_to_store_then_compact(spark, sf_dir, tmp_path):
     some_dt = part_dirs[0].rsplit("dt=", 1)[1]
     pruned = read_pruned(spark, path, date_from=some_dt, date_to=some_dt)
     assert pruned.count() > 0
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    """write_zordered: row-group min/max spans must be narrow on BOTH
+    cluster columns — a linear sort clusters only its leading column, so
+    z-order must beat it decisively on the trailing one."""
+    import pyarrow.parquet as pq
+
+    from transitdata_monitor_data_collector_spark.sinks.parquet import (
+        write_zordered,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(ev, zpath, ["user_id", "value"], num_files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def mean_spans(path, col):
+        import glob
+
+        spans, full = [], None
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append(float(st.max) - float(st.min))
+        return sum(spans) / len(spans)
+
+    # global spans for normalization
+    row = ev.agg(
+        {"user_id": "max", "value": "max"}
+    ).collect()[0]
+    lo = ev.agg({"user_id": "min", "value": "min"}).collect()[0]
+    uid_span = row["max(user_id)"] - lo["min(user_id)"]
+    val_span = row["max(value)"] - lo["min(value)"]
+
+    z_uid = mean_spans(zpath, "user_id") / uid_span
+    z_val = mean_spans(zpath, "value") / val_span
+    l_uid = mean_spans(lpath, "user_id") / uid_span
+    l_val = mean_spans(lpath, "value") / val_span
+
+    # z-order: BOTH columns clustered well below the full range
+    assert z_uid < 0.5 and z_val < 0.5, (z_uid, z_val)
+    # the linear sort leaves the trailing column poorly clustered (its
+    # span shrinks only incidentally, via row-group truncation)
+    assert l_val > 0.5, l_val
+    # and z-order's trailing-column clustering beats linear's by >= 2x
+    assert z_val < l_val / 2, (z_val, l_val)
+    # sanity: the linear sort's own leading column is tight
+    assert l_uid < 0.3, l_uid
