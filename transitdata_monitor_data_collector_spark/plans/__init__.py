@@ -96,12 +96,15 @@ GATE_ORDER: list[str] = [
     "emb_quantize_int8",  # floor-micro fix this round
     # round 4: IVF recall report (deterministic Lloyd -> oracle-checkable)
     "emb_ivf_recall_report",
-    # round 4: new operators (BM25, BPE pairs, reservoir, winnowing, Markov)
+    # round 4: new operators (BM25, BPE pairs, reservoir, winnowing,
+    # Markov transitions, MAD anomalies, unigram perplexity)
     "text_bm25_search",
     "text_bpe_merge_pairs",
     "doc_reservoir_per_source",
     "doc_winnowing_fingerprints",
     "events_transition_matrix",
+    "events_anomaly_mad",
+    "doc_perplexity_unigram",
     # re-gate: full SQL oracle landed AFTER its r02 rows-only row
     "multimodal_feature_neardup",
     # re-gate: oracle/plan changed this round (old green rows are stale)
@@ -117,8 +120,6 @@ GATE_ORDER: list[str] = [
     "join_left_semi",
     "join_left_anti",
     "union_distinct_merge",
-    "promql_increase_windowed",
-    "mqtt_per_broker_counter_totals",
     "pulsar_big_backlog",
     # backfill: flagship LLM near-dup paths (green r2) — keep re-proving
     "doc_minhash_lsh_neardup",

@@ -2797,3 +2797,76 @@ def doc_winnowing_fingerprints(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_perplexity_unigram",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DD_TOKENS_LOWER}) AS t FROM documents
+    ),
+    freq AS (
+      SELECT t,
+             CAST(floor(-ln(CAST(count(*) AS DOUBLE)
+                            / (SELECT count(*) FROM tok)) * 1e9 + 0.5)
+                  AS BIGINT) AS nll_nano
+      FROM tok GROUP BY t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(nll_nano) AS DOUBLE) / 1e9 / count(*) * 1e6 + 0.5)
+             / 1e6 AS avg_nll
+    FROM tok JOIN freq USING (t)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Unigram language-model scoring: corpus token frequencies become "
+    "-ln(p) surprisal values, and each document is scored by its mean "
+    "per-token negative log-likelihood — the simplest member of the "
+    "perplexity-filter family every pretraining pipeline runs (a KenLM "
+    "stand-in with the same dataflow). Surprisals are nano-quantized "
+    "BIGINTs at the DISTINCT-token level, so per-doc sums are exact "
+    "integer accumulation — order-independent and hash-stable. Scale "
+    "shape: the vocabulary aggregate collapses map-side; the vocab "
+    "table broadcasts; scoring is one narrow explode + count per doc. "
+    "(Reported as avg_nll, not exp(avg_nll): libm exp is not "
+    "correctly-rounded cross-engine, ln-at-nano-precision is.)",
+    tags=("llm", "text", "quality"),
+)
+def doc_perplexity_unigram(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    # corpus size as a lazy broadcast scalar (1-row crossJoin), never a
+    # driver-side action inside the builder
+    total = tok.agg(F.count("*").cast("double").alias("total"))
+    freq = (
+        tok.groupBy("t")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e9 + 0.5)
+            .cast("long")
+            .alias("nll_nano"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("nll_nano").cast("double")
+                    / 1e9
+                    / F.count("*")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

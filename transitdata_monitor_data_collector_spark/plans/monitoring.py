@@ -2020,3 +2020,68 @@ def events_transition_matrix(spark, sf_dir):
             / 1e6
         ).alias("p"),
     ).orderBy("from_state", "to_state")
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_anomalies,
+           floor(max(d.adev / (1.4826 * m2.mad)) * 1e6 + 0.5) / 1e6
+             AS max_robust_z
+    FROM dev d JOIN mad m2 USING (event_type)
+    WHERE m2.mad > 0 AND d.adev > 3 * 1.4826 * m2.mad
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    doc="Robust anomaly detection via median absolute deviation: per "
+    "event_type, |value - median| > 3 * 1.4826 * MAD flags outliers "
+    "without the mean/stddev masking that breaks z-scores when the "
+    "outliers themselves inflate sigma (the breakdown-point argument — "
+    "complements events_anomaly_zscore). Two exact interpolated "
+    "percentile aggregates (same cross-engine-stable idiom as "
+    "agg_percentiles) + broadcast joins of the per-type scalars; the "
+    "flagging pass is narrow.",
+    tags=("monitoring", "agg", "timeseries"),
+)
+def events_anomaly_mad(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_anomalies"),
+            (
+                F.floor(
+                    F.max(F.col("adev") / (1.4826 * F.col("mad"))) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("max_robust_z"),
+        )
+        .orderBy("event_type")
+    )
