@@ -105,6 +105,7 @@ GATE_ORDER: list[str] = [
     "events_transition_matrix",
     "events_anomaly_mad",
     "doc_perplexity_unigram",
+    "emb_semantic_dedup",
     # re-gate: full SQL oracle landed AFTER its r02 rows-only row
     "multimodal_feature_neardup",
     # re-gate: oracle/plan changed this round (old green rows are stale)
@@ -119,7 +120,6 @@ GATE_ORDER: list[str] = [
     "join_broadcast_inner",
     "join_left_semi",
     "join_left_anti",
-    "union_distinct_merge",
     "pulsar_big_backlog",
     # backfill: flagship LLM near-dup paths (green r2) — keep re-proving
     "doc_minhash_lsh_neardup",

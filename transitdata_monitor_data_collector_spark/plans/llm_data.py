@@ -2097,6 +2097,62 @@ def _ivf_update_cte(name: str, assigned: str) -> str:
     )"""
 
 
+
+def _ivf_spark_assign(e, cent):
+    """Nearest-centroid assignment by picounit sq-dist (argmin window) —
+    the Spark twin of _ivf_assign_cte."""
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        pico_sqdist,
+    )
+
+    w = W.partitionBy("vec_id").orderBy(
+        pico_sqdist(F.col("v"), F.col("cv")), "cid"
+    )
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def _ivf_spark_update(assigned):
+    """Micro-quantized centroid means — the Spark twin of _ivf_update_cte."""
+    exploded = assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+    dim_means = exploded.groupBy("cid", "dim").agg(
+        (
+            F.floor(
+                F.sum(F.floor(F.col("val") * 1e6 + 0.5).cast("long"))
+                .cast("double")
+                / F.count("*")
+                + 0.5
+            )
+            / 1e6
+        ).alias("mean_val")
+    )
+    return (
+        dim_means.groupBy("cid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("s")
+        )
+        .select("cid", F.transform("s", lambda x: x["mean_val"]).alias("cv"))
+    )
+
+
+def _ivf_spark_train(e):
+    """md5-seeded init + _IVF_ROUNDS quantized Lloyd rounds; returns
+    (final_centroids, final_assignment) — deterministic cross-engine."""
+    w_seed = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    cent = (
+        e.withColumn("cid", F.row_number().over(w_seed) - 1)
+        .filter(F.col("cid") < _IVF_K)
+        .select("cid", F.col("v").alias("cv"))
+    )
+    for _ in range(_IVF_ROUNDS):
+        cent = _ivf_spark_update(_ivf_spark_assign(e, cent))
+    return cent, _ivf_spark_assign(e, cent)
+
+
 def _ivf_oracle_sql() -> str:
     rounds = []
     cent = "c0"
@@ -2181,59 +2237,11 @@ def emb_ivf_recall_report(spark, sf_dir):
     from transitdata_monitor_data_collector_spark.functions.vectors import (
         as_double,
         pico_cosine,
-        pico_sqdist,
     )
 
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-
-    def assign(cent):
-        w = W.partitionBy("vec_id").orderBy(
-            pico_sqdist(F.col("v"), F.col("cv")), "cid"
-        )
-        return (
-            e.crossJoin(F.broadcast(cent))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid")
-        )
-
-    def update(assigned):
-        exploded = assigned.select(
-            "cid", F.posexplode("v").alias("dim", "val")
-        )
-        dim_means = exploded.groupBy("cid", "dim").agg(
-            (
-                F.floor(
-                    F.sum(F.floor(F.col("val") * 1e6 + 0.5).cast("long"))
-                    .cast("double")
-                    / F.count("*")
-                    + 0.5
-                )
-                / 1e6
-            ).alias("mean_val")
-        )
-        return (
-            dim_means.groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "mean_val"))
-                ).alias("s")
-            )
-            .select(
-                "cid", F.transform("s", lambda x: x["mean_val"]).alias("cv")
-            )
-        )
-
-    w_seed = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    cent = (
-        e.withColumn("cid", F.row_number().over(w_seed) - 1)
-        .filter(F.col("cid") < _IVF_K)
-        .select("cid", F.col("v").alias("cv"))
-    )
-    for _ in range(_IVF_ROUNDS):
-        cent = update(assign(cent))
-    afin = assign(cent)
+    cent, afin = _ivf_spark_train(e)
 
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -2869,4 +2877,95 @@ def doc_perplexity_unigram(spark, sf_dir):
             ).alias("avg_nll"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    rounds = []
+    cent = "c0"
+    for i in range(1, _IVF_ROUNDS + 1):
+        rounds.append(_ivf_assign_cte(f"a{i}", cent))
+        rounds.append(_ivf_update_cte(f"c{i}", f"a{i}"))
+        cent = f"c{i}"
+    cos_micro = (
+        f"floor({SIM.pico_cosine_sql('a.v', 'b.v', _IVF_DIM)} * 1e6 + 0.5)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT cid, cv FROM (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid,
+                   v AS cv
+            FROM e
+        ) WHERE cid < {_IVF_K}
+    ),
+    {",".join(rounds)},
+    {_ivf_assign_cte("afin", cent)},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {cos_micro} AS cos_micro
+      FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cos_micro} >= 400000
+    )
+    SELECT id_b AS vec_id,
+           CAST(min(id_a) AS BIGINT) AS kept_by,
+           CAST(max(cos_micro) AS BIGINT) AS best_cos_micro
+    FROM pairs
+    GROUP BY id_b
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023): semantic deduplication bounded by "
+    "k-means clusters — pairwise cosine is computed ONLY within each "
+    "cluster of the deterministic IVF index (same md5-seeded quantized "
+    "Lloyd training as emb_ivf_recall_report), and a vector is dropped "
+    "when a lower-id cluster-mate sits above the similarity threshold. "
+    "The cluster bound is the whole point at 100 TB: pairwise work is "
+    "sum(cluster_size^2), not n^2, and each cluster's compare is an "
+    "equi-join on cid. The threshold compares the micro-quantized "
+    "cosine (>= 400000 micro-units = 0.4), so the keep/drop decision "
+    "itself is bit-deterministic cross-engine. Output is the drop list "
+    "with its keeper and best similarity.",
+    tags=("llm", "similarity", "dedup", "embedding"),
+)
+def emb_semantic_dedup(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+        pico_cosine,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    _cent, afin = _ivf_spark_train(e)
+
+    a = afin.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cid"
+    )
+    b = afin.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cid"
+    )
+    cos_micro = F.floor(
+        pico_cosine(F.col("va"), F.col("vb")) * 1e6 + 0.5
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_micro", cos_micro)
+        .filter(F.col("cos_micro") >= 400000)
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias("vec_id"))
+        .agg(
+            F.min("id_a").alias("kept_by"),
+            F.max("cos_micro").cast("long").alias("best_cos_micro"),
+        )
+        .orderBy("vec_id")
     )
