@@ -2237,6 +2237,7 @@ def emb_ivf_recall_report(spark, sf_dir):
     from transitdata_monitor_data_collector_spark.functions.vectors import (
         as_double,
         pico_cosine,
+        pico_sqdist,
     )
 
     emb = table(spark, sf_dir, "embeddings")
