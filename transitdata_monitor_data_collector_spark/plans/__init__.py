@@ -108,19 +108,20 @@ GATE_ORDER: list[str] = [
     "emb_semantic_dedup",
     # re-gate: full SQL oracle landed AFTER its r02 rows-only row
     "multimodal_feature_neardup",
+    # round 4 (late additions): product/events analytics + iterative graph
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_pivot_daily_wide",
+    "events_histogram_equiwidth",
+    "events_corr_value_hour",
+    "timeseries_ewma",
+    "graph_pagerank_transitions",
     # re-gate: oracle/plan changed this round (old green rows are stale)
     "q9_product_type_profit",
     "q11_important_stock",
     # backfill: oldest rows (green r1, absent r2/r3)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "join_range_asof",
-    "join_full_outer",
-    "join_broadcast_inner",
-    "join_left_semi",
-    "join_left_anti",
-    "pulsar_big_backlog",
     # backfill: flagship LLM near-dup paths (green r2) — keep re-proving
     "doc_minhash_lsh_neardup",
     "doc_dedup_clusters",

@@ -2085,3 +2085,573 @@ def events_anomaly_mad(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2
+    ),
+    pu AS (
+      SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+             max(t_purchase) AS t_purchase
+      FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS users_total,
+           CAST(count(t_view) AS BIGINT) AS viewed,
+           CAST(count(t_click) AS BIGINT) AS clicked,
+           CAST(count(t_purchase) AS BIGINT) AS purchased,
+           floor(CAST(count(t_click) AS DOUBLE) / count(t_view) * 1e6 + 0.5)
+             / 1e6 AS click_conv,
+           floor(CAST(count(t_purchase) AS DOUBLE) / count(t_click)
+                 * 1e6 + 0.5) / 1e6 AS purchase_conv
+    FROM pu
+    """,
+    doc="Ordered funnel view -> click -> purchase: per user, the earliest "
+    "view, the earliest click strictly after that view, the earliest "
+    "purchase strictly after that click (product-analytics event "
+    "sequencing, the Amplitude/Mixpanel staple). Three chained window "
+    "mins over ONE user partitioning — Spark plans a single shuffle and "
+    "reuses the sort across all three passes. Conversion ratios "
+    "floor-micro'd for cross-engine hash stability.",
+    tags=("monitoring", "window", "agg"),
+)
+def events_funnel_conversion(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    s1 = ev.select("user_id", "event_type", "ts").withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    pu = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return pu.agg(
+        F.count("*").alias("users_total"),
+        F.count("t_view").alias("viewed"),
+        F.count("t_click").alias("clicked"),
+        F.count("t_purchase").alias("purchased"),
+        (
+            F.floor(
+                F.count("t_click").cast("double") / F.count("t_view") * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("click_conv"),
+        (
+            F.floor(
+                F.count("t_purchase").cast("double")
+                / F.count("t_click")
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("purchase_conv"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    coh AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id
+    ),
+    ret AS (
+      SELECT c.cohort_wk,
+             CAST(datediff('day', c.cohort_wk, a.wk) / 7 AS BIGINT)
+               AS offset_w,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+      FROM act a JOIN coh c USING (user_id)
+      WHERE datediff('day', c.cohort_wk, a.wk) / 7 <= 8
+      GROUP BY 1, 2
+    )
+    SELECT cohort_wk, offset_w, users,
+           floor(CAST(users AS DOUBLE)
+                 / max(CASE WHEN offset_w = 0 THEN users END)
+                     OVER (PARTITION BY cohort_wk) * 1e6 + 0.5) / 1e6
+             AS retention
+    FROM ret
+    ORDER BY cohort_wk, offset_w
+    """,
+    doc="Weekly cohort retention matrix: cohort = ISO week of a user's "
+    "first activity; cell (cohort, offset) counts distinct users from "
+    "that cohort active offset weeks later, normalized by the cohort's "
+    "week-0 size (the growth-analytics triangle chart). Two user-keyed "
+    "aggregates + one user-keyed join — all co-partitioned on user_id, "
+    "one logical shuffle chain; the final window runs over the tiny "
+    "(cohort x offset) grid.",
+    tags=("monitoring", "agg", "join"),
+)
+def events_retention_cohorts(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    off = (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("long")
+    ret = (
+        act.join(coh, "user_id")
+        .withColumn("offset_w", off)
+        .filter(F.col("offset_w") <= 8)
+        .groupBy("cohort_wk", "offset_w")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+    w0 = W.partitionBy("cohort_wk")
+    return ret.select(
+        "cohort_wk",
+        "offset_w",
+        "users",
+        (
+            F.floor(
+                F.col("users").cast("double")
+                / F.max(
+                    F.when(F.col("offset_w") == 0, F.col("users"))
+                ).over(w0)
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("retention"),
+    ).orderBy("cohort_wk", "offset_w")
+
+
+@register(
+    "events_pivot_daily_wide",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+    doc="Long-to-wide pivot: daily event counts spread into one column "
+    "per event type (the wide metrics table every dashboard join "
+    "wants). Spark side exercises the real "
+    "RelationalGroupedDataset.pivot operator WITH explicit pivot "
+    "values — omitting them would trigger a blocking distinct-scan "
+    "job to discover the columns, the classic pivot scale trap. One "
+    "shuffle; pivot columns aliased to stable names on both engines.",
+    tags=("monitoring", "agg", "pivot"),
+)
+def events_pivot_daily_wide(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    out = wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    ).withColumn(
+        "n_total",
+        sum(F.col(f"n_{t}") for t in types).cast("long"),
+    )
+    return out.orderBy("day")
+
+
+@register(
+    "events_histogram_equiwidth",
+    oracle="""
+    WITH ext AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type,
+             least(CAST(floor((e.value - x.lo) / ((x.hi - x.lo) / 10))
+                        AS BIGINT), 9) AS bin,
+             x.lo, x.hi
+      FROM events e JOIN ext x USING (event_type)
+      WHERE x.hi > x.lo
+    )
+    SELECT event_type, bin,
+           floor((lo + bin * (hi - lo) / 10) * 1e6 + 0.5) / 1e6
+             AS bin_lo,
+           floor((lo + (bin + 1) * (hi - lo) / 10) * 1e6 + 0.5) / 1e6
+             AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned
+    GROUP BY event_type, bin, lo, hi
+    ORDER BY event_type, bin
+    """,
+    doc="Equi-width histogram (10 bins) of value per event_type — the "
+    "profiling primitive behind every numeric-column data-quality "
+    "report. Extent aggregate collapses map-side to |event_type| rows "
+    "and broadcasts back; binning is a narrow codegen'd floor — the "
+    "identical IEEE expression on both engines, so bin edges hash "
+    "exactly after floor-micro.",
+    tags=("monitoring", "agg"),
+)
+def events_histogram_equiwidth(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = (
+        ev.join(F.broadcast(ext), "event_type")
+        .filter(F.col("hi") > F.col("lo"))
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10)
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            ),
+        )
+    )
+    return (
+        binned.groupBy("event_type", "bin", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (
+                F.floor(
+                    (F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 10)
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("bin_lo"),
+            (
+                F.floor(
+                    (
+                        F.col("lo")
+                        + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / 10
+                    )
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("bin_hi"),
+            "n",
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+@register(
+    "events_corr_value_hour",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(hour(ts) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy))
+                 * 1e6 + 0.5) / 1e6 AS corr_value_hour
+    FROM s ORDER BY event_type
+    """,
+    doc="Pearson correlation between value and hour-of-day per "
+    "event_type, computed from EXACT centi-quantized integer moment "
+    "sums (sum x, sum y, sum xy, sum x^2, sum y^2) instead of the "
+    "built-in corr() — float moment accumulation is addition-order "
+    "dependent and would hash-diverge across engines; integer sums "
+    "are associative, then one pinned double combination at the end. "
+    "Overflow bound documented: |x| <= 1e7 (value < 1e5), so "
+    "sum(x^2) fits BIGINT to ~1e4 G rows per group. Single map-side "
+    "partial aggregate, |event_type| result rows.",
+    tags=("monitoring", "agg"),
+)
+def events_corr_value_hour(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    den = F.sqrt(n_d * F.col("sxx") - sx_d * F.col("sx")) * F.sqrt(
+        n_d * F.col("syy") - sy_d * F.col("sy")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (F.floor(num / den * 1e6 + 0.5) / 1e6).alias("corr_value_hour"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# EWMA: bounded-lag exponential smoothing. The recurrence
+# ewma_t = a*x_t + (1-a)*ewma_{t-1} is inherently sequential; truncating the
+# kernel at K lags (weight mass below 1 - (1-a)^K ~ 1 - 8e-4 for a=0.2, K=32)
+# turns it into a FIXED weighted sum over a bounded window — embarrassingly
+# parallel, one window sort per key, no recursion. Per-term nano-quantization
+# (floor(w_k * x * 1e9 + 0.5) with literal w_k) makes the sum exact integer
+# accumulation, hash-identical cross-engine.
+_EWMA_ALPHA = 0.2
+_EWMA_K = 32
+_EWMA_W = [
+    _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k for k in range(_EWMA_K)
+]  # shortest-repr literals round-trip to the same double in both engines
+_EWMA_WQ = [int(w * 1e9 + 0.5) for w in _EWMA_W]  # denominator weights
+
+
+def _ewma_oracle() -> str:
+    num_terms = " + ".join(
+        f"coalesce(CAST(floor(lag(value, {k}) OVER w * {w!r} * 1e9 + 0.5) "
+        f"AS BIGINT), 0)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den_terms = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL "
+        f"THEN {wq} ELSE 0 END)"
+        for k, wq in enumerate(_EWMA_WQ)
+    )
+    return f"""
+    SELECT event_id, event_type,
+           floor(CAST({num_terms} AS DOUBLE)
+                 / CAST({den_terms} AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ORDER BY event_id
+    """
+
+
+@register(
+    "timeseries_ewma",
+    oracle=_ewma_oracle(),
+    doc="Exponentially-weighted moving average of value per event_type "
+    "(alpha=0.2), the smoothing curve behind every monitoring "
+    "dashboard trend line. The sequential recurrence is re-expressed "
+    "as a 32-lag truncated kernel (residual weight mass < 1e-3): one "
+    "window sort per key, 32 codegen'd lag terms, zero recursion, "
+    "zero Python — the parallelizable form the recurrence can't give. "
+    "Each term nano-quantized with a literal weight so the numerator "
+    "is exact integer addition; renormalized by the weight actually "
+    "present so series heads aren't biased toward 0.",
+    tags=("monitoring", "window", "timeseries"),
+)
+def timeseries_ewma(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k, (wt, wq) in enumerate(zip(_EWMA_W, _EWMA_WQ)):
+        lagv = F.lag("value", k).over(w)
+        t = F.coalesce(
+            F.floor(lagv * F.lit(wt) * 1e9 + 0.5).cast("long"), F.lit(0)
+        )
+        d = F.when(lagv.isNotNull(), F.lit(wq)).otherwise(F.lit(0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return ev.select(
+        "event_id",
+        "event_type",
+        (
+            F.floor(num.cast("double") / den.cast("double") * 1e6 + 0.5)
+            / 1e6
+        ).alias("ewma"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-type transition graph: bounded-round BSP with
+# nano-integer rank mass so every iteration is exact integer arithmetic —
+# the DuckDB oracle replays the identical 10 rounds in a recursive CTE.
+_PR_ROUNDS = 10
+_PR_DAMP = 0.85
+
+_PR_EDGES_SQL = """
+      SELECT prev_type AS u, event_type AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+      ) WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+"""
+
+
+@register(
+    "graph_pagerank_transitions",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_PR_EDGES_SQL}),
+    outs AS (
+      SELECT u, CAST(sum(n) AS BIGINT) AS out_n FROM edges GROUP BY u
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+    pr AS (
+      SELECT 0 AS iter, node,
+             CAST(floor(1e9 / n_nodes) AS BIGINT) AS rank_n
+      FROM nodes, nn
+      UNION ALL
+      SELECT p.iter + 1, p.node,
+             CAST(floor({1 - _PR_DAMP} * 1e9 / (SELECT n_nodes FROM nn))
+                  AS BIGINT)
+             + coalesce((
+                 SELECT CAST(sum(CAST(floor(CAST(p2.rank_n AS DOUBLE)
+                                            * {_PR_DAMP} * e.n / o.out_n)
+                                      AS BIGINT)) AS BIGINT)
+                 FROM pr p2
+                 JOIN edges e ON e.u = p2.node AND e.v = p.node
+                 JOIN outs o ON o.u = p2.node
+               ), 0) AS rank_n
+      FROM pr p WHERE p.iter < {_PR_ROUNDS}
+    )
+    SELECT node, rank_n,
+           floor(CAST(rank_n AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS rank
+    FROM pr WHERE iter = {_PR_ROUNDS}
+    ORDER BY node
+    """,
+    doc="PageRank (damping 0.85, 10 fixed rounds) over the event-type "
+    "transition graph — the bounded-round BSP iteration pattern "
+    "(join rank with edges -> aggregate per target -> next round) "
+    "that scales to web-graph-sized node sets; complements the "
+    "min-label-propagation connected components with WEIGHTED "
+    "propagation. Rank mass is a nano-integer (1e9 total), every "
+    "round's redistribution is floor'd integer arithmetic, so the "
+    "DuckDB recursive-CTE oracle replays all 10 rounds bit-exactly. "
+    "Spark side: per-round equi-join + aggregate with localCheckpoint "
+    "lineage truncation every 4 rounds (the connected-components "
+    "discipline, operators/components.py).",
+    tags=("monitoring", "graph", "join", "agg"),
+)
+def graph_pagerank_transitions(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wlag).alias("prev_type")
+    )
+    edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("u"), F.col("event_type").alias("v"))
+        .agg(F.count("*").alias("n"))
+    )
+    outs = edges.groupBy("u").agg(F.sum("n").alias("out_n"))
+    ew = F.broadcast(edges.join(outs, "u"))  # (u, v, n, out_n) — dim-sized
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    rank = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            F.floor(F.lit(1e9) / F.col("n_nodes")).cast("long").alias("rank_n"),
+        )
+    )
+    base = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            F.floor(F.lit((1 - _PR_DAMP) * 1e9) / F.col("n_nodes"))
+            .cast("long")
+            .alias("base_n"),
+        )
+    )
+    for i in range(_PR_ROUNDS):
+        contrib = (
+            rank.join(ew, rank["node"] == ew["u"])
+            .select(
+                F.col("v").alias("node"),
+                F.floor(
+                    F.col("rank_n").cast("double")
+                    * _PR_DAMP
+                    * F.col("n")
+                    / F.col("out_n")
+                )
+                .cast("long")
+                .alias("c_n"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c_n").alias("in_n"))
+        )
+        rank = base.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.col("base_n") + F.coalesce(F.col("in_n"), F.lit(0))
+            ).alias("rank_n"),
+        )
+        if (i + 1) % 4 == 0:
+            rank = rank.localCheckpoint(eager=False)
+    return rank.select(
+        "node",
+        "rank_n",
+        (
+            F.floor(F.col("rank_n").cast("double") / 1e9 * 1e6 + 0.5) / 1e6
+        ).alias("rank"),
+    ).orderBy("node")
