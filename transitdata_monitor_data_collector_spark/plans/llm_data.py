@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from transitdata_monitor_data_collector_spark.functions import text as TX
-from transitdata_monitor_data_collector_spark.functions.rounding import fscaled
+from transitdata_monitor_data_collector_spark.functions.rounding import fscaled, fscaled_sql
 from transitdata_monitor_data_collector_spark.functions.vectors import cosine, pico_dot
 from transitdata_monitor_data_collector_spark.operators import dedup as DD
 from transitdata_monitor_data_collector_spark.operators import similarity as SIM
@@ -2970,3 +2970,288 @@ def emb_semantic_dedup(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining / heavy hitters / Zipf profiling — the corpus-statistics
+# trio a tokenizer/LM team runs before training.
+
+_DD_BIGRAMS = f"""
+      CASE WHEN len({_DD_TOKENS_LOWER}) >= 2
+           THEN list_transform(range(1, len({_DD_TOKENS_LOWER})),
+                  i -> ({_DD_TOKENS_LOWER})[i] || ' '
+                       || ({_DD_TOKENS_LOWER})[i+1])
+           ELSE [] END
+"""
+
+_SPARK_BIGRAMS = (
+    "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 1), "
+    "i -> concat(element_at(split(trim(lower(text)), '\\\\s+'), i), ' ', "
+    "element_at(split(trim(lower(text)), '\\\\s+'), i + 1)))"
+)
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DD_TOKENS_LOWER}) AS t FROM documents
+    ),
+    uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM tok),
+    big AS (
+      SELECT unnest({_DD_BIGRAMS}) AS bigram FROM documents
+    ),
+    bc AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+      FROM big GROUP BY bigram HAVING count(*) >= 5
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM big),
+    pmi AS (
+      SELECT b.bigram, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+             CAST(floor(ln((CAST(b.c_xy AS DOUBLE) * n_uni * n_uni)
+                           / (CAST(n_big AS DOUBLE) * u1.c * u2.c))
+                        * 1e9 + 0.5) AS BIGINT) AS pmi_nano
+      FROM bc b, nu, nb
+      JOIN uni u1 ON u1.t = str_split(b.bigram, ' ')[1]
+      JOIN uni u2 ON u2.t = str_split(b.bigram, ' ')[2]
+    )
+    SELECT bigram, c_xy, c_x, c_y, pmi_nano
+    FROM pmi ORDER BY pmi_nano DESC, bigram LIMIT 30
+    """,
+    doc="Pointwise-mutual-information collocations: top-30 adjacent word "
+    "pairs by PMI = ln(p(xy) / (p(x)p(y))) with a min-support of 5 — "
+    "the classic collocation/multi-word-expression miner (Church & "
+    "Hanks), and the association metric behind phrase-vocab induction. "
+    "PMI is computed once per DISTINCT surviving bigram (few rows) as "
+    "a single ln over an exact integer ratio, nano-quantized so the "
+    "ranking key is a BIGINT — the perplexity-query discipline for "
+    "libm-sensitive math. Unigram/bigram counts are partial-aggregated "
+    "map-side; the two unigram joins broadcast the vocab.",
+    tags=("llm", "text"),
+)
+def text_collocations_pmi(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    tok = d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
+    nu = tok.agg(F.count("*").alias("n_uni"))
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    bigrams = F.when(F.size(toks) >= 2, F.expr(_SPARK_BIGRAMS)).otherwise(
+        F.array().cast("array<string>")
+    )
+    big = d.select(F.explode(bigrams).alias("bigram"))
+    bc = (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    nb = big.agg(F.count("*").alias("n_big"))
+    parts = F.split(F.col("bigram"), " ")
+    pmi = (
+        bc.crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn("w1", F.element_at(parts, 1))
+        .withColumn("w2", F.element_at(parts, 2))
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c").alias("c_y"))),
+            "w2",
+        )
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.floor(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_big").cast("double") * F.col("c_x") * F.col("c_y"))
+                )
+                * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("pmi_nano"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi_nano"), "bigram").limit(30)
+
+
+@register(
+    "text_zipf_profile",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DD_TOKENS_LOWER}) AS t FROM documents
+    ),
+    freq AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+    ),
+    ranked AS (
+      SELECT t, c,
+             CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS rnk
+      FROM freq
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= 100),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({fscaled_sql('ln(CAST(rnk AS DOUBLE))', 6)})
+                  AS BIGINT) AS sx,
+             CAST(sum({fscaled_sql('ln(CAST(c AS DOUBLE))', 6)})
+                  AS BIGINT) AS sy,
+             CAST(sum({fscaled_sql('ln(CAST(rnk AS DOUBLE))', 6)}
+                      * {fscaled_sql('ln(CAST(c AS DOUBLE))', 6)})
+                  AS BIGINT) AS sxy,
+             CAST(sum({fscaled_sql('ln(CAST(rnk AS DOUBLE))', 6)}
+                      * {fscaled_sql('ln(CAST(rnk AS DOUBLE))', 6)})
+                  AS BIGINT) AS sxx
+      FROM top
+    )
+    SELECT n AS n_ranks,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * 1e6 + 0.5) / 1e6 AS zipf_slope
+    FROM fit
+    """,
+    doc="Zipf's-law profile: least-squares slope of ln(frequency) vs "
+    "ln(rank) over the top-100 vocabulary — the corpus-health number "
+    "(natural text ~ -1; boilerplate-heavy or synthetic corpora "
+    "deviate hard) every pretraining data report quotes. Per-rank "
+    "logs are micro-quantized BIGINTs (ln computed once per DISTINCT "
+    "rank — the libm-sensitivity discipline), so the regression "
+    "moments are exact integer sums; one pinned double division at "
+    "the end. Vocab count collapses map-side; the rank window runs "
+    "over distinct tokens only.",
+    tags=("llm", "text", "agg"),
+)
+def text_zipf_profile(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    tok = d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    wr = W.orderBy(F.desc("c"), "t")
+    top = (
+        freq.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 100)
+    )
+    lx = fscaled(F.log(F.col("rnk").cast("double")), 6)
+    ly = fscaled(F.log(F.col("c").cast("double")), 6)
+    fit = top.agg(
+        F.count("*").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").alias("n_ranks"),
+        (F.floor(slope * 1e6 + 0.5) / 1e6).alias("zipf_slope"),
+    )
+
+
+# Count-Min sketch: d=4 hash rows x w=512 columns. Cross-engine hash:
+# first 8 hex chars of md5(token || '#' || row) — a 32-bit value both
+# engines produce identically — modulo the width.
+_CMS_D, _CMS_W = 4, 512
+
+
+def _cms_col_sql(tok_expr: str, row: int) -> str:
+    return (
+        f"(('0x' || substr(md5({tok_expr} || '#{row}'), 1, 8))::BIGINT"
+        f" % {_CMS_W})"
+    )
+
+
+def _cms_col_spark(tok: "F.Column", row: int):
+    return (
+        F.conv(F.substring(F.md5(F.concat(tok, F.lit(f"#{row}"))), 1, 8), 16, 10)
+        .cast("long")
+        % _CMS_W
+    )
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DD_TOKENS_LOWER}) AS t FROM documents
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {r} AS row_i, {_cms_col_sql('t', r)} AS col_i, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 2"
+        for r in range(_CMS_D)
+      )}
+    ),
+    exact AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS exact_n
+      FROM tok GROUP BY t ORDER BY exact_n DESC, t LIMIT 20
+    )
+    SELECT e.t AS token, e.exact_n,
+           min(c.cnt) AS cms_estimate,
+           min(c.cnt) - e.exact_n AS overcount
+    FROM exact e
+    JOIN cells c ON {" OR ".join(
+        f"(c.row_i = {r} AND c.col_i = {_cms_col_sql('e.t', r)})"
+        for r in range(_CMS_D)
+    )}
+    GROUP BY e.t, e.exact_n
+    ORDER BY e.exact_n DESC, token
+    """,
+    doc="Count-Min sketch (d=4 rows x w=512 cols) over corpus tokens, "
+    "validated against exact counts for the top-20 heavy hitters: "
+    "estimate = min over rows of the hashed-cell counter, always >= "
+    "the true count (one-sided error <= 2N/w per row w.h.p.) — the "
+    "mergeable streaming-frequency sketch (Cormode & Muthukrishnan) "
+    "that replaces an unbounded exact vocabulary at 100 TB. The "
+    "sketch build is d map-side-combined aggregates over (row, "
+    "hash-col) — 2,048 cells total regardless of corpus size — and "
+    "the hash (md5-prefix mod w) is cross-engine exact, so the whole "
+    "sketch, not just the report, is oracle-checked. Probe joins "
+    "broadcast the 20-row candidate list.",
+    tags=("llm", "text", "sketch", "approx"),
+)
+def sketch_countmin_heavy_hitters(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    tok = d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"))
+    cells = None
+    for r in range(_CMS_D):
+        c = (
+            tok.groupBy(_cms_col_spark(F.col("t"), r).alias("col_i"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit(r).alias("row_i"), "col_i", "cnt")
+        )
+        cells = c if cells is None else cells.unionByName(c)
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "t")
+        .limit(20)
+        .withColumnRenamed("t", "token")
+    )
+    probe = None
+    for r in range(_CMS_D):
+        p = exact.select(
+            "token",
+            "exact_n",
+            F.lit(r).alias("row_i"),
+            _cms_col_spark(F.col("token"), r).alias("col_i"),
+        )
+        probe = p if probe is None else probe.unionByName(p)
+    est = (
+        F.broadcast(probe)
+        .join(cells, ["row_i", "col_i"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.desc("exact_n"), "token")
