@@ -116,16 +116,16 @@ GATE_ORDER: list[str] = [
     "events_corr_value_hour",
     "timeseries_ewma",
     "graph_pagerank_transitions",
+    "text_collocations_pmi",
+    "text_zipf_profile",
+    "sketch_countmin_heavy_hitters",
     # re-gate: oracle/plan changed this round (old green rows are stale)
     "q9_product_type_profit",
     "q11_important_stock",
     # backfill: oldest rows (green r1, absent r2/r3)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # backfill: flagship LLM near-dup paths (green r2) — keep re-proving
-    "doc_minhash_lsh_neardup",
-    "doc_dedup_clusters",
-    "emb_neardup_lsh",
+    # backfill: flagship LLM near-dup path (green r2) — keep re-proving
     "doc_curation",
 ]
 
