@@ -110,7 +110,7 @@ GATE_ORDER: list[str] = [
     "multimodal_feature_neardup",
     # round 4 (late additions): product/events analytics + iterative graph
     "events_funnel_conversion",
-    "events_retention_cohorts",
+    "events_retention_normalized",
     "events_pivot_daily_wide",
     "events_histogram_equiwidth",
     "events_corr_value_hour",

@@ -2189,7 +2189,7 @@ def events_funnel_conversion(spark, sf_dir):
 
 
 @register(
-    "events_retention_cohorts",
+    "events_retention_normalized",
     oracle="""
     WITH act AS (
       SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
@@ -2214,7 +2214,7 @@ def events_funnel_conversion(spark, sf_dir):
     FROM ret
     ORDER BY cohort_wk, offset_w
     """,
-    doc="Weekly cohort retention matrix: cohort = ISO week of a user's "
+    doc="Normalized weekly retention: cohort = ISO week of a user's "
     "first activity; cell (cohort, offset) counts distinct users from "
     "that cohort active offset weeks later, normalized by the cohort's "
     "week-0 size (the growth-analytics triangle chart). Two user-keyed "
@@ -2223,7 +2223,7 @@ def events_funnel_conversion(spark, sf_dir):
     "(cohort x offset) grid.",
     tags=("monitoring", "agg", "join"),
 )
-def events_retention_cohorts(spark, sf_dir):
+def events_retention_normalized(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     act = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
