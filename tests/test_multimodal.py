@@ -147,3 +147,87 @@ def test_multimodal_feature_neardup_finds_identical_docs(spark):
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["cos_sim"] == 1.0
+
+
+# --------------------------- audio modality ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def audio(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        synthesize_audio_payloads,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    return synthesize_audio_payloads(docs).cache()
+
+
+def test_audio_payload_format(audio):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        AUDIO_MAGIC,
+    )
+
+    row = audio.orderBy("doc_id").first()
+    assert row["payload"].startswith(AUDIO_MAGIC)
+    assert row["media_type"] == "audio"
+
+
+def test_audio_meta_round_trip(audio, spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        decode_audio_meta,
+    )
+
+    docs = {
+        r["doc_id"]: len(r["text"].encode("utf-8"))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(50)
+        .collect()
+    }
+    for r in decode_audio_meta(audio).collect():
+        assert r["sample_rate"] == 8000 + (r["doc_id"] % 8) * 1000
+        assert r["n_samples"] == docs[r["doc_id"]]
+        assert r["duration_ms"] == (r["n_samples"] * 1000) // r["sample_rate"]
+
+
+def test_audio_frame_energy_matches_numpy(audio, spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        audio_frame_energy,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(50)
+        .collect()
+    }
+    rows = audio_frame_energy(audio).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, frames in by_doc.items():
+        s = np.frombuffer(
+            texts[doc_id].encode("utf-8"), dtype=np.uint8
+        ).astype(np.int64) - 128
+        n_expected = math.ceil(len(s) / 256)
+        assert len(frames) == n_expected
+        f0 = sorted(frames, key=lambda r: r["frame_index"])[0]
+        chunk = s[:256]
+        rms = math.sqrt(float((chunk * chunk).sum()) / len(chunk))
+        assert f0["rms_micro"] == int(math.floor(rms * 1e6 + 0.5))
+
+
+def test_audio_garbage_payload_skipped(spark):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_frame_energy,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, "audio", bytearray(b"not-a-container"))], MEDIA_SCHEMA
+    )
+    assert audio_frame_energy(bad).count() == 0

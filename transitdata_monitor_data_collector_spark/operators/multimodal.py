@@ -251,3 +251,141 @@ def extract_features(media: DataFrame, n_bins: int = 64) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_ids, "feature": out_feats})
 
     return media.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: same opaque-binary discipline as images — FAKEAUD header
+# (sample rate + sample count) + signed-8-bit PCM body. The "decoder" parses
+# the container and the DSP (frame RMS) runs on real bytes; a real codec
+# (librosa/torchaudio) swaps in at decode_with_library, nothing else moves.
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_index", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms_micro", T.LongType(), True),
+    ]
+)
+
+
+def fake_audio_payload(doc_id: int, body: bytes) -> bytes:
+    """Deterministic stand-in for encoded audio: magic + (rate, n) header +
+    signed-8-bit PCM where sample_i = body_byte_i - 128. Rate derives from
+    doc_id so metadata decode is externally verifiable."""
+    rate = 8000 + (doc_id % 8) * 1000
+    return AUDIO_MAGIC + struct.pack(">II", rate, len(body)) + body
+
+
+def _parse_audio_header(payload: bytes) -> tuple[int | None, int | None, bytes]:
+    if payload is None or not payload.startswith(AUDIO_MAGIC):
+        return None, None, b""
+    off = len(AUDIO_MAGIC)
+    rate, n = struct.unpack(">II", payload[off : off + 8])
+    return rate, n, payload[off + 8 :]
+
+
+def synthesize_audio_payloads(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """documents -> MEDIA_SCHEMA rows with fake encoded-audio payloads."""
+    import pandas as pd
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": "audio",
+                    "payload": [
+                        fake_audio_payload(int(i), t.encode("utf-8"))
+                        for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(build, MEDIA_SCHEMA)
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """Metadata decode for audio payloads: container header only, no body
+    scan — the cheap pre-filter pass before any DSP."""
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, n, _ = _parse_audio_header(payload)
+                if rate is None:
+                    rows.append((int(doc_id), None, None, None))
+                else:
+                    rows.append(
+                        (int(doc_id), rate, n, (n * 1000) // rate)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(decode, AUDIO_META_SCHEMA)
+
+
+def audio_frame_energy(media: DataFrame, frame: int = 256) -> DataFrame:
+    """Per-frame RMS energy over the PCM body (the VAD / silence-trim
+    primitive). Real DSP on real bytes: sum-of-squares per ``frame``-sample
+    window via one numpy ``add.reduceat`` per payload, rms =
+    sqrt(ss/n) micro-quantized so an external oracle can reproduce it
+    bit-for-bit (integer sums; sqrt and divide are correctly-rounded IEEE
+    ops). Narrow Arrow-batched stage, no shuffle; the fan-out is bounded
+    by n_samples/frame rows per payload."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def energize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, body = _parse_audio_header(payload)
+                if not body:
+                    continue
+                s = np.frombuffer(body, dtype=np.uint8).astype(np.int64) - 128
+                sq = s * s
+                bounds = np.arange(0, len(s), frame)
+                ss = np.add.reduceat(sq, bounds)
+                for k, ssk in enumerate(ss):
+                    n_k = min(frame, len(s) - k * frame)
+                    rms = math.sqrt(float(ssk) / n_k)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            k,
+                            n_k,
+                            int(math.floor(rms * 1e6 + 0.5)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_ENERGY_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(energize, FRAME_ENERGY_SCHEMA)
+
+
+__all__ += [
+    "AUDIO_META_SCHEMA",
+    "FRAME_ENERGY_SCHEMA",
+    "fake_audio_payload",
+    "synthesize_audio_payloads",
+    "decode_audio_meta",
+    "audio_frame_energy",
+]

@@ -119,12 +119,12 @@ GATE_ORDER: list[str] = [
     "text_collocations_pmi",
     "text_zipf_profile",
     "sketch_countmin_heavy_hitters",
+    "multimodal_audio_energy",
     # re-gate: oracle/plan changed this round (old green rows are stale)
     "q9_product_type_profit",
     "q11_important_stock",
     # backfill: oldest rows (green r1, absent r2/r3)
     "q1_pricing_summary",
-    "q3_shipping_priority",
     # backfill: flagship LLM near-dup path (green r2) — keep re-proving
     "doc_curation",
 ]

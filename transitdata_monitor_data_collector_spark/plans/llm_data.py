@@ -3255,3 +3255,57 @@ def sketch_countmin_heavy_hitters(spark, sf_dir):
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
     ).orderBy(F.desc("exact_n"), "token")
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH bytes_t AS (
+      SELECT doc_id, list_transform(range(1, length(text) + 1),
+                                    i -> ascii(substr(text, i, 1)) - 128)
+               AS ss
+      FROM documents WHERE length(text) > 0
+    ),
+    samp AS (
+      SELECT doc_id,
+             CAST((generate_subscripts(ss, 1) - 1) // 256 AS BIGINT)
+               AS frame_index,
+             CAST(unnest(ss) AS BIGINT) AS s
+      FROM bytes_t
+    ),
+    fr AS (
+      SELECT doc_id, frame_index,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(s * s) AS BIGINT) AS ss2
+      FROM samp GROUP BY doc_id, frame_index
+    )
+    SELECT doc_id, frame_index, n_samples,
+           CAST(floor(sqrt(CAST(ss2 AS DOUBLE) / n_samples) * 1e6 + 0.5)
+                AS BIGINT) AS rms_micro
+    FROM fr ORDER BY doc_id, frame_index
+    """,  # fake PCM sample_i = utf8_byte_i - 128 (ASCII corpus), so the
+    # oracle replays the DSP from the text column: integer sum-of-squares
+    # per 256-sample frame, then sqrt/divide — correctly-rounded IEEE ops,
+    # micro-quantized.
+    doc="Audio modality end-to-end: synthesize FAKEAUD containers (magic "
+    "+ rate/count header + signed-8-bit PCM) -> parse header -> "
+    "per-256-sample-frame RMS energy (operators/multimodal.py:"
+    "audio_frame_energy) — the voice-activity-detection / silence-trim "
+    "primitive of every speech-data pipeline. The DSP is REAL byte "
+    "math (numpy add.reduceat sum-of-squares), only the codec is the "
+    "documented stub; librosa swaps in at decode_with_library without "
+    "touching schema or partitioning. Narrow Arrow-batched mapInPandas, "
+    "no shuffle before the output sort; fan-out bounded at "
+    "n_samples/256 rows per payload.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_energy(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        audio_frame_energy,
+        synthesize_audio_payloads,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return audio_frame_energy(synthesize_audio_payloads(docs)).orderBy(
+        "doc_id", "frame_index"
+    )
