@@ -55,6 +55,12 @@ HEADLINE = [
     "doc_containment_pairs",
     "events_dau_wau_stickiness",
     "emb_ivf_recall_report",
+    # round-4 late additions: iterative graph BSP, one-pass CMS sketch,
+    # the 32-lag EWMA kernel, and the audio-DSP mapInPandas path
+    "graph_pagerank_transitions",
+    "sketch_countmin_heavy_hitters",
+    "timeseries_ewma",
+    "multimodal_audio_energy",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

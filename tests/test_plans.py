@@ -334,3 +334,30 @@ def test_bucketed_join_elides_both_exchanges(spark, sf_dir):
         "join inputs were shuffled — bucketing spec not picked up"
     )
     assert "Bucketed: true" in plan
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """Three chained funnel-stage window mins must share ONE user_id
+    partitioning — a plan with an exchange per stage re-shuffles the
+    event log three times at scale."""
+    plan = _plan(spark, sf_dir, "events_funnel_conversion")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 1, f"funnel re-shuffles: {n_hash} hash exchanges"
+    assert plan.count("Window") == 3
+
+
+def test_countmin_single_scan_sketch(spark, sf_dir):
+    """The CMS build must be one explode + one aggregate — not one
+    aggregate per hash row (d scans of the corpus)."""
+    plan = _plan(spark, sf_dir, "sketch_countmin_heavy_hitters")
+    assert plan.count("SortMergeJoin") == 0
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 6, f"CMS plan shuffles {n_hash}x"
+
+
+def test_pagerank_broadcast_only_joins(spark, sf_dir):
+    """Every per-round join in the bounded-round BSP must broadcast the
+    dimension side; an SMJ on the rank table means a full shuffle per
+    iteration at scale."""
+    plan = _plan(spark, sf_dir, "graph_pagerank_transitions")
+    assert "SortMergeJoin" not in plan

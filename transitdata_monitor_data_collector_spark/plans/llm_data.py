@@ -3219,14 +3219,30 @@ def _cms_col_spark(tok: "F.Column", row: int):
 def sketch_countmin_heavy_hitters(spark, sf_dir):
     d = _docs_spread(spark, sf_dir)
     tok = d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"))
-    cells = None
-    for r in range(_CMS_D):
-        c = (
-            tok.groupBy(_cms_col_spark(F.col("t"), r).alias("col_i"))
-            .agg(F.count("*").alias("cnt"))
-            .select(F.lit(r).alias("row_i"), "col_i", "cnt")
+
+    def cms_col(tok_col, row_col):
+        # dynamic-row variant of _cms_col_spark: one pass emits all d rows
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(tok_col, F.lit("#"), row_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
         )
-        cells = c if cells is None else cells.unionByName(c)
+
+    rows = F.array(*[F.lit(r) for r in range(_CMS_D)])
+    # ONE scan builds the whole sketch: explode the d row indices per
+    # token, hash to (row, col), partial-agg map-side -> d*w cells.
+    cells = (
+        tok.select("t", F.explode(rows).alias("row_i"))
+        .groupBy("row_i", cms_col(F.col("t"), F.col("row_i")).alias("col_i"))
+        .agg(F.count("*").alias("cnt"))
+    )
     exact = (
         tok.groupBy("t")
         .agg(F.count("*").alias("exact_n"))
@@ -3234,15 +3250,9 @@ def sketch_countmin_heavy_hitters(spark, sf_dir):
         .limit(20)
         .withColumnRenamed("t", "token")
     )
-    probe = None
-    for r in range(_CMS_D):
-        p = exact.select(
-            "token",
-            "exact_n",
-            F.lit(r).alias("row_i"),
-            _cms_col_spark(F.col("token"), r).alias("col_i"),
-        )
-        probe = p if probe is None else probe.unionByName(p)
+    probe = exact.select(
+        "token", "exact_n", F.explode(rows).alias("row_i")
+    ).withColumn("col_i", cms_col(F.col("token"), F.col("row_i")))
     est = (
         F.broadcast(probe)
         .join(cells, ["row_i", "col_i"])

@@ -2640,7 +2640,7 @@ def graph_pagerank_transitions(spark, sf_dir):
             .groupBy("node")
             .agg(F.sum("c_n").alias("in_n"))
         )
-        rank = base.join(contrib, "node", "left").select(
+        rank = base.join(F.broadcast(contrib), "node", "left").select(
             "node",
             (
                 F.col("base_n") + F.coalesce(F.col("in_n"), F.lit(0))
