@@ -68,7 +68,6 @@ GATE_ORDER: list[str] = [
     # backfilled to the 50-row window with the OLDEST green rows (r1).
     # never gated: monitoring/events analytics (round 3)
     "events_dau_wau_stickiness",  # WAU fix this round — both sides
-    "events_dau_wau_stickiness_approx",  # rows-only (HLL, by design)
     "events_anomaly_zscore",
     "events_user_profile",
     "events_top_paths",
@@ -120,13 +119,12 @@ GATE_ORDER: list[str] = [
     "text_zipf_profile",
     "sketch_countmin_heavy_hitters",
     "multimodal_audio_energy",
+    "doc_dsir_importance",
+    "text_char_entropy",
+    "events_cusum_changepoint",
     # re-gate: oracle/plan changed this round (old green rows are stale)
     "q9_product_type_profit",
     "q11_important_stock",
-    # backfill: oldest rows (green r1, absent r2/r3)
-    "q1_pricing_summary",
-    # backfill: flagship LLM near-dup path (green r2) — keep re-proving
-    "doc_curation",
 ]
 
 

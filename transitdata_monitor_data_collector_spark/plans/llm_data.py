@@ -3319,3 +3319,181 @@ def multimodal_audio_energy(spark, sf_dir):
     return audio_frame_energy(synthesize_audio_payloads(docs)).orderBy(
         "doc_id", "frame_index"
     )
+
+
+@register(
+    "doc_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(unnest({_DD_TOKENS_LOWER})), 1, 8))::BIGINT
+               % 1024 AS b
+      FROM documents
+    ),
+    raw_c AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY b),
+    tgt_c AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tok
+      WHERE lang = 'en' GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nr,
+             CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS nt
+      FROM tok
+    ),
+    lam AS (
+      SELECT r.b,
+             CAST(floor(ln((CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)
+                            / (nt + 1024))
+                           / (CAST(r.cr + 1 AS DOUBLE) / (nr + 1024)))
+                        * 1e9 + 0.5) AS BIGINT) AS lam_nano
+      FROM raw_c r LEFT JOIN tgt_c t USING (b), tot
+    )
+    SELECT k.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(l.lam_nano) AS DOUBLE) / 1e9 / count(*) * 1e6
+                 + 0.5) / 1e6 AS dsir_logratio
+    FROM tok k JOIN lam l USING (b)
+    GROUP BY k.doc_id
+    ORDER BY k.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): per-document mean "
+    "log-likelihood ratio of hashed unigram features between the "
+    "target distribution (lang='en' here) and the raw corpus, with "
+    "add-1 smoothing over 1024 md5 buckets — the importance score "
+    "that upsamples target-like documents. Per-bucket log-ratios are "
+    "nano-quantized BIGINTs at the DISTINCT-bucket level (1024 rows), "
+    "so per-doc sums are exact integer accumulation; the bucket table "
+    "broadcasts. Feature hashing is the same md5-prefix idiom as the "
+    "Count-Min sketch — cross-engine exact.",
+    tags=("llm", "text", "sampling"),
+)
+def doc_dsir_importance(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+            % 1024
+        ).alias("b"),
+    )
+    raw_c = tok.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_c = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = tok.agg(
+        F.count("*").alias("nr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+    )
+    lam = (
+        raw_c.join(tgt_c, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("nt") + 1024)
+                    )
+                    / ((F.col("cr") + 1).cast("double") / (F.col("nr") + 1024))
+                )
+                * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("lam_nano"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("lam_nano").cast("double")
+                    / 1e9
+                    / F.count("*")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("dsir_logratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, length(text) AS len,
+             unnest(list_transform(range(1, length(text) + 1),
+                                   i -> substr(text, i, 1))) AS c
+      FROM documents WHERE length(text) > 0
+    ),
+    cc AS (
+      SELECT doc_id, len, c, CAST(count(*) AS BIGINT) AS n
+      FROM ch GROUP BY doc_id, len, c
+    ),
+    terms AS (
+      SELECT doc_id, len,
+             CAST(floor(n * ln(CAST(n AS DOUBLE) / len) * 1e9 + 0.5)
+                  AS BIGINT) AS t_nano
+      FROM cc
+    )
+    SELECT doc_id,
+           floor(-CAST(sum(t_nano) AS DOUBLE) / 1e9 / max(len) * 1e6 + 0.5)
+             / 1e6 AS char_entropy
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document character-level Shannon entropy (nats): H = "
+    "-sum_c p_c ln p_c — the cheap gibberish / base64-blob / "
+    "repeated-char detector that complements the word-level quality "
+    "gates. Each (doc, char) term is nano-quantized before the sum "
+    "so accumulation is exact; one explode + one (doc, char) "
+    "aggregate, both map-side-combining, no joins.",
+    tags=("llm", "text", "quality"),
+)
+def text_char_entropy(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    ch = d.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("c"),
+    )
+    cc = ch.groupBy("doc_id", "len", "c").agg(F.count("*").alias("n"))
+    terms = cc.select(
+        "doc_id",
+        "len",
+        F.floor(
+            F.col("n") * F.log(F.col("n").cast("double") / F.col("len")) * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("t_nano"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            (
+                F.floor(
+                    -F.sum("t_nano").cast("double") / 1e9 / F.max("len") * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("char_entropy")
+        )
+        .orderBy("doc_id")
+    )
