@@ -147,3 +147,29 @@ def test_feed_parser_never_hangs_or_crashes(data):
         assert s.entity_count >= 0
     except FeedParseError:
         pass  # structured rejection is the only allowed failure mode
+
+
+# ---------------------------------------------------------------------------
+# CUSUM prefix-sum identity: the window formulation used by
+# events_cusum_changepoint must equal the sequential recursion
+# C_i = max(0, C_{i-1} + d_i) for every deviation sequence.
+from hypothesis import given as _given
+from hypothesis import strategies as _st
+
+
+@_given(_st.lists(_st.integers(min_value=-1000, max_value=1000), max_size=60))
+def test_cusum_prefix_sum_identity(devs):
+    c = 0
+    recursive = []
+    for d in devs:
+        c = max(0, c + d)
+        recursive.append(c)
+    s = 0
+    prefix = []
+    for d in devs:
+        s += d
+        prefix.append(s)
+    windowed = [
+        prefix[i] - min(0, min(prefix[: i + 1])) for i in range(len(devs))
+    ]
+    assert windowed == recursive

@@ -2683,8 +2683,9 @@ def graph_pagerank_transitions(spark, sf_dir):
     ),
     cum AS (
       SELECT event_type, event_id, ts, n, s_cum,
-             min(s_cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS s_min
+             least(min(s_cum) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING), 0) AS s_min
       FROM cum0
     ),
     ranked AS (
@@ -2737,8 +2738,10 @@ def events_cusum_changepoint(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # the identity needs the EMPTY prefix (S_0 = 0) in the running min,
+    # else a series that drifts up from the first row is clipped to 0
     cum = dev.withColumn("s_cum", F.sum("d").over(w)).withColumn(
-        "s_min", F.min("s_cum").over(w)
+        "s_min", F.least(F.min("s_cum").over(w), F.lit(0))
     )
     ranked = cum.withColumn(
         "cusum_raw", (F.col("s_cum") - F.col("s_min")).cast("long")
