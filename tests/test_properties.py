@@ -173,3 +173,31 @@ def test_cusum_prefix_sum_identity(devs):
         prefix[i] - min(0, min(prefix[: i + 1])) for i in range(len(devs))
     ]
     assert windowed == recursive
+
+
+@_given(
+    _st.lists(
+        _st.floats(min_value=0.0, max_value=600.0, allow_nan=False),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_ewma_truncated_kernel_bound(xs):
+    """The 32-lag truncated kernel used by timeseries_ewma must stay
+    within the residual-mass bound of the true sequential recurrence:
+    after renormalization the truncation error is at most
+    (1-a)^K / (1 - (1-a)^K) of the value range."""
+    a, K = 0.2, 32
+    # sequential recurrence, seeded on the first sample
+    e = xs[0]
+    for x in xs[1:]:
+        e = a * x + (1 - a) * e
+    # truncated renormalized kernel at the last position
+    w = [a * (1 - a) ** k for k in range(K)]
+    tail = list(reversed(xs[-K:]))
+    num = sum(wk * x for wk, x in zip(w, tail))
+    den = sum(w[: len(tail)])
+    kernel = num / den
+    resid = (1 - a) ** min(K, len(xs))
+    bound = resid / (1 - resid) * 600.0 + 1e-6
+    assert abs(kernel - e) <= bound
