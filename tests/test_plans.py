@@ -361,3 +361,9 @@ def test_pagerank_broadcast_only_joins(spark, sf_dir):
     iteration at scale."""
     plan = _plan(spark, sf_dir, "graph_pagerank_transitions")
     assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_hash_hint_respected(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1644,3 +1644,36 @@ def scd2_point_in_time(spark, sf_dir):
         .select("user_id", "state", "valid_from")
         .orderBy("user_id")
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Fact-fact join under an explicit SHUFFLE_HASH strategy hint: when "
+    "neither side fits a broadcast but one side is much smaller AFTER "
+    "filtering, hash-building the smaller side per partition skips the "
+    "two full sorts a SortMergeJoin pays — the strategy knob (broadcast "
+    "/ shuffle-hash / sort-merge / bucketed-colocated) this registry "
+    "demonstrates end to end. Plan pinned to ShuffledHashJoin in "
+    "tests/test_plans.py; result identical to the unhinted plan.",
+    tags=("join",),
+)
+def join_shuffle_hash_hint(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
