@@ -2771,3 +2771,224 @@ def events_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_seasonal_effects",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,  -- Spark 1-7 Sun=1
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+      FROM events
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xc) AS BIGINT) AS sx
+      FROM q GROUP BY event_type
+    ),
+    hod_e AS (
+      SELECT q.event_type, 'hod' AS component, q.hod AS idx,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             floor((CAST(sum(q.xc) AS DOUBLE) / count(*)
+                    - CAST(t.sx AS DOUBLE) / t.n) / 100 * 1e6 + 0.5) / 1e6
+               AS effect
+      FROM q JOIN tot t USING (event_type)
+      GROUP BY q.event_type, q.hod, t.sx, t.n
+    ),
+    dow_e AS (
+      SELECT q.event_type, 'dow' AS component, q.dow AS idx,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             floor((CAST(sum(q.xc) AS DOUBLE) / count(*)
+                    - CAST(t.sx AS DOUBLE) / t.n) / 100 * 1e6 + 0.5) / 1e6
+               AS effect
+      FROM q JOIN tot t USING (event_type)
+      GROUP BY q.event_type, q.dow, t.sx, t.n
+    )
+    SELECT * FROM hod_e
+    UNION ALL
+    SELECT * FROM dow_e
+    ORDER BY event_type, component, idx
+    """,
+    doc="Additive seasonal decomposition (STL-lite): per event_type, the "
+    "hour-of-day and day-of-week effects as deviations of the bucket "
+    "mean from the overall mean — the baseline surface behind "
+    "'is this metric low for a Tuesday 3am?' alerting (pairs with "
+    "events_hourly_seasonality and the anomaly queries). Exact "
+    "centi-integer sums; the two divisions and the subtraction are the "
+    "identical IEEE expression on both engines, then floor-micro. Two "
+    "map-side-combining aggregates + one broadcast stats join; output "
+    "is |event_type| x 31 rows.",
+    tags=("monitoring", "agg", "timeseries"),
+)
+def events_seasonal_effects(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xc"),
+    )
+    tot = q.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("xc").alias("sx")
+    )
+
+    def effects(key, label):
+        return (
+            q.groupBy("event_type", F.col(key).alias("idx"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("xc").alias("s_bucket"),
+            )
+            .join(F.broadcast(tot), "event_type")
+            .select(
+                "event_type",
+                F.lit(label).alias("component"),
+                "idx",
+                "n_rows",
+                (
+                    F.floor(
+                        (
+                            F.col("s_bucket").cast("double") / F.col("n_rows")
+                            - F.col("sx").cast("double") / F.col("n")
+                        )
+                        / 100
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                ).alias("effect"),
+            )
+        )
+
+    return (
+        effects("hod", "hod")
+        .unionByName(effects("dow", "dow"))
+        .orderBy("event_type", "component", "idx")
+    )
+
+
+@register(
+    "profile_events_columns",
+    oracle="""
+    SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           floor(CAST(min(event_id) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS min_val,
+           floor(CAST(max(event_id) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_val
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           floor(CAST(min(user_id) AS DOUBLE) * 1e6 + 0.5) / 1e6,
+           floor(CAST(max(user_id) AS DOUBLE) * 1e6 + 0.5) / 1e6
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           floor(min(value) * 1e6 + 0.5) / 1e6,
+           floor(max(value) * 1e6 + 0.5) / 1e6
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(ts) AS BIGINT),
+           CAST(count(DISTINCT ts) AS BIGINT),
+           floor(epoch(min(ts)) * 1e6 + 0.5) / 1e6,
+           floor(epoch(max(ts)) * 1e6 + 0.5) / 1e6
+    FROM events
+    ORDER BY col_name
+    """,
+    doc="Column-profiling report over the event log: per column, row "
+    "count, null count, exact distinct count, and micro-rounded "
+    "numeric extent (epoch seconds for timestamps) — the data-quality "
+    "summary every ingestion pipeline runs before anything else. "
+    "Computed as ONE pass per profiled column set via a single "
+    "multi-aggregate projection (Spark side groups all aggregates "
+    "into one stage over one scan; the UNION in the oracle is "
+    "DuckDB-side presentation). At scale distinct counts switch to "
+    "approx_count_distinct — registered exact here so the oracle "
+    "hashes.",
+    tags=("monitoring", "agg", "profiling"),
+)
+def profile_events_columns(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count("*").alias("n"),
+        F.count("event_id").alias("c_event_id"),
+        F.countDistinct("event_id").alias("d_event_id"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.count("user_id").alias("c_user_id"),
+        F.countDistinct("user_id").alias("d_user_id"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+        F.count("value").alias("c_value"),
+        F.countDistinct("value").alias("d_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count("event_type").alias("c_event_type"),
+        F.countDistinct("event_type").alias("d_event_type"),
+        F.count("ts").alias("c_ts"),
+        F.countDistinct("ts").alias("d_ts"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+
+    def fm(col):
+        return F.floor(col.cast("double") * 1e6 + 0.5) / 1e6
+
+    rows = [
+        agg.select(
+            F.lit("event_id").alias("col_name"),
+            F.col("n"),
+            (F.col("n") - F.col("c_event_id")).alias("n_null"),
+            F.col("d_event_id").alias("n_distinct"),
+            fm(F.col("min_event_id")).alias("min_val"),
+            fm(F.col("max_event_id")).alias("max_val"),
+        ),
+        agg.select(
+            F.lit("user_id").alias("col_name"),
+            F.col("n"),
+            (F.col("n") - F.col("c_user_id")).alias("n_null"),
+            F.col("d_user_id").alias("n_distinct"),
+            fm(F.col("min_user_id")).alias("min_val"),
+            fm(F.col("max_user_id")).alias("max_val"),
+        ),
+        agg.select(
+            F.lit("value").alias("col_name"),
+            F.col("n"),
+            (F.col("n") - F.col("c_value")).alias("n_null"),
+            F.col("d_value").alias("n_distinct"),
+            fm(F.col("min_value")).alias("min_val"),
+            fm(F.col("max_value")).alias("max_val"),
+        ),
+        agg.select(
+            F.lit("event_type").alias("col_name"),
+            F.col("n"),
+            (F.col("n") - F.col("c_event_type")).alias("n_null"),
+            F.col("d_event_type").alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_val"),
+            F.lit(None).cast("double").alias("max_val"),
+        ),
+        agg.select(
+            F.lit("ts").alias("col_name"),
+            F.col("n"),
+            (F.col("n") - F.col("c_ts")).alias("n_null"),
+            F.col("d_ts").alias("n_distinct"),
+            fm(F.col("min_ts_us") / 1e6).alias("min_val"),
+            fm(F.col("max_ts_us") / 1e6).alias("max_val"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_name")
