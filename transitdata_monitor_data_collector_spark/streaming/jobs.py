@@ -335,3 +335,72 @@ def stateful_counter_job(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+def tws_meter_job(messages: DataFrame, filters: Sequence[str]) -> DataFrame:
+    """UD4 on the NEW arbitrary-state API (Spark 4
+    ``transformWithStateInPandas``): a per-(broker, topic_filter) meter —
+    message count plus first/last event-time — kept in one ValueState and
+    snapshotted every micro-batch.
+
+    ENVIRONMENT GATE: the TWS Python runner needs ``google.protobuf``
+    (its state-server protocol) and the RocksDB state-store provider;
+    this container ships neither, so the job is exercised by a
+    skip-marked test (tests/test_streaming_extras.py) and NOT registered
+    in the oracle gate. On a normally-provisioned cluster it runs as-is.  Successor API to
+    ``applyInPandasWithState`` (:func:`stateful_counter_job`): typed state
+    handles (value/list/map), timers, and TTL come from the
+    StatefulProcessorHandle instead of one opaque tuple.
+
+    Every maintained quantity is COMMUTATIVE (count, min, max), so the
+    final state is independent of micro-batch boundaries and row order —
+    which is what makes the streaming run oracle-checkable against the
+    batch aggregate. State: 3 int64s per key; key space = the filter
+    registry (tiny at any scale)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    fanned = with_topic_filter_fanout(messages, filters).select(
+        "broker", "topic_filter", F.unix_micros("ts").alias("ts_us")
+    )
+
+    class MeterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "meter", "n BIGINT, first_us BIGINT, last_us BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, first_us, last_us = (
+                self._state.get() if self._state.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                lo = int(pdf["ts_us"].min())
+                hi = int(pdf["ts_us"].max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            self._state.update((n, first_us, last_us))
+            yield pd.DataFrame(
+                {
+                    "broker": [key[0]],
+                    "topic_filter": [key[1]],
+                    "messages_received_total": [n],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return fanned.groupBy("broker", "topic_filter").transformWithStateInPandas(
+        MeterProcessor(),
+        outputStructType="broker string, topic_filter string, "
+        "messages_received_total long, first_us long, last_us long",
+        outputMode="Update",
+        timeMode="None",
+    )
