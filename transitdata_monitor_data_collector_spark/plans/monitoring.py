@@ -2506,17 +2506,24 @@ def _ewma_oracle() -> str:
 def timeseries_ewma(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    # project each lag ONCE (num and den both read it): 32 window exprs,
+    # one shared sort, instead of 64 duplicated lag evaluations
+    lagged = ev.select(
+        "event_id",
+        "event_type",
+        *[F.lag("value", k).over(w).alias(f"l{k}") for k in range(_EWMA_K)],
+    )
     num = None
     den = None
     for k, (wt, wq) in enumerate(zip(_EWMA_W, _EWMA_WQ)):
-        lagv = F.lag("value", k).over(w)
+        lagv = F.col(f"l{k}")
         t = F.coalesce(
             F.floor(lagv * F.lit(wt) * 1e9 + 0.5).cast("long"), F.lit(0)
         )
         d = F.when(lagv.isNotNull(), F.lit(wq)).otherwise(F.lit(0))
         num = t if num is None else num + t
         den = d if den is None else den + d
-    return ev.select(
+    return lagged.select(
         "event_id",
         "event_type",
         (
@@ -2604,8 +2611,11 @@ def graph_pagerank_transitions(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     outs = edges.groupBy("u").agg(F.sum("n").alias("out_n"))
-    ew = F.broadcast(edges.join(outs, "u"))  # (u, v, n, out_n) — dim-sized
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    # materialize the dimension-sized edge table ONCE (eager
+    # localCheckpoint): the lazy plan would otherwise re-derive the
+    # lag-window + aggregate subtree in every one of the 10 rounds
+    ew = F.broadcast(edges.join(outs, "u").localCheckpoint())
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
     n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
     rank = (
         nodes.crossJoin(F.broadcast(n_nodes))
