@@ -3497,3 +3497,97 @@ def text_char_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    bf AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.q_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY floor({SIM.pico_cosine_sql("qv", "cv", 64)}
+                                      * 1e6 + 0.5) DESC,
+                             c.c_id) AS rn
+            FROM q, c WHERE c.c_id <> q.q_id
+        ) WHERE rn <= 10
+    ),
+    tr AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.q_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY floor({SIM.pico_cosine_sql("qv[1:16]", "cv[1:16]", 16)}
+                                      * 1e6 + 0.5) DESC,
+                             c.c_id) AS rn
+            FROM q, c WHERE c.c_id <> q.q_id
+        ) WHERE rn <= 10
+    )
+    SELECT bf.q_id AS query_id,
+           CAST(count(tr.c_id) AS BIGINT) AS n_overlap,
+           CAST(count(tr.c_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM bf LEFT JOIN tr USING (q_id, c_id)
+    GROUP BY bf.q_id ORDER BY query_id
+    """,
+    doc="Matryoshka / MRL truncation QA (Kusupati et al. 2022): recall@10 "
+    "of a 16-dim PREFIX ranking against the full 64-dim exact ranking, "
+    "per query — the measurement that decides whether truncated "
+    "embeddings are safe for the cheap first-stage retrieval tier "
+    "(prefix cosine costs 4x less bandwidth and FLOPs at 100 TB). "
+    "Both rankings use the picounit cosine + id tiebreak; the prefix "
+    "is array slicing on both engines, so the report is fully "
+    "hash-checked like emb_ann_recall_report.",
+    tags=("llm", "similarity", "approx", "embedding"),
+)
+def emb_matryoshka_recall(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+        pico_cosine,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("c_id") != F.col("q_id"))
+
+    def topk(score_col):
+        w = W.partitionBy("q_id").orderBy(F.desc("s"), "c_id")
+        return (
+            pairs.withColumn("s", score_col)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("q_id", "c_id")
+        )
+
+    bf = topk(F.floor(pico_cosine(F.col("qv"), F.col("cv")) * 1e6 + 0.5))
+    tr = topk(
+        F.floor(
+            pico_cosine(
+                F.slice(F.col("qv"), 1, 16), F.slice(F.col("cv"), 1, 16)
+            )
+            * 1e6
+            + 0.5
+        )
+    )
+    return (
+        bf.join(tr.withColumn("hit", F.lit(1)), ["q_id", "c_id"], "left")
+        .groupBy(F.col("q_id").alias("query_id"))
+        .agg(
+            F.count("hit").alias("n_overlap"),
+            (F.count("hit").cast("double") / 10.0).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

@@ -3002,3 +3002,89 @@ def profile_events_columns(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("col_name")
+
+
+# Benford first-digit probabilities log10(1 + 1/d) as shortest-repr
+# literals — identical doubles in both engines.
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE_SQL = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "events_benford_deviation",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM events WHERE value >= 0.01
+    ),
+    c AS (
+      SELECT event_type, d, CAST(count(*) AS BIGINT) AS n_obs
+      FROM q GROUP BY event_type, d
+    ),
+    t AS (
+      SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS n_tot
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, c.d AS digit, c.n_obs,
+           floor(CAST(c.n_obs AS DOUBLE) / t.n_tot * 1e6 + 0.5) / 1e6
+             AS p_obs,
+           floor(({_BENFORD_CASE_SQL}) * 1e6 + 0.5) / 1e6 AS p_benford
+    FROM c JOIN t USING (event_type)
+    ORDER BY event_type, digit
+    """,
+    doc="Benford's-law first-digit profile of value per event_type — the "
+    "fraud / synthetic-data smell test: natural multi-scale magnitudes "
+    "follow p(d) = log10(1 + 1/d); flat or spiked digit histograms "
+    "flag fabricated or clipped data. The leading digit is taken from "
+    "the centi-integer's decimal string (pure integer -> string, no "
+    "libm log10 on data), and the Benford expectations are baked-in "
+    "shortest-repr literals — both engines see identical doubles. One "
+    "map-side-combining aggregate over <= 9 digits x |event_type|.",
+    tags=("monitoring", "agg", "profiling"),
+)
+def events_benford_deviation(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    q = ev.filter(F.col("value") >= 0.01).select(
+        "event_type",
+        F.substring(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    c = q.groupBy("event_type", "d").agg(F.count("*").alias("n_obs"))
+    t = c.groupBy("event_type").agg(F.sum("n_obs").alias("n_tot"))
+    bcase = F.lit(None).cast("double")
+    for d, p in _BENFORD_P.items():
+        bcase = F.when(F.col("d") == d, F.lit(p)).otherwise(bcase)
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            F.col("d").alias("digit"),
+            "n_obs",
+            (
+                F.floor(F.col("n_obs").cast("double") / F.col("n_tot") * 1e6 + 0.5)
+                / 1e6
+            ).alias("p_obs"),
+            (F.floor(bcase * 1e6 + 0.5) / 1e6).alias("p_benford"),
+        )
+        .orderBy("event_type", "digit")
+    )

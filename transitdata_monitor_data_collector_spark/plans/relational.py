@@ -1677,3 +1677,133 @@ def join_shuffle_hash_hint(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "window_rank_functions",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+             floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    )
+    SELECT event_type, event_id, round(value, 4) AS value,
+           CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+           pct_rank, cume
+    FROM ranked WHERE rn <= 20
+    ORDER BY event_type, rnk, event_id
+    """,
+    doc="W: the full ranked-window function family (rank / dense_rank / "
+    "percent_rank / cume_dist) over value per event_type, reported for "
+    "the top-20 rows of each partition. percent_rank and cume_dist are "
+    "exact rank ratios — integer arithmetic then one division, "
+    "identical cross-engine — floor-micro'd. One window sort; the "
+    "filter keeps the output dimension-sized.",
+    tags=("window",),
+)
+def window_rank_functions(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        (F.floor(F.percent_rank().over(w) * 1e6 + 0.5) / 1e6).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1e6 + 0.5) / 1e6).alias("cume"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 20)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("drnk").cast("long").alias("drnk"),
+            "pct_rank",
+            "cume",
+        )
+        .orderBy("event_type", "rnk", "event_id")
+    )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2,
+             CAST(sum(x * x * x) AS BIGINT) AS s3,
+             CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      FROM q GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM s
+    )
+    SELECT event_type, n,
+           floor((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+                 / ((r2 - mu * mu) * sqrt(r2 - mu * mu)) * 1e6 + 0.5) / 1e6
+             AS skewness,
+           floor(((r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu)
+                  / ((r2 - mu * mu) * (r2 - mu * mu)) - 3) * 1e6 + 0.5) / 1e6
+             AS excess_kurtosis
+    FROM m ORDER BY event_type
+    """,
+    doc="A: third/fourth standardized moments (skewness, excess kurtosis) "
+    "per event_type from EXACT integer power sums of the unit-quantized "
+    "variable — the built-in skewness()/kurtosis() accumulate doubles "
+    "order-dependently and cannot hash cross-engine. m2^1.5 is written "
+    "m2*sqrt(m2): libm pow() is not correctly rounded, sqrt is. "
+    "Overflow bound: sum(x^4) <= n * max^4 ~ 1e11 n at value<600 — "
+    "fits BIGINT to ~1e7 rows/group, beyond that re-center per group "
+    "first. One map-side-combining aggregate, |event_type| rows.",
+    tags=("agg",),
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.floor(F.col("value") + 0.5).cast("long").alias("x")
+    )
+    x = F.col("x")
+    s = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    skew = (r3 - 3 * mu * r2 + 2 * mu * mu * mu) / (m2 * F.sqrt(m2))
+    kurt = (r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu) / (
+        m2 * m2
+    ) - 3
+    return s.select(
+        "event_type",
+        "n",
+        (F.floor(skew * 1e6 + 0.5) / 1e6).alias("skewness"),
+        (F.floor(kurt * 1e6 + 0.5) / 1e6).alias("excess_kurtosis"),
+    ).orderBy("event_type")
