@@ -62,11 +62,13 @@ def register(
 # green row yet (or whose last row was red), most-at-risk first; everything
 # not listed follows in registration order.
 #
-# ROUND-5 ROTATION NOTE: after round 4's window, the only registry
-# queries with no driver row will be events_dau_wau_stickiness_approx
+# ROUND-5 ROTATION NOTE: after round 4's window, the registry queries
+# with no driver row will be: events_dau_wau_stickiness_approx
 # (rows-only HLL twin), events_seasonal_effects, profile_events_columns,
-# and join_shuffle_hash_hint (all green on the local parity mirror) —
-# lead round 5 with those four, then backfill with the oldest green rows.
+# join_shuffle_hash_hint, window_rank_functions, agg_skew_kurtosis,
+# events_benford_deviation, and emb_matryoshka_recall (all green on the
+# local parity mirror, most also at the sf0.1 stress) — lead round 5
+# with those, then backfill with the oldest green rows.
 GATE_ORDER: list[str] = [
     # ------- round-4 rotation: every query that has never earned a
     # driver CORRECTNESS row (24 round-3 additions + round-4 additions),
