@@ -3591,3 +3591,88 @@ def emb_matryoshka_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "emb_centroid_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT label, CAST(vec_id % 2 AS BIGINT) AS half,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS vm
+      FROM embeddings
+    ),
+    means AS (
+      SELECT label, half, dim,
+             CAST(floor(CAST(sum(vm) AS DOUBLE) / count(*)) AS BIGINT) AS m
+      FROM dims GROUP BY label, half, dim
+    ),
+    paired AS (
+      SELECT a.label, a.dim, a.m AS ma, b.m AS mb
+      FROM means a JOIN means b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           floor(CAST(sum(ma * mb) AS DOUBLE)
+                 / (sqrt(CAST(sum(ma * ma) AS DOUBLE))
+                    * sqrt(CAST(sum(mb * mb) AS DOUBLE))) * 1e6 + 0.5) / 1e6
+             AS centroid_cosine
+    FROM paired GROUP BY label ORDER BY label
+    """,
+    doc="Embedding drift monitor: cosine between per-label centroids of "
+    "two deterministic corpus halves (vec_id parity stands in for "
+    "before/after batches) — the A/B check that catches a silently "
+    "retrained or re-normalized encoder before it poisons an ANN "
+    "index. Per-dim micro-quantized integer means (the "
+    "emb_hard_negatives discipline), exact integer dot products, one "
+    "pinned sqrt/divide at the end. Shape: posexplode collapses "
+    "map-side to |label| x 2 x 64 rows; everything after is "
+    "dimension-sized.",
+    tags=("llm", "embedding", "monitoring"),
+)
+def emb_centroid_drift(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("vm"),
+    )
+    means = dims.groupBy("label", "half", "dim").agg(
+        F.floor(F.sum("vm").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("m")
+    )
+    a = means.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("m").alias("ma")
+    )
+    b = means.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("m").alias("mb")
+    )
+    paired = a.join(b, ["label", "dim"])
+    return (
+        paired.groupBy("label")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("ma") * F.col("mb")).cast("double")
+                    / (
+                        F.sqrt(F.sum(F.col("ma") * F.col("ma")).cast("double"))
+                        * F.sqrt(F.sum(F.col("mb") * F.col("mb")).cast("double"))
+                    )
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("centroid_cosine")
+        )
+        .orderBy("label")
+    )

@@ -3088,3 +3088,80 @@ def events_benford_deviation(spark, sf_dir):
         )
         .orderBy("event_type", "digit")
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_view
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+      FROM s1
+    ),
+    lat AS (
+      SELECT user_id,
+             CAST(epoch_us(max(t_purchase)) - epoch_us(max(t_view))
+                  AS BIGINT) AS us
+      FROM s2 GROUP BY user_id
+      HAVING max(t_purchase) IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           floor(quantile_cont(us, 0.5) / 1e6 * 1e6 + 0.5) / 1e6 AS p50_s,
+           floor(quantile_cont(us, 0.9) / 1e6 * 1e6 + 0.5) / 1e6 AS p90_s
+    FROM lat
+    """,
+    doc="Conversion-latency distribution: per user, microseconds from "
+    "first view to the first purchase after it; report count + "
+    "interpolated p50/p90 in seconds (the product-analytics SLA "
+    "metric next to the funnel). Latencies are exact integer "
+    "microseconds, so the interpolated percentiles are pinned doubles "
+    "on both engines (agg_percentiles precedent), floor-micro'd. Same "
+    "one-shuffle chained-window shape as events_funnel_conversion.",
+    tags=("monitoring", "window", "agg"),
+)
+def events_time_to_convert(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    s1 = ev.select("user_id", "event_type", "ts").withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    lat = (
+        s2.groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+        .filter(F.col("t_purchase").isNotNull())
+        .select(
+            (
+                F.unix_micros("t_purchase") - F.unix_micros("t_view")
+            ).alias("us")
+        )
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        (
+            F.floor(F.expr("percentile(us, 0.5)") / 1e6 * 1e6 + 0.5) / 1e6
+        ).alias("p50_s"),
+        (
+            F.floor(F.expr("percentile(us, 0.9)") / 1e6 * 1e6 + 0.5) / 1e6
+        ).alias("p90_s"),
+    )
