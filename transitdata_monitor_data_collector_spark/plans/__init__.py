@@ -66,9 +66,10 @@ def register(
 # with no driver row will be: events_dau_wau_stickiness_approx
 # (rows-only HLL twin), events_seasonal_effects, profile_events_columns,
 # join_shuffle_hash_hint, window_rank_functions, agg_skew_kurtosis,
-# events_benford_deviation, and emb_matryoshka_recall (all green on the
-# local parity mirror, most also at the sf0.1 stress) — lead round 5
-# with those, then backfill with the oldest green rows.
+# events_benford_deviation, emb_matryoshka_recall, emb_centroid_drift,
+# and events_time_to_convert (all green on the local parity mirror AND
+# the sf0.1 stress) — lead round 5 with those, then backfill with the
+# oldest green rows.
 GATE_ORDER: list[str] = [
     # ------- round-4 rotation: every query that has never earned a
     # driver CORRECTNESS row (24 round-3 additions + round-4 additions),
