@@ -227,3 +227,94 @@ def streaming_gauge_last(spark, sf_dir):
     )
     mem = jobs.run_to_memory(spark, gauges, output_mode="complete")
     return mem.orderBy("broker")
+
+
+@register(
+    "streaming_histogram_buckets",
+    oracle="""
+    WITH bucketed AS (
+        SELECT event_type,
+               CASE WHEN value <= 1.0 THEN 0 WHEN value <= 5.0 THEN 1
+                    WHEN value <= 10.0 THEN 2 WHEN value <= 50.0 THEN 3
+                    WHEN value <= 100.0 THEN 4 ELSE 5 END AS bucket_idx,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT event_type, bucket_idx, le
+        FROM (SELECT DISTINCT event_type FROM events),
+             (VALUES (0, '1'), (1, '5'), (2, '10'), (3, '50'), (4, '100'),
+                     (5, '+Inf')) b(bucket_idx, le)
+    )
+    SELECT g.event_type, g.le,
+           CAST(sum(coalesce(n, 0)) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_count
+    FROM grid g LEFT JOIN bucketed USING (event_type, bucket_idx)
+    ORDER BY g.event_type, g.bucket_idx
+    """,
+    doc="The live path of the Prometheus histogram: per-(event_type, "
+    "le-bucket) counts maintained as a STREAMING aggregation (complete "
+    "mode — the state is 6 counters per meter, exactly what a "
+    "DistributionSummary keeps resident), then densified into the "
+    "cumulative le series at scrape time — splitting the work the way "
+    "a real exporter does (hot counting in the stream, cheap "
+    "exposition rendering at the scrape). Final table equals the "
+    "batch prometheus_histogram_buckets (same oracle).",
+    tags=("streaming", "agg"),
+)
+def streaming_histogram_buckets(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        _HISTO_LES,
+    )
+
+    stream = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    bucket_idx = F.lit(len(_HISTO_LES))
+    for i, le in reversed(list(enumerate(_HISTO_LES))):
+        bucket_idx = F.when(F.col("value") <= le, i).otherwise(bucket_idx)
+    bucketed = stream.groupBy(
+        "event_type", bucket_idx.alias("bucket_idx")
+    ).count()
+    mem = jobs.run_to_memory(spark, bucketed, output_mode="complete")
+    # break lineage: grid below re-derives from mem, and a self-join on
+    # the same memory-sink relation trips ambiguous-attribute resolution
+    mem = mem.localCheckpoint()
+
+    # scrape-time rendering (batch post-process over 30 rows)
+    les = [*[str(int(v)) for v in _HISTO_LES], "+Inf"]
+    grid_b = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("bucket_idx"), F.lit(le).alias("le"))
+                for i, le in enumerate(les)
+            ]
+        )
+    )
+    grid = (
+        mem.select("event_type")
+        .distinct()
+        .select("event_type", grid_b.alias("b"))
+        .select("event_type", "b.bucket_idx", "b.le")
+    )
+    from pyspark.sql.window import Window as W
+
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(mem, ["event_type", "bucket_idx"], "left")
+        .select(
+            "event_type",
+            "le",
+            "bucket_idx",
+            F.coalesce(F.col("count"), F.lit(0)).alias("n"),
+        )
+        .withColumn(
+            "cumulative_count", F.sum("n").over(wcum).cast("long")
+        )
+        .select("event_type", "le", "cumulative_count")
+        .orderBy("event_type", "bucket_idx")
+    )
