@@ -67,7 +67,8 @@ def register(
 # (rows-only HLL twin), events_seasonal_effects, profile_events_columns,
 # join_shuffle_hash_hint, window_rank_functions, agg_skew_kurtosis,
 # events_benford_deviation, emb_matryoshka_recall, emb_centroid_drift,
-# and events_time_to_convert (all green on the local parity mirror AND
+# events_time_to_convert, streaming_histogram_buckets, and
+# text_typo_pairs_symdelete (all green on the local parity mirror AND
 # the sf0.1 stress) — lead round 5 with those, then backfill with the
 # oldest green rows.
 GATE_ORDER: list[str] = [

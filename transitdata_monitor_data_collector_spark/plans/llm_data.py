@@ -3676,3 +3676,81 @@ def emb_centroid_drift(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# Symmetric-delete (SymSpell) string-similarity join: two words are within
+# Damerau/Levenshtein distance 2 only if some <=2-deletion variant of one
+# equals some <=2-deletion variant of the other — so the candidate set is
+# an EQUI-join on deletion variants (narrow per-word fan-out, ~1+L+L^2/2
+# keys), never a cross join. Exact levenshtein() verifies survivors.
+_DEL1 = (
+    "transform(sequence(1, length({w})), i -> "
+    "concat(substring({w}, 1, i - 1), substring({w}, i + 1, length({w}))))"
+)
+
+
+def _sym_variants_expr(col: str) -> str:
+    d1 = _DEL1.format(w=col)
+    d2 = (
+        f"flatten(transform({d1}, v -> transform(sequence(1, length(v)), "
+        f"j -> concat(substring(v, 1, j - 1), substring(v, j + 1, length(v))))))"
+    )
+    return f"array_distinct(concat(array({col}), {d1}, {d2}))"
+
+
+@register(
+    "text_typo_pairs_symdelete",
+    oracle=f"""
+    WITH v AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest({_DD_TOKENS_LOWER}) AS t FROM documents
+      ) WHERE length(t) >= 3 GROUP BY t
+    )
+    SELECT a.t AS w_a, b.t AS w_b, a.n AS n_a, b.n AS n_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= 2
+    ORDER BY w_a, w_b
+    """,
+    doc="String-similarity join: vocabulary pairs within edit distance 2 "
+    "(typo/variant mining — the SymSpell spell-correction candidate "
+    "structure, and the same join class as fuzzy entity resolution). "
+    "The Spark plan is the SCALE path: each word emits its <=2-deletion "
+    "neighborhood (~1 + L + L^2/2 short keys, built with nested "
+    "transform() — no UDF), candidates come from ONE equi-self-join on "
+    "the variant key, and exact levenshtein() verifies survivors — "
+    "never a cross join (suite-wide cartesian assertion applies). The "
+    "DuckDB oracle is the brute-force all-pairs levenshtein the "
+    "banded plan must reproduce exactly, mirroring the LSH/brute-force "
+    "pairing used for embedding near-dup.",
+    tags=("llm", "text", "join", "dedup"),
+)
+def text_typo_pairs_symdelete(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"))
+        .filter(F.length("t") >= 3)
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+    variants = vocab.select(
+        "t", "n", F.explode(F.expr(_sym_variants_expr("t"))).alias("vkey")
+    )
+    a = variants.select(
+        F.col("t").alias("w_a"), F.col("n").alias("n_a"), "vkey"
+    )
+    b = variants.select(
+        F.col("t").alias("w_b"), F.col("n").alias("n_b"), "vkey"
+    )
+    cand = (
+        a.join(b, "vkey")
+        .filter(F.col("w_a") < F.col("w_b"))
+        .select("w_a", "w_b", "n_a", "n_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("w_a"), F.col("w_b")).cast("long")
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("w_a", "w_b")
+    )
