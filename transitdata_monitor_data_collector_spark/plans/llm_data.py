@@ -3721,7 +3721,11 @@ def _sym_variants_expr(col: str) -> str:
     "never a cross join (suite-wide cartesian assertion applies). The "
     "DuckDB oracle is the brute-force all-pairs levenshtein the "
     "banded plan must reproduce exactly, mirroring the LSH/brute-force "
-    "pairing used for embedding near-dup.",
+    "pairing used for embedding near-dup. Hot-bucket note: 1-char "
+    "variant keys (deletions of 3-char words) are shared widely, but "
+    "their bucket size is bounded by the count of <=3-char vocabulary "
+    "entries — dimension-sized at any corpus scale; the join key is "
+    "the VOCAB, not the token stream.",
     tags=("llm", "text", "join", "dedup"),
 )
 def text_typo_pairs_symdelete(spark, sf_dir):
