@@ -146,3 +146,55 @@ def test_tws_meter_matches_batch(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_checkpoint_recovery_resumes_not_reprocesses(spark, sf_dir, tmp_path):
+    """T4 state & recovery, exercised for real: run a stateful streaming
+    aggregation to exhaustion, STOP it, append new source files, and
+    start a NEW query from the same checkpoint. The restart must (a)
+    restore the state store — final totals equal the full batch answer —
+    and (b) resume from the committed offsets — the second run reads
+    ONLY the new files, not the whole source."""
+    from pyspark.sql import functions as F
+
+    from transitdata_monitor_data_collector_spark.plans import table
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    n1, n2 = h1.count(), h2.count()
+    h1.write.mode("append").parquet(src)
+    schema = ev.schema
+
+    def run(name):
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream.groupBy("event_type").count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        rows = sum(p["numInputRows"] for p in q.recentProgress)
+        q.stop()
+        return rows
+
+    assert run("ckpt_rec_m1") == n1
+    h2.write.mode("append").parquet(src)
+    reprocessed = run("ckpt_rec_m2")
+    assert reprocessed == n2, (
+        f"restart re-read {reprocessed} rows; committed offsets should "
+        f"limit it to the {n2} new rows"
+    )
+    got = {
+        r["event_type"]: r["count"]
+        for r in spark.sql("select * from ckpt_rec_m2").collect()
+    }
+    exp = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == exp
