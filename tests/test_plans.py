@@ -367,3 +367,17 @@ def test_shuffle_hash_hint_respected(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE must be on and actually re-planning: a small aggregate runs
+    with far fewer reducers than spark.sql.shuffle.partitions after
+    runtime coalescing (the knob that makes one config work from sf0.001
+    to 100 TB without hand-tuning reducer counts)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = REGISTRY["q1_pricing_summary"].build(spark, sf_dir)
+    df.collect()  # execute THIS plan object so AQE finalizes it
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, (
+        "adaptive execution did not coalesce the shuffle for a small input"
+    )
