@@ -3758,3 +3758,46 @@ def text_typo_pairs_symdelete(spark, sf_dir):
         .filter(F.col("dist") <= 2)
         .orderBy("w_a", "w_b")
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, lang, {_langid_sql()} AS pred_lang FROM documents
+    ),
+    cm AS (
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, pred_lang
+    )
+    SELECT lang, pred_lang, n,
+           floor(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY lang) * 1e6 + 0.5) / 1e6
+             AS row_frac
+    FROM cm ORDER BY lang, pred_lang
+    """,
+    doc="Language-ID confusion matrix: the marker-token classifier's "
+    "predictions against the corpus's labeled lang column, with "
+    "row-normalized fractions — the per-class quality report that "
+    "decides whether the cheap heuristic can gate a crawl or needs a "
+    "fastText-class model behind it (swap the classifier inside "
+    "functions/text.langid; the evaluation query is unchanged). "
+    "Dimension-sized output (|lang|^2); one aggregate.",
+    tags=("llm", "text", "quality"),
+)
+def text_langid_confusion(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    pred = d.select(
+        "lang", TX.langid(F.col("text")).alias("pred_lang")
+    )
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    wl = W.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "pred_lang",
+        "n",
+        (
+            F.floor(F.col("n").cast("double") / F.sum("n").over(wl) * 1e6 + 0.5)
+            / 1e6
+        ).alias("row_frac"),
+    ).orderBy("lang", "pred_lang")

@@ -3165,3 +3165,59 @@ def events_time_to_convert(spark, sf_dir):
             F.floor(F.expr("percentile(us, 0.9)") / 1e6 * 1e6 + 0.5) / 1e6
         ).alias("p90_s"),
     )
+
+
+@register(
+    "timeseries_moving_median",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, event_id,
+             quantile_cont(value, 0.5) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW
+             ) AS m,
+             count(*) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW
+             ) AS n_win
+      FROM events
+    )
+    SELECT event_type, event_id, CAST(n_win AS BIGINT) AS n_win,
+           floor(m * 1e6 + 0.5) / 1e6 AS moving_median
+    FROM med WHERE event_id % 100 = 0
+    ORDER BY event_id
+    """,
+    doc="Trailing moving median (100-row window) of value per event_type "
+    "— the robust trend line that survives the outliers a moving mean "
+    "absorbs (pairs with the MAD anomaly detector). An interpolated "
+    "percentile as a WINDOW aggregate: one sort per key, the frame "
+    "recomputed incrementally by the engine; interpolation arithmetic "
+    "over exact doubles is pinned cross-engine (agg_percentiles "
+    "precedent), floor-micro'd. Output decimated to every 100th event "
+    "to stay hash-sized; the full series is the same plan minus the "
+    "filter.",
+    tags=("monitoring", "window", "timeseries"),
+)
+def timeseries_moving_median(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, W.currentRow)
+    )
+    med = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("percentile(value, 0.5)").over(w).alias("m"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    return (
+        med.filter(F.col("event_id") % 100 == 0)
+        .select(
+            "event_type",
+            "event_id",
+            F.col("n_win").cast("long").alias("n_win"),
+            (F.floor(F.col("m") * 1e6 + 0.5) / 1e6).alias("moving_median"),
+        )
+        .orderBy("event_id")
+    )
