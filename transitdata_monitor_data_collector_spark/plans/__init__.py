@@ -62,15 +62,17 @@ def register(
 # green row yet (or whose last row was red), most-at-risk first; everything
 # not listed follows in registration order.
 #
-# ROUND-5 ROTATION NOTE: after round 4's window, the registry queries
-# with no driver row will be: events_dau_wau_stickiness_approx
-# (rows-only HLL twin), events_seasonal_effects, profile_events_columns,
-# join_shuffle_hash_hint, window_rank_functions, agg_skew_kurtosis,
-# events_benford_deviation, emb_matryoshka_recall, emb_centroid_drift,
-# events_time_to_convert, streaming_histogram_buckets, and
-# text_typo_pairs_symdelete (all green on the local parity mirror AND
-# the sf0.1 stress) — lead round 5 with those, then backfill with the
-# oldest green rows.
+# ROUND-5 ROTATION NOTE: lead round 5 with every registry query that has
+# no row in CORRECTNESS_r01..r04 — compute the list at rotation time as
+#   sorted(set(load_all()) - union(CORRECTNESS_r0*.json keys))
+# (at round-4 close: events_dau_wau_stickiness_approx (rows-only HLL),
+# events_seasonal_effects, profile_events_columns, join_shuffle_hash_hint,
+# window_rank_functions, agg_skew_kurtosis, events_benford_deviation,
+# emb_matryoshka_recall, emb_centroid_drift, events_time_to_convert,
+# streaming_histogram_buckets, text_typo_pairs_symdelete,
+# text_langid_confusion, timeseries_moving_median — all green on the
+# local parity mirror AND the sf0.1 stress), then backfill the 50-row
+# window with the oldest green rows.
 GATE_ORDER: list[str] = [
     # ------- round-4 rotation: every query that has never earned a
     # driver CORRECTNESS row (24 round-3 additions + round-4 additions),
