@@ -148,3 +148,42 @@ def test_zorder_clusters_both_columns(spark, tmp_path):
     assert z_val < l_val / 2, (z_val, l_val)
     # sanity: the linear sort's own leading column is tight
     assert l_uid < 0.3, l_uid
+
+
+def test_manifest_prunes_files_and_preserves_results(spark, sf_dir, tmp_path):
+    from transitdata_monitor_data_collector_spark.sinks.parquet import (
+        read_manifest_pruned,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "mstore")
+    ev = table(spark, sf_dir, "events")
+    # sort by user_id so per-file user_id ranges are narrow -> skippable
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    n_files = write_stats_manifest(spark, path, ["user_id", "value"])
+    assert n_files >= 8
+    lo, hi = 3, 5
+    pruned = read_manifest_pruned(spark, path, "user_id", lo=lo, hi=hi)
+    full = spark.read.parquet(path).filter(
+        (F.col("user_id") >= lo) & (F.col("user_id") <= hi)
+    )
+    assert pruned.count() == full.count() > 0
+    # the pruned plan must read strictly fewer files than the store holds
+    n_read = len(pruned.inputFiles())
+    assert n_read < n_files, f"manifest kept all {n_files} files"
+
+
+def test_manifest_missing_falls_back(spark, sf_dir, tmp_path):
+    from transitdata_monitor_data_collector_spark.sinks.parquet import (
+        read_manifest_pruned,
+    )
+
+    path = str(tmp_path / "nomanifest")
+    table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    df = read_manifest_pruned(spark, path, "user_id", lo=0)
+    assert df.count() == spark.read.parquet(path).count()

@@ -251,3 +251,112 @@ def compact_store(
         os.remove(os.path.join(part_dir, f))
     shutil.rmtree(tmp, ignore_errors=True)
     return len(data_files)
+
+
+# ---------------------------------------------------------------------------
+# File-stats manifest: Iceberg/Delta-style data skipping on plain parquet.
+# The partition layout prunes on TIME; the manifest prunes on any OTHER
+# column a query filters by (min/max per file), turning "scan the whole
+# day" into "open the 2 files whose [min,max] straddles the predicate".
+# At 100 TB the manifest is metadata-sized (one row per file) and the
+# pruning decision never touches the data plane.
+
+MANIFEST_NAME = "_file_stats_manifest.json"
+
+
+def write_stats_manifest(
+    spark: SparkSession, path: str, stat_cols: Sequence[str]
+) -> int:
+    """Scan the store's parquet FOOTERS (not data) and write a manifest of
+    per-file min/max for ``stat_cols``. Returns the number of files
+    indexed. Idempotent — rerun after appends/compaction."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            meta = pq.ParquetFile(fp).metadata
+            names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            stats: dict[str, list] = {}
+            for col in stat_cols:
+                if col not in names:
+                    continue
+                lo = hi = None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(names[col]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    stats[col] = [
+                        lo.isoformat() if hasattr(lo, "isoformat") else lo,
+                        hi.isoformat() if hasattr(hi, "isoformat") else hi,
+                    ]
+            entries.append(
+                {"file": os.path.relpath(fp, path), "rows": meta.num_rows,
+                 "stats": stats}
+            )
+    manifest = {"stat_cols": list(stat_cols), "files": entries}
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f)
+    return len(entries)
+
+
+def read_manifest_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Read only the files whose [min, max] for ``col`` intersects
+    [lo, hi] (either bound optional) according to the manifest; falls
+    back to the full store when the manifest is missing or the column
+    is unindexed. The residual filter is still applied — manifest
+    pruning is an IO optimization, never a correctness dependency."""
+    import json
+    import os
+
+    mf = os.path.join(path, MANIFEST_NAME)
+    residual = None
+    if lo is not None:
+        residual = F.col(col) >= lo
+    if hi is not None:
+        c = F.col(col) <= hi
+        residual = c if residual is None else residual & c
+    if not os.path.exists(mf):
+        df = spark.read.parquet(path)
+        return df.filter(residual) if residual is not None else df
+    with open(mf) as f:
+        manifest = json.load(f)
+    keep = []
+    for e in manifest["files"]:
+        st = e["stats"].get(col)
+        if st is None:
+            keep.append(e["file"])  # unindexed file: must read
+            continue
+        fmin, fmax = st
+        if lo is not None and fmax < lo:
+            continue
+        if hi is not None and fmin > hi:
+            continue
+        keep.append(e["file"])
+    if not keep:
+        # empty selection: preserve schema via a zero-file read
+        df = spark.read.parquet(path).limit(0)
+        return df.filter(residual) if residual is not None else df
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, k) for k in keep]
+    )
+    return df.filter(residual) if residual is not None else df
+
+
+__all__ += ["write_stats_manifest", "read_manifest_pruned", "MANIFEST_NAME"]
