@@ -287,6 +287,12 @@ def write_stats_manifest(
             for col in stat_cols:
                 if col not in names:
                     continue
+                # BYTE_ARRAY (string/binary) min/max in footers may be
+                # TRUNCATED bounds; pruning on them could wrongly drop a
+                # file (the residual filter only fixes files we READ).
+                # Index only fixed-width types, where stats are exact.
+                if meta.schema.column(names[col]).physical_type == "BYTE_ARRAY":
+                    continue
                 lo = hi = None
                 for rg in range(meta.num_row_groups):
                     st = meta.row_group(rg).column(names[col]).statistics
@@ -321,7 +327,9 @@ def read_manifest_pruned(
     [lo, hi] (either bound optional) according to the manifest; falls
     back to the full store when the manifest is missing or the column
     is unindexed. The residual filter is still applied — manifest
-    pruning is an IO optimization, never a correctness dependency."""
+    pruning is an IO optimization for files we read; files are only
+    SKIPPED on exact fixed-width stats (strings are never indexed —
+    parquet footers may store truncated string bounds)."""
     import json
     import os
 
