@@ -61,6 +61,9 @@ HEADLINE = [
     "sketch_countmin_heavy_hitters",
     "timeseries_ewma",
     "multimodal_audio_energy",
+    "doc_dsir_importance",
+    "text_typo_pairs_symdelete",
+    "events_cusum_changepoint",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
