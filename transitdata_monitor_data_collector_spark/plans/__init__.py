@@ -70,7 +70,8 @@ def register(
 # window_rank_functions, agg_skew_kurtosis, events_benford_deviation,
 # emb_matryoshka_recall, emb_centroid_drift, events_time_to_convert,
 # streaming_histogram_buckets, text_typo_pairs_symdelete,
-# text_langid_confusion, timeseries_moving_median — all green on the
+# text_langid_confusion, timeseries_moving_median,
+# text_rake_keyphrases — all green on the
 # local parity mirror AND the sf0.1 stress), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

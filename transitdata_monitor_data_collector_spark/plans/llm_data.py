@@ -3801,3 +3801,107 @@ def text_langid_confusion(spark, sf_dir):
             / 1e6
         ).alias("row_frac"),
     ).orderBy("lang", "pred_lang")
+
+
+# RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010): candidate
+# phrases are maximal stopword-free token runs; each word scores
+# degree/frequency over the phrase corpus; a phrase scores the sum of its
+# words. Stopword split is a pure-regex rewrite (identical pattern text in
+# both engines), scores are micro-quantized at the DISTINCT-word level so
+# phrase sums are exact integer accumulation.
+_RAKE_STOPS = "the|a|and|of|to|in|is|for|on|with|at|by|from|as|an|or"
+_RAKE_SPLIT = f"\\b(?:{_RAKE_STOPS})\\b"
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH ph AS (
+      SELECT trim(p) AS phrase FROM (
+        SELECT unnest(str_split(
+          regexp_replace(lower(text), '{_RAKE_SPLIT}', '|', 'g'), '|')) AS p
+        FROM documents
+      ) WHERE trim(p) <> ''
+    ),
+    pw AS (
+      SELECT phrase, str_split_regex(phrase, '\\s+') AS ws FROM ph
+    ),
+    wstat AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(deg) AS BIGINT) AS degree
+      FROM (
+        SELECT unnest(ws) AS w, len(ws) AS deg FROM pw
+      ) GROUP BY w
+    ),
+    wscore AS (
+      SELECT w, CAST(floor(CAST(degree AS DOUBLE) / freq * 1e6 + 0.5)
+                     AS BIGINT) AS s_micro
+      FROM wstat
+    ),
+    pscore AS (
+      SELECT p.phrase, CAST(sum(s.s_micro) AS BIGINT) AS score_micro
+      FROM (SELECT phrase, unnest(ws) AS w FROM pw) p
+      JOIN wscore s ON s.w = p.w
+      GROUP BY p.phrase
+    )
+    SELECT p.phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(ps.score_micro) / CAST(count(*) AS BIGINT) AS score_micro
+    FROM ph p JOIN pscore ps USING (phrase)
+    GROUP BY p.phrase
+    ORDER BY score_micro DESC, phrase LIMIT 20
+    """,
+    doc="RAKE keyphrase extraction (Rose et al. 2010): maximal "
+    "stopword-free token runs scored by sum over words of "
+    "degree/frequency — the classic unsupervised keyword miner "
+    "(tokenizer-vocab and tag-generation precursor). The stopword cut "
+    "is one regexp_replace-to-separator + split (no UDF, identical "
+    "pattern both engines); word scores micro-quantize at the distinct "
+    "word (the division is the only non-integer step), phrase sums are "
+    "exact integers. Narrow explode -> two map-side aggregates -> "
+    "vocab-sized join.",
+    tags=("llm", "text"),
+)
+def text_rake_keyphrases(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    ph = (
+        d.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.col("text")), _RAKE_SPLIT, "|"),
+                    r"\|",
+                )
+            ).alias("p")
+        )
+        .select(F.trim(F.col("p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pw = ph.select("phrase", F.split(F.col("phrase"), r"\s+").alias("ws"))
+    words = pw.select(
+        F.explode(F.col("ws")).alias("w"), F.size("ws").alias("deg")
+    )
+    wstat = words.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("deg").alias("degree")
+    )
+    wscore = wstat.select(
+        "w",
+        F.floor(F.col("degree").cast("double") / F.col("freq") * 1e6 + 0.5)
+        .cast("long")
+        .alias("s_micro"),
+    )
+    pscore = (
+        pw.select("phrase", F.explode("ws").alias("w"))
+        .join(F.broadcast(wscore), "w")
+        .groupBy("phrase")
+        .agg(F.sum("s_micro").alias("score_micro"))
+    )
+    return (
+        ph.join(pscore, "phrase")
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            (F.min("score_micro") / F.count("*")).alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "phrase")
+        .limit(20)
+    )
