@@ -71,7 +71,8 @@ def register(
 # emb_matryoshka_recall, emb_centroid_drift, events_time_to_convert,
 # streaming_histogram_buckets, text_typo_pairs_symdelete,
 # text_langid_confusion, timeseries_moving_median,
-# text_rake_keyphrases — all green on the
+# text_rake_keyphrases, doc_stratified_sample, doc_gopher_quality_rules,
+# events_ab_uplift_ztest, doc_ccnet_perplexity_buckets — all green on the
 # local parity mirror AND the sf0.1 stress), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

@@ -3905,3 +3905,196 @@ def text_rake_keyphrases(spark, sf_dir):
         .orderBy(F.desc("score_micro"), "phrase")
         .limit(20)
     )
+
+
+# Per-stratum sampling rates for the sampleBy analog (parts-per-million).
+_STRAT_RATES_PPM = {"en": 800000, "de": 500000, "fr": 500000, "es": 250000,
+                    "zh": 250000}
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_MD5_PPM_DD} < CASE lang
+        {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRAT_RATES_PPM.items())}
+        ELSE 0 END
+    ORDER BY doc_id
+    """,
+    doc="Stratified sampling with per-stratum rates (the "
+    "DataFrameStatFunctions.sampleBy analog, DETERMINISTIC): each "
+    "document keeps iff its md5 parts-per-million falls under its "
+    "language's rate — en 80%, de/fr 50%, es/zh 25% — the "
+    "language-rebalancing cut every multilingual pretraining mix "
+    "applies. Zero randomness: identical keep set on retry, "
+    "re-partition, and in the oracle (sampleBy's Bernoulli draw could "
+    "never hash cross-engine). Narrow filter, no shuffle before the "
+    "output sort.",
+    tags=("llm", "sampling"),
+)
+def doc_stratified_sample(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for k, v in _STRAT_RATES_PPM.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        d.filter(F.expr(_MD5_PPM) < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_gopher_quality_rules",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_DD_TOKENS_LOWER}) AS n_words,
+             CAST(length(regexp_replace(text, '[^#*]', '', 'g')) AS BIGINT)
+               AS n_symbols,
+             length(text) - length(replace(text, ' ', '')) AS n_spaces,
+             length(text) AS n_chars,
+             len(list_filter({_DD_TOKENS_LOWER},
+                 w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN n_words < 5 OR n_words > 100000 THEN 'word_count'
+             WHEN n_words > 0 AND
+                  CAST(n_chars - n_spaces AS DOUBLE) / n_words
+                    NOT BETWEEN 2.0 AND 12.0 THEN 'mean_word_len'
+             WHEN n_words > 0 AND
+                  CAST(n_symbols AS DOUBLE) / n_words > 0.1 THEN 'symbol_ratio'
+             WHEN n_stop = 0 THEN 'no_stopwords'
+             ELSE 'pass'
+           END AS gopher_status
+    FROM feats ORDER BY doc_id
+    """,
+    doc="Gopher-rule quality gate (Rae et al. 2021, Table A1 — adapted "
+    "thresholds): word-count bounds, mean-word-length window, "
+    "symbol-to-word ratio, and the must-contain-a-stopword rule, "
+    "evaluated as a CASE ladder with the FIRST failing rule reported "
+    "(the actionable form: tells the curator why a doc died). All "
+    "features are integer counts from one narrow projection; the two "
+    "ratios are pinned double divisions. Complements the generic "
+    "text_quality_scores with the named-paper rule set.",
+    tags=("llm", "text", "quality"),
+)
+def doc_gopher_quality_rules(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    feats = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), "[^#*]", "")).cast("long").alias(
+            "n_symbols"
+        ),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), " ", ""))
+        ).alias("n_spaces"),
+        F.length("text").alias("n_chars"),
+        F.size(
+            F.filter(
+                toks,
+                lambda w: w.isin("the", "and", "of", "to", "a"),
+            )
+        ).alias("n_stop"),
+    )
+    mwl = (F.col("n_chars") - F.col("n_spaces")).cast("double") / F.col("n_words")
+    status = (
+        F.when(
+            (F.col("n_words") < 5) | (F.col("n_words") > 100000), "word_count"
+        )
+        .when(
+            (F.col("n_words") > 0) & (~mwl.between(2.0, 12.0)), "mean_word_len"
+        )
+        .when(
+            (F.col("n_words") > 0)
+            & (F.col("n_symbols").cast("double") / F.col("n_words") > 0.1),
+            "symbol_ratio",
+        )
+        .when(F.col("n_stop") == 0, "no_stopwords")
+        .otherwise("pass")
+    )
+    return feats.select("doc_id", status.alias("gopher_status")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "doc_ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_DD_TOKENS_LOWER}) AS t FROM documents
+    ),
+    freq AS (
+      SELECT t,
+             CAST(floor(-ln(CAST(count(*) AS DOUBLE)
+                            / (SELECT count(*) FROM tok)) * 1e9 + 0.5)
+                  AS BIGINT) AS nll_nano
+      FROM tok GROUP BY t
+    ),
+    scored AS (
+      SELECT k.doc_id, k.lang,
+             CAST(sum(f.nll_nano) AS BIGINT) AS nll_sum,
+             CAST(count(*) AS BIGINT) AS n_tok
+      FROM tok k JOIN freq f USING (t)
+      GROUP BY k.doc_id, k.lang
+    )
+    SELECT doc_id, lang,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY nll_sum * 1.0 / n_tok, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ccnet_bucket
+    FROM scored ORDER BY doc_id
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): within "
+    "each language, documents split into head/middle/tail terciles of "
+    "unigram-LM mean surprisal — the curation tier every CommonCrawl "
+    "pipeline stamps before mixing (head = fluent, tail = noisy). "
+    "Rides the doc_perplexity_unigram scoring (vocabulary-level "
+    "nano-quantized surprisals, exact integer sums); the tercile is "
+    "ntile over the EXACT rational nll_sum/n_tok with doc_id "
+    "tiebreak, so bucket edges are deterministic cross-engine.",
+    tags=("llm", "text", "quality", "sampling"),
+)
+def doc_ccnet_perplexity_buckets(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    total = tok.agg(F.count("*").cast("double").alias("total"))
+    freq = (
+        tok.groupBy("t")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e9 + 0.5)
+            .cast("long")
+            .alias("nll_nano"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(freq), "t")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("nll_nano").alias("nll_sum"),
+            F.count("*").alias("n_tok"),
+        )
+    )
+    wn = W.partitionBy("lang").orderBy(
+        F.col("nll_sum") * 1.0 / F.col("n_tok"), "doc_id"
+    )
+    bucket = (
+        F.when(F.ntile(3).over(wn) == 1, "head")
+        .when(F.ntile(3).over(wn) == 2, "middle")
+        .otherwise("tail")
+    )
+    return scored.select(
+        "doc_id", "lang", bucket.alias("ccnet_bucket")
+    ).orderBy("doc_id")

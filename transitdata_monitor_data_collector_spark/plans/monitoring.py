@@ -3221,3 +3221,81 @@ def timeseries_moving_median(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_ab_uplift_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 100
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY variant
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 0 THEN conv END) AS c0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM agg
+    )
+    SELECT n0, c0, n1, c1,
+           floor(CAST(c0 AS DOUBLE) / n0 * 1e6 + 0.5) / 1e6 AS rate_0,
+           floor(CAST(c1 AS DOUBLE) / n1 * 1e6 + 0.5) / 1e6 AS rate_1,
+           floor((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)) * 1e6 + 0.5) / 1e6
+             AS z_stat
+    FROM wide
+    """,
+    doc="A/B uplift analysis with a two-proportion pooled z-test: "
+    "variant = deterministic user split, conversion = any high-value "
+    "purchase (value > 100); "
+    "reports per-arm rates and the z statistic the experimentation "
+    "platform gates ships on. Counts are exact integers; the z "
+    "formula is one pinned double expression (identical operation "
+    "order both engines). Two user-keyed aggregates, 1-row output.",
+    tags=("monitoring", "agg"),
+)
+def events_ab_uplift_ztest(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 100),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "converted"
+    )
+    agg = assign.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = agg.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    p = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (r1 - r0) / F.sqrt(
+        p * (1 - p) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        (F.floor(r0 * 1e6 + 0.5) / 1e6).alias("rate_0"),
+        (F.floor(r1 * 1e6 + 0.5) / 1e6).alias("rate_1"),
+        (F.floor(z * 1e6 + 0.5) / 1e6).alias("z_stat"),
+    )
