@@ -73,8 +73,12 @@ def register(
 # text_langid_confusion, timeseries_moving_median,
 # text_rake_keyphrases, doc_stratified_sample, doc_gopher_quality_rules,
 # events_ab_uplift_ztest, doc_ccnet_perplexity_buckets — all green on the
-# local parity mirror AND the sf0.1 stress), then backfill the 50-row
-# window with the oldest green rows.
+# local parity mirror AND the sf0.1 stress; plus the late round-4 batch:
+# unpivot_daily_event_counts, agg_filter_clause_conditionals,
+# agg_listagg_ordered, lateral_token_first_position, events_apdex_score,
+# promql_alert_for_duration, scd2_build_from_events,
+# doc_source_preference_dedup — green on the local parity mirror), then
+# backfill the 50-row window with the oldest green rows.
 GATE_ORDER: list[str] = [
     # ------- round-4 rotation: every query that has never earned a
     # driver CORRECTNESS row (24 round-3 additions + round-4 additions),

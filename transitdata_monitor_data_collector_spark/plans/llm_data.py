@@ -4098,3 +4098,47 @@ def doc_ccnet_perplexity_buckets(spark, sf_dir):
     return scored.select(
         "doc_id", "lang", bucket.alias("ccnet_bucket")
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_source_preference_dedup",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY CAST(substr(source, 4) AS INTEGER), doc_id
+             ) AS rn,
+             CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS group_size
+      FROM documents
+    )
+    SELECT doc_id, source, group_size, rn = 1 AS kept
+    FROM ranked
+    ORDER BY doc_id
+    """,
+    doc="Cross-source exact dedup with SOURCE PREFERENCE: within each "
+    "content-hash group, keep the copy from the highest-priority source "
+    "(numeric suffix of the source id; doc_id tiebreak) and mark the "
+    "rest dropped — the 'prefer the cleanest mirror' policy every "
+    "multi-crawl curation pipeline needs, vs doc_exact_dedup's "
+    "first-by-id survivor. One hash shuffle on md5(text); both the "
+    "row_number and the group_size ride the same window partitioning, "
+    "so Spark plans a single sort+exchange. Survivor choice is total-"
+    "ordered (priority, doc_id) => deterministic cross-engine.",
+    tags=("llm-data", "dedup", "window"),
+)
+def doc_source_preference_dedup(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    priority = F.substring("source", 4, 10).cast("int")
+    w = W.partitionBy(F.md5("text")).orderBy(priority.asc(), F.col("doc_id"))
+    wc = W.partitionBy(F.md5("text"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.count("*").over(wc).alias("group_size"),
+            (F.row_number().over(w) == 1).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

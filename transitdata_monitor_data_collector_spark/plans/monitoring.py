@@ -3299,3 +3299,212 @@ def events_ab_uplift_ztest(spark, sf_dir):
         (F.floor(r1 * 1e6 + 0.5) / 1e6).alias("rate_1"),
         (F.floor(z * 1e6 + 0.5) / 1e6).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: SRE scoring (Apdex), Prometheus-style alert rules with
+# `for:`-duration semantics (gaps-and-islands), and SCD2 dimension BUILD
+# (the write-side twin of scd2_point_in_time's read side).
+# ---------------------------------------------------------------------------
+
+from transitdata_monitor_data_collector_spark.functions.rounding import fround  # noqa: E402
+
+
+@register(
+    "events_apdex_score",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) FILTER (value <= 50.0) AS BIGINT)  AS satisfied,
+           CAST(count(*) FILTER (value > 50.0 AND value <= 200.0) AS BIGINT)
+             AS tolerating,
+           CAST(count(*) AS BIGINT) AS total,
+           floor((count(*) FILTER (value <= 50.0)
+                  + 0.5 * count(*) FILTER (value > 50.0 AND value <= 200.0))
+                 / count(*) * 1e6 + 0.5) / 1e6 AS apdex
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+    doc="Apdex score per day (T=50, 4T=200 over the value column as the "
+    "latency proxy): (satisfied + tolerating/2) / total — the standard "
+    "SRE user-satisfaction index a Grafana latency panel derives from "
+    "the same histograms the reference ships to Azure Monitor "
+    "(transitdata-metrics-exporter DistributionSummary, "
+    "MonitorServiceImpl.java). One pass, three conditional counters, "
+    "all map-side combinable; the ratio is computed once per day row "
+    "from exact integer counts so the cross-engine hash is stable.",
+    tags=("monitoring", "agg", "sre"),
+)
+def events_apdex_score(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    sat = F.count_if(F.col("value") <= 50.0)
+    tol = F.count_if((F.col("value") > 50.0) & (F.col("value") <= 200.0))
+    agg = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        sat.alias("satisfied"),
+        tol.alias("tolerating"),
+        F.count("*").alias("total"),
+    )
+    return agg.select(
+        "day",
+        "satisfied",
+        "tolerating",
+        "total",
+        fround(
+            (F.col("satisfied").cast("double") + 0.5 * F.col("tolerating"))
+            / F.col("total"),
+            6,
+        ).alias("apdex"),
+    ).orderBy("day")
+
+
+@register(
+    "promql_alert_for_duration",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY 1
+    ),
+    breaches AS (
+      SELECT h.event_type, h.hour_idx, h.cnt,
+             h.hour_idx - row_number() OVER (PARTITION BY h.event_type
+                                             ORDER BY h.hour_idx) AS island
+      FROM hourly h JOIN totals t USING (event_type)
+      WHERE h.cnt * t.n_hours > 2 * t.total
+    )
+    SELECT event_type,
+           to_timestamp(min(hour_idx) * 3600) AS alert_start,
+           to_timestamp(max(hour_idx) * 3600) AS alert_end,
+           CAST(count(*) AS BIGINT)           AS breach_hours,
+           CAST(max(cnt) AS BIGINT)           AS peak_cnt
+    FROM breaches
+    GROUP BY event_type, island
+    HAVING count(*) >= 2
+    ORDER BY event_type, alert_start
+    """,
+    doc="Prometheus/Grafana alert-rule semantics with `for:` duration "
+    "(the reference's dashboards alert on these panels; "
+    "grafana/*.json): a per-hour count breaching 2x the series' own "
+    "mean rate fires only after holding for >= 2 CONSECUTIVE hours. "
+    "The threshold compare is integer cross-multiplied "
+    "(cnt * n_hours > 2 * total) so it is exact on both engines, and "
+    "the consecutive-run detection is the gaps-and-islands idiom "
+    "(hour_idx - row_number() is constant within a run) — one window "
+    "over the tiny hourly rollup, no self-join. At 100 TB the hourly "
+    "rollup is the only shuffle; islands run over "
+    "series-count x hours rows.",
+    tags=("monitoring", "promql", "window", "alerting"),
+)
+def promql_alert_for_duration(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_hours")
+    )
+    w = W.partitionBy("event_type").orderBy("hour_idx")
+    breaches = (
+        hourly.join(F.broadcast(totals), "event_type")
+        .where(F.col("cnt") * F.col("n_hours") > 2 * F.col("total"))
+        .withColumn("island", F.col("hour_idx") - F.row_number().over(w))
+    )
+    return (
+        breaches.groupBy("event_type", "island")
+        .agg(
+            F.timestamp_seconds(F.min("hour_idx") * 3600).alias("alert_start"),
+            F.timestamp_seconds(F.max("hour_idx") * 3600).alias("alert_end"),
+            F.count("*").alias("breach_hours"),
+            F.max("cnt").alias("peak_cnt"),
+        )
+        .where(F.col("breach_hours") >= 2)
+        .drop("island")
+        .orderBy("event_type", "alert_start")
+    )
+
+
+@register(
+    "scd2_build_from_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY version) AS valid_to,
+           version,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY version) IS NULL AS is_current
+    FROM changes
+    ORDER BY user_id, version
+    """,
+    doc="SCD2 dimension BUILD from a change-event stream: collapse "
+    "consecutive same-state events per user into versioned "
+    "[valid_from, valid_to) intervals via lag-change-detect + lead-"
+    "close — the write side whose read side is scd2_point_in_time. "
+    "Two windows over the same (user_id, ts) sort order, so Spark "
+    "plans ONE sort+shuffle reused by both Window operators; ties are "
+    "broken by the unique event_id so the interval set is "
+    "deterministic. At 100 TB this partitions by the natural entity "
+    "key and never materializes anything wider than the change rows.",
+    tags=("monitoring", "window", "scd2", "temporal"),
+)
+def scd2_build_from_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w_ord).alias("prev_type"),
+    )
+    changes = (
+        ordered.where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.row_number().over(w_ord).alias("version"),
+        )
+    )
+    w_ver = W.partitionBy("user_id").orderBy("version")
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(w_ver).alias("valid_to"),
+            "version",
+            F.lead("valid_from").over(w_ver).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

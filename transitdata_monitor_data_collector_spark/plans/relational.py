@@ -1807,3 +1807,201 @@ def agg_skew_kurtosis(spark, sf_dir):
         (F.floor(skew * 1e6 + 0.5) / 1e6).alias("skewness"),
         (F.floor(kurt * 1e6 + 0.5) / 1e6).alias("excess_kurtosis"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: UNPIVOT/melt, FILTER-clause aggregates, ordered LISTAGG,
+# and generator (explode) with positional array functions — the remaining
+# relational idioms a migrating analyst would reach for.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "unpivot_daily_event_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) FILTER (event_type = 'click')    AS click,
+             count(*) FILTER (event_type = 'error')    AS error,
+             count(*) FILTER (event_type = 'purchase') AS purchase,
+             count(*) FILTER (event_type = 'signup')   AS signup,
+             count(*) FILTER (event_type = 'view')     AS view
+      FROM events GROUP BY 1
+    )
+    SELECT day, event_type, cnt FROM (
+      SELECT day, 'click' AS event_type, click AS cnt FROM wide
+      UNION ALL SELECT day, 'error', error FROM wide
+      UNION ALL SELECT day, 'purchase', purchase FROM wide
+      UNION ALL SELECT day, 'signup', signup FROM wide
+      UNION ALL SELECT day, 'view', view FROM wide
+    )
+    ORDER BY day, event_type
+    """,
+    doc="Pivot-then-UNPIVOT round trip (wide->long melt): daily counts "
+    "pivoted into one column per event type, melted back to long form "
+    "with stack(). The melt is a narrow per-row generator — zero "
+    "shuffle beyond the pivot's own aggregation, so at 100 TB the cost "
+    "is one partial+final hash agg; stack() stays inside whole-stage "
+    "codegen (no Python). Missing cells surface as 0, not null, so the "
+    "long form is a dense grid.",
+    tags=("relational", "pivot", "unpivot"),
+)
+def unpivot_daily_event_counts(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    stack_args = ", ".join(
+        f"'{t}', coalesce(`{t}`, CAST(0 AS BIGINT))" for t in _EVENT_TYPES
+    )
+    return (
+        wide.selectExpr(
+            "day",
+            f"stack({len(_EVENT_TYPES)}, {stack_args}) AS (event_type, cnt)",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "agg_filter_clause_conditionals",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors,
+           floor(CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS purchase_share,
+           floor(CAST(avg(value) FILTER (event_type = 'purchase') AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS avg_purchase_value,
+           bool_or(value > 300.0)  AS any_large,
+           bool_and(value > 0.0)   AS all_positive
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+    doc="FILTER-clause conditional aggregation: count_if, conditional "
+    "share, conditional avg (null-skipping CASE inside avg == SQL "
+    "FILTER), and bool_or/bool_and — all computed in ONE pass over the "
+    "fact table (one partial+final agg, no self-joins per condition, "
+    "which is how this is often mis-written). All five accumulators are "
+    "map-side combinable, so the shuffle carries ~30 rows regardless of "
+    "input scale.",
+    tags=("relational", "agg"),
+)
+def agg_filter_clause_conditionals(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+            fround(
+                F.count_if(F.col("event_type") == "purchase").cast("double")
+                / F.count("*"),
+                6,
+            ).alias("purchase_share"),
+            fround(F.avg(purchase_val), 6).alias("avg_purchase_value"),
+            F.bool_or(F.col("value") > 300.0).alias("any_large"),
+            F.bool_and(F.col("value") > 0.0).alias("all_positive"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT source,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           CAST(count(DISTINCT lang) AS BIGINT)         AS n_langs,
+           CAST(count(*) AS BIGINT)                     AS n_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Ordered LISTAGG / string_agg: per source, the sorted distinct "
+    "language list as one delimited string. Spark has no ordered "
+    "string_agg aggregate; the idiomatic translation is "
+    "array_join(array_sort(collect_set(...))) — collect_set is "
+    "map-side combinable and the sort happens on the final tiny set, "
+    "so the order is deterministic regardless of partitioning (the "
+    "naive collect_list would be partition-order-dependent and flunk "
+    "the cross-engine hash).",
+    tags=("relational", "agg", "string"),
+)
+def agg_listagg_ordered(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias(
+                "langs"
+            ),
+            F.countDistinct("lang").alias("n_langs"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "lateral_token_first_position",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tokens
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, tok,
+             list_position(tokens, tok) AS first_pos
+      FROM toks, unnest(list_distinct(tokens)) AS u(tok)
+    )
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(first_pos) AS BIGINT) AS min_first_pos,
+           floor(CAST(avg(first_pos) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS avg_first_pos
+    FROM per_doc
+    GROUP BY tok
+    ORDER BY n_docs DESC, tok
+    LIMIT 100
+    """,
+    doc="Generator + positional array functions: explode each document's "
+    "DISTINCT tokens (lateral unnest) and join back the token's FIRST "
+    "position via array_position — the 'where in the document does this "
+    "term first appear' primitive behind lead-bias analyses. The "
+    "distinct-before-explode keeps the generator output bounded by "
+    "vocabulary size per doc (not token count), and the final top-100 "
+    "is TakeOrderedAndProject — no global sort materialization.",
+    tags=("relational", "generator", "text"),
+)
+def lateral_token_first_position(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("tokens"),
+    )
+    per_doc = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct("tokens")).alias("tok"),
+        F.col("tokens"),
+    ).select(
+        "doc_id", "tok", F.expr("array_position(tokens, tok)").alias("first_pos")
+    )
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("first_pos").alias("min_first_pos"),
+            fround(F.avg("first_pos"), 6).alias("avg_first_pos"),
+        )
+        .orderBy(F.desc("n_docs"), "tok")
+        .limit(100)
+    )
