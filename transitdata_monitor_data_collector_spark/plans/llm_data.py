@@ -4142,3 +4142,129 @@ def doc_source_preference_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration: dominant principal direction of the embedding cloud
+# as a bounded-round DataFrame iteration — the third iterative-algorithm
+# pattern next to connected components (min-label BSP) and PageRank
+# (weighted BSP), here dense linear algebra: v <- normalize(X^T X v).
+# Each matvec is ONE scan (posexplode + 64-group aggregate, map-side
+# collapsed); the driver ever holds only D scalars (the IVF-centroid
+# discipline). All arithmetic is quantized — picounit per-term dot
+# products, micro-unit y sums, nano-quantized unit vectors — so the
+# DuckDB oracle replays every round bit-exactly in unrolled CTEs.
+_PCA_ROUNDS = 6
+
+
+def _pca_oracle(rounds: int = _PCA_ROUNDS) -> str:
+    ctes = [
+        """
+    x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS xv
+      FROM embeddings
+    ),
+    v0 AS (SELECT DISTINCT pos, 0.125 AS vj FROM x)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    dq{r} AS (
+      SELECT x.vec_id,
+             CAST(sum(CAST(floor(x.xv * v.vj * 1e12 + 0.5) AS BIGINT))
+                  AS BIGINT) AS dq
+      FROM x JOIN v{r - 1} v USING (pos)
+      GROUP BY x.vec_id
+    ),
+    y{r} AS (
+      SELECT x.pos,
+             CAST(sum(CAST(floor(x.xv * CAST(d.dq AS DOUBLE) / 1e6 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS y_n
+      FROM x JOIN dq{r} d USING (vec_id)
+      GROUP BY x.pos
+    ),
+    n{r} AS (
+      SELECT sqrt(CAST(sum(CAST(y_n AS HUGEINT) * y_n) AS DOUBLE)) AS nrm
+      FROM y{r}
+    ),
+    v{r} AS (
+      SELECT pos, floor(CAST(y_n AS DOUBLE) / nrm * 1e9 + 0.5) / 1e9 AS vj
+      FROM y{r}, n{r}
+    )""")
+    r = rounds
+    return (
+        "WITH " + ",".join(ctes) + f"""
+    SELECT y.pos AS pos, y.y_n AS y_n, v.vj AS loading,
+           floor(nrm / 1e6 * 1e6 + 0.5) / 1e6 AS eig
+    FROM y{r} y JOIN v{r} v USING (pos), n{r}
+    ORDER BY pos
+    """
+    )
+
+
+@register(
+    "emb_pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc="Dominant principal direction of the embedding corpus via POWER "
+    "ITERATION (6 fixed rounds from the constant unit start 1/8): "
+    "v <- normalize(X^T X v), with the Gram matvec factored as "
+    "X^T (X v) so nothing D x D is ever materialized — per round one "
+    "scan computes the picounit row dots (X v, exact BIGINT "
+    "accumulation), posexplode fans (pos, x) pairs that collapse "
+    "map-side into D=64 micro-unit integer sums (X^T dots), and only "
+    "those 64 scalars reach the driver for nano-quantized "
+    "renormalization (the IVF-centroid discipline, "
+    "operators/similarity.py). The eigenvalue estimate is the final "
+    "y-norm de-scaled. Every round is exact integer/IEEE arithmetic, "
+    "so the DuckDB oracle's 6 unrolled CTE rounds reproduce the "
+    "loadings bit-for-bit — the iteration itself is hash-gated, not "
+    "just the final report.",
+    tags=("llm", "embedding", "iterative", "agg"),
+)
+def emb_pca_power_iteration(spark, sf_dir):
+    import math
+
+    from transitdata_monitor_data_collector_spark.functions.vectors import as_double
+
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim = dim_row["d"]
+    v = [0.125] * dim
+    y_df = None
+    for _ in range(_PCA_ROUNDS):
+        varr = F.array(*[F.lit(float(x)) for x in v])
+        dq = F.aggregate(
+            F.zip_with(
+                as_double(F.col("embedding")),
+                varr,
+                lambda x, w: F.floor(x * w * 1e12 + 0.5).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        rows = emb.select(
+            dq.alias("dq"),
+            F.posexplode(as_double(F.col("embedding"))).alias("pos", "xv"),
+        )
+        y_df = rows.groupBy("pos").agg(
+            F.sum(
+                F.floor(
+                    F.col("xv") * F.col("dq").cast("double") / 1e6 + 0.5
+                ).cast("long")
+            ).alias("y_n")
+        )
+        y = {r["pos"]: r["y_n"] for r in y_df.collect()}
+        ssq = sum(y[p] * y[p] for p in range(dim))  # exact int, order-free
+        nrm = math.sqrt(float(ssq))
+        v = [math.floor(y[p] / nrm * 1e9 + 0.5) / 1e9 for p in range(dim)]
+    eig = math.floor(nrm / 1e6 * 1e6 + 0.5) / 1e6
+    loading = F.array(*[F.lit(float(x)) for x in v])
+    return (
+        y_df.select(
+            "pos",
+            "y_n",
+            F.element_at(loading, F.col("pos") + 1).alias("loading"),
+            F.lit(eig).alias("eig"),
+        )
+        .orderBy("pos")
+    )
