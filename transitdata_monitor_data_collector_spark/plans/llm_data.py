@@ -4226,7 +4226,16 @@ def emb_pca_power_iteration(spark, sf_dir):
 
     from transitdata_monitor_data_collector_spark.functions.vectors import as_double
 
-    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    # one width-restoring shuffle up front: the testdata table is a single
+    # parquet file (=> one input split), and all six matvec rounds reuse
+    # the same shuffle output (identical lineage => skipped stages). The
+    # integer accumulation is order-independent, so partitioning cannot
+    # move the result.
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     dim_row = emb.select(F.size("embedding").alias("d")).first()
     dim = dim_row["d"]
     v = [0.125] * dim
