@@ -2005,3 +2005,57 @@ def lateral_token_first_position(spark, sf_dir):
         .orderBy(F.desc("n_docs"), "tok")
         .limit(100)
     )
+
+
+@register(
+    "join_null_safe_equality",
+    oracle="""
+    WITH fact AS (
+      SELECT nullif(event_type, 'error') AS k, value FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT nullif(event_type, 'error') AS k,
+             coalesce(nullif(event_type, 'error'), 'unknown') AS label
+      FROM events
+    )
+    SELECT d.label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(f.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM fact f JOIN dim d ON f.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.label
+    ORDER BY d.label
+    """,
+    doc="NULL-safe equality join (Spark `<=>` / SQL IS NOT DISTINCT "
+    "FROM): the join variant where NULL keys MATCH each other instead "
+    "of dropping — required whenever a dimension legitimately carries "
+    "an 'unknown' (NULL) member, and easy to get silently wrong with a "
+    "plain equi-join (NULL rows vanish). Spark plans eqNullSafe as a "
+    "regular hash join key (null-safe comparisons hash NULL to a "
+    "bucket), so the broadcast build and single shuffle survive; no "
+    "fallback to nested-loop. Sums ride exact cent-integer "
+    "accumulation.",
+    tags=("relational", "join"),
+)
+def join_null_safe_equality(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    fact = ev.select(k.alias("k"), "value")
+    dim = (
+        ev.select(
+            k.alias("k"),
+            F.coalesce(k, F.lit("unknown")).alias("label"),
+        )
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["k"].eqNullSafe(dim["k"]))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("sum_value_cents"),
+        )
+        .orderBy("label")
+    )
