@@ -64,6 +64,13 @@ HEADLINE = [
     "doc_dsir_importance",
     "text_typo_pairs_symdelete",
     "events_cusum_changepoint",
+    # round-4 late batch: alert-rule islands, SCD2 build, preference
+    # dedup, and the 6-round PCA power iteration (the heaviest new op —
+    # tracked so its iterative cost stays visible round-over-round)
+    "promql_alert_for_duration",
+    "scd2_build_from_events",
+    "doc_source_preference_dedup",
+    "emb_pca_power_iteration",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
