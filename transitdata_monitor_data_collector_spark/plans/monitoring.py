@@ -2496,7 +2496,8 @@ def _ewma_oracle() -> str:
     "(alpha=0.2), the smoothing curve behind every monitoring "
     "dashboard trend line. The sequential recurrence is re-expressed "
     "as a 32-lag truncated kernel (residual weight mass < 1e-3): one "
-    "window sort per key, 32 codegen'd lag terms, zero recursion, "
+    "window sort per key, ONE frame-array window expression folded by a "
+    "codegen'd higher-order aggregate, zero recursion, "
     "zero Python — the parallelizable form the recurrence can't give. "
     "Each term nano-quantized with a literal weight so the numerator "
     "is exact integer addition; renormalized by the weight actually "
@@ -2505,25 +2506,45 @@ def _ewma_oracle() -> str:
 )
 def timeseries_ewma(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    # project each lag ONCE (num and den both read it): 32 window exprs,
-    # one shared sort, instead of 64 duplicated lag evaluations
-    lagged = ev.select(
+    # ONE window expression (a K-row frame collected per row) + one
+    # codegen'd fold, instead of K separate lag() evaluations: ~1.4x
+    # faster at sf0.1 and the same exact terms — element_at(vals, sz-k)
+    # IS lag(value, k) because the frame is ordered by the window sort
+    # (value is non-null in this table; a nullable measure would need the
+    # lag form, collect_list drops nulls). The fold adds the identical
+    # floor(w_k * x * 1e9 + 0.5) integers the lag form (and the DuckDB
+    # oracle) add, so the hash cannot move.
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    base = ev.select(
         "event_id",
         "event_type",
-        *[F.lag("value", k).over(w).alias(f"l{k}") for k in range(_EWMA_K)],
+        F.collect_list("value").over(w).alias("vals"),
     )
-    num = None
-    den = None
-    for k, (wt, wq) in enumerate(zip(_EWMA_W, _EWMA_WQ)):
-        lagv = F.col(f"l{k}")
-        t = F.coalesce(
-            F.floor(lagv * F.lit(wt) * 1e9 + 0.5).cast("long"), F.lit(0)
-        )
-        d = F.when(lagv.isNotNull(), F.lit(wq)).otherwise(F.lit(0))
-        num = t if num is None else num + t
-        den = d if den is None else den + d
-    return lagged.select(
+    sz = F.size("vals")
+    ks = F.sequence(F.lit(0), F.least(sz - 1, F.lit(_EWMA_K - 1)))
+    warr = F.array(*[F.lit(float(x)) for x in _EWMA_W])
+    wqarr = F.array(*[F.lit(int(q)) for q in _EWMA_WQ])
+    num = F.aggregate(
+        ks,
+        F.lit(0).cast("long"),
+        lambda acc, k: acc
+        + F.floor(
+            F.element_at(F.col("vals"), (sz - k).cast("int"))
+            * F.element_at(warr, (k + 1).cast("int"))
+            * 1e9
+            + 0.5
+        ).cast("long"),
+    )
+    den = F.aggregate(
+        ks,
+        F.lit(0).cast("long"),
+        lambda acc, k: acc + F.element_at(wqarr, (k + 1).cast("int")).cast("long"),
+    )
+    return base.select(
         "event_id",
         "event_type",
         (
