@@ -70,3 +70,35 @@ def test_tfidf_topk_is_per_doc_descending(spark, sf_dir):
         scores = [r["tfidf"] for r in rs]
         assert scores == sorted(scores, reverse=True), doc_id
         assert len({r["term"] for r in rs}) == len(rs)  # distinct terms
+
+
+def test_kmv_sketch_bounds_and_exact_small_groups(spark, sf_dir):
+    """KMV invariants: when a group has fewer than k distinct values the
+    sketch IS exact; otherwise the estimate is within the theoretical
+    ~4/sqrt(k) relative-error envelope (generous 5x slack — the bound is
+    in expectation, and a driver-hash flake here would be data-dependent
+    noise, not a defect)."""
+    from transitdata_monitor_data_collector_spark.plans.llm_data import _KMV_K
+
+    rows = REGISTRY["sketch_kmv_distinct"].build(spark, sf_dir).collect()
+    assert rows, "no language groups"
+    for r in rows:
+        if r["n_exact"] < _KMV_K:
+            assert r["kmv_estimate"] == r["n_exact"], r
+        else:
+            rel = abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"]
+            assert rel <= 5 * 4 / _KMV_K**0.5, r
+
+
+def test_bloom_screen_has_no_false_negatives(spark, sf_dir):
+    """Bloom membership is one-sided: every truly-present eval gram must
+    be a candidate (no false negatives), candidates decompose into
+    present + false positives, and the filter never exceeds its m
+    positions."""
+    from transitdata_monitor_data_collector_spark.plans.llm_data import _BLOOM_M
+
+    [r] = REGISTRY["sketch_bloom_decontamination"].build(spark, sf_dir).collect()
+    assert r["n_candidates"] >= r["n_present"]
+    assert r["n_candidates"] == r["n_present"] + r["n_false_pos"]
+    assert 0 < r["bits_set"] <= _BLOOM_M
+    assert r["n_eval_grams"] >= r["n_candidates"]

@@ -78,7 +78,8 @@ def register(
 # agg_listagg_ordered, lateral_token_first_position, events_apdex_score,
 # promql_alert_for_duration, scd2_build_from_events,
 # doc_source_preference_dedup, emb_pca_power_iteration,
-# join_null_safe_equality — green on the
+# join_null_safe_equality, sketch_kmv_distinct,
+# sketch_bloom_decontamination — green on the
 # local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from transitdata_monitor_data_collector_spark.functions import text as TX
-from transitdata_monitor_data_collector_spark.functions.rounding import fscaled, fscaled_sql
+from transitdata_monitor_data_collector_spark.functions.rounding import (
+    fround,
+    fround_sql,
+    fscaled,
+    fscaled_sql,
+)
 from transitdata_monitor_data_collector_spark.functions.vectors import cosine, pico_dot
 from transitdata_monitor_data_collector_spark.operators import dedup as DD
 from transitdata_monitor_data_collector_spark.operators import similarity as SIM
@@ -4276,4 +4281,285 @@ def emb_pca_power_iteration(spark, sf_dir):
             F.lit(eig).alias("eig"),
         )
         .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count / membership sketches (mergeable, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, {_DD_TOKENS_LOWER} AS ts FROM documents
+    ),
+    sh AS (
+      SELECT lang, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+      WHERE len(ts) >= 3
+    ),
+    dh AS (
+      SELECT DISTINCT lang, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      FROM sh
+    ),
+    ranked AS (
+      SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM dh
+    ),
+    est AS (
+      SELECT lang,
+             count(*) AS n_exact,
+             CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                  ELSE ({_KMV_K} - 1) * 4294967296
+                       // (max(CASE WHEN rn = {_KMV_K} THEN h END) + 1)
+             END AS kmv_estimate
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(kmv_estimate AS BIGINT) AS kmv_estimate,
+           {fround_sql("100.0 * (kmv_estimate - n_exact) / n_exact", 2)}
+             AS rel_err_pct
+    FROM est ORDER BY lang
+    """,
+    doc="KMV (bottom-k, k=64) distinct-count sketch over per-language "
+    "3-token shingles, validated against the exact distinct count: "
+    "estimate = (k-1) * 2^32 // (h_(k) + 1) where h_(k) is the k-th "
+    "smallest 32-bit md5 hash (Bar-Yossef et al. 2002); when fewer "
+    "than k distinct values exist the sketch IS the exact answer. "
+    "Unlike HLL (agg_approx_count_distinct, rows-only) the md5-based "
+    "KMV is bit-identical cross-engine, so the DRIVER hash-checks an "
+    "approximate-distinct sketch end to end. Scale shape: one "
+    "map-side-combined distinct collapses the corpus to its "
+    "vocabulary, the per-group sort ranks only distinct hashes, and "
+    "the estimate is exact integer division (no doubles until the "
+    "report). The sketch is mergeable (union of bottom-k sets -> "
+    "bottom-k), the property that lets 1000 executors each keep 64 "
+    "longs per group instead of an exact vocabulary at 100 TB.",
+    tags=("llm", "text", "sketch", "approx"),
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    ts = TX.tokens(F.lower(F.col("text")))
+    n = F.size(ts)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.array_join(F.slice(ts, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dh = (
+        d.select("lang", F.explode(shingles).alias("s"))
+        .select(
+            "lang",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    ranked = dh.select(
+        "lang",
+        "h",
+        F.row_number().over(W.partitionBy("lang").orderBy("h")).alias("rn"),
+    )
+    est = (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        )
+        .select(
+            "lang",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.when(F.col("n_exact") < _KMV_K, F.col("n_exact"))
+            .otherwise(
+                F.expr(f"({_KMV_K} - 1) * 4294967296 div (hk + 1)")
+            )
+            .cast("long")
+            .alias("kmv_estimate"),
+        )
+    )
+    return est.select(
+        "lang",
+        "n_exact",
+        "kmv_estimate",
+        fround(
+            100.0
+            * (F.col("kmv_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            2,
+        ).alias("rel_err_pct"),
+    ).orderBy("lang")
+
+
+_BLOOM_M = 1 << 20  # bit positions
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(g: str, j: int) -> str:
+    return f"('0x' || substr(md5({g} || '#{j}'), 1, 8))::BIGINT % {_BLOOM_M}"
+
+
+@register(
+    "sketch_bloom_decontamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_MD5_PCT_DD} AS pct, {_DD_TOKENS_LOWER} AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, pct,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+               || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6]
+               || ' ' || ts[i+7] AS g
+      FROM tok, unnest(range(1, len(ts) - 6)) AS r(i)
+      WHERE len(ts) >= 8
+    ),
+    train_g AS (SELECT DISTINCT g FROM grams WHERE pct >= 10),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE pct < 10),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_pos_sql('g', j)} AS pos FROM train_g"
+            for j in range(_BLOOM_K)
+        )}
+      )
+    ),
+    probe AS (
+      SELECT DISTINCT g, pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT g, {_bloom_pos_sql('g', j)} AS pos FROM eval_g"
+            for j in range(_BLOOM_K)
+        )}
+      )
+    ),
+    per_g AS (
+      SELECT p.g,
+             count(*) AS n_pos,
+             count(b.pos) AS n_hit,
+             max(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS present
+      FROM probe p
+      LEFT JOIN bits b ON p.pos = b.pos
+      LEFT JOIN train_g t ON p.g = t.g
+      GROUP BY p.g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_eval_grams,
+           CAST(coalesce(sum(present), 0) AS BIGINT) AS n_present,
+           CAST(coalesce(sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_candidates,
+           CAST(coalesce(sum(CASE WHEN n_hit = n_pos AND present = 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_false_pos,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+           {fround_sql(
+               "CASE WHEN count(*) - coalesce(sum(present), 0) > 0 THEN "
+               "100.0 * coalesce(sum(CASE WHEN n_hit = n_pos AND present = 0 "
+               "THEN 1 ELSE 0 END), 0) "
+               "/ (count(*) - coalesce(sum(present), 0)) ELSE 0.0 END", 4)}
+             AS fp_rate_pct
+    FROM per_g
+    """,
+    doc="Bloom-filter decontamination pre-screen: a deterministic Bloom "
+    "filter (m=2^20 bit positions, k=3 md5-derived hashes) is built "
+    "over the TRAIN split's distinct 8-gram shingles and probed with "
+    "the EVAL split's 8-grams — the constant-size membership screen "
+    "that, at 100 TB, replaces shipping the full training n-gram set "
+    "into the decontamination join (doc_decontamination); only Bloom "
+    "candidates proceed to the exact verify. The filter is modeled "
+    "relationally (distinct bit positions + broadcast probe join) so "
+    "the WHOLE structure is oracle-checked — Spark's native runtime "
+    "Bloom pushdown does the same thing engine-side with real "
+    "bitsets. Reports observed false-positive rate against the exact "
+    "semi-join ground truth; one-sided error only (no false "
+    "negatives, asserted by n_candidates >= n_present).",
+    tags=("llm", "text", "sketch", "approx", "dedup"),
+)
+def sketch_bloom_decontamination(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    ts = TX.tokens(F.lower(F.col("text")))
+    n = F.size(ts)
+    grams = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda i: F.array_join(F.slice(ts, i, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pct = F.expr(_MD5_PCT)
+    g = d.select(pct.alias("pct"), F.explode(grams).alias("g"))
+    train_g = g.filter(F.col("pct") >= 10).select("g").distinct()
+    eval_g = g.filter(F.col("pct") < 10).select("g").distinct()
+
+    def bloom_pos(gcol, j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(gcol, F.lit(f"#{j}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    def positions(df):
+        return df.select(
+            "g",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[bloom_pos(F.col("g"), j) for j in range(_BLOOM_K)]
+                    )
+                )
+            ).alias("pos"),
+        )
+
+    bits = positions(train_g).select("pos").distinct()
+    probe = positions(eval_g)
+    per_g = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.count("hit").alias("n_hit"),
+        )
+        .join(
+            train_g.withColumn("present", F.lit(1)), "g", "left"
+        )
+        .select(
+            "g",
+            "n_pos",
+            "n_hit",
+            F.coalesce(F.col("present"), F.lit(0)).alias("present"),
+        )
+    )
+    cand = (F.col("n_hit") == F.col("n_pos")).cast("long")
+    fp = ((F.col("n_hit") == F.col("n_pos")) & (F.col("present") == 0)).cast(
+        "long"
+    )
+    summary = per_g.agg(
+        F.count("*").cast("long").alias("n_eval_grams"),
+        F.coalesce(F.sum("present"), F.lit(0)).cast("long").alias("n_present"),
+        F.coalesce(F.sum(cand), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum(fp), F.lit(0)).cast("long").alias("n_false_pos"),
+    )
+    n_bits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    denom = F.col("n_eval_grams") - F.col("n_present")
+    return summary.crossJoin(F.broadcast(n_bits)).select(
+        "n_eval_grams",
+        "n_present",
+        "n_candidates",
+        "n_false_pos",
+        "bits_set",
+        F.when(
+            denom > 0,
+            fround(100.0 * F.col("n_false_pos") / denom, 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fp_rate_pct"),
     )
