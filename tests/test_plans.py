@@ -421,3 +421,22 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_m4_downsample_single_hash_exchange(spark, sf_dir):
+    """Both row_number windows and the min/max aggregate must share ONE
+    hash partitioning on (event_type, bucket) — grouping on the derived
+    display timestamp instead of the window's raw bucket key would
+    re-shuffle the full point set."""
+    plan = _plan(spark, sf_dir, "timeseries_m4_downsample")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 1, f"M4 re-shuffles: {n_hash} hash exchanges"
+
+
+def test_acf_one_window_sort_no_smj(spark, sf_dir):
+    """All 24 lag products must come from ONE window sort per series (the
+    EWMA-kernel shape), and the grid/stats joins must broadcast — an SMJ
+    or per-lag Window would scan the series 24x."""
+    plan = _plan(spark, sf_dir, "timeseries_acf")
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert "SortMergeJoin" not in plan

@@ -79,7 +79,8 @@ def register(
 # promql_alert_for_duration, scd2_build_from_events,
 # doc_source_preference_dedup, emb_pca_power_iteration,
 # join_null_safe_equality, sketch_kmv_distinct,
-# sketch_bloom_decontamination — green on the
+# sketch_bloom_decontamination, timeseries_acf,
+# timeseries_m4_downsample — green on the
 # local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

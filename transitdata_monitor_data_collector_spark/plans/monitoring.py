@@ -3529,3 +3529,221 @@ def scd2_build_from_events(spark, sf_dir):
         )
         .orderBy("user_id", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics: exact-integer autocorrelation and the M4
+# rendering downsample (min/max/first/last per pixel bucket).
+# ---------------------------------------------------------------------------
+
+from transitdata_monitor_data_collector_spark.functions.rounding import (  # noqa: E402
+    fround_sql,
+)
+
+_ACF_MAX_LAG = 24
+
+
+@register(
+    "timeseries_acf",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS tmin, max(h) AS tmax
+      FROM counts GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    xs AS (
+      SELECT g.event_type, g.h, coalesce(c.x, 0) AS x
+      FROM grid g LEFT JOIN counts c USING (event_type, h)
+    ),
+    st AS (SELECT event_type, count(*) AS n, sum(x) AS s FROM xs GROUP BY 1),
+    devs AS (
+      SELECT xs.event_type, h,
+             CAST(st.n * xs.x - st.s AS BIGINT) AS dev,
+             row_number() OVER (PARTITION BY xs.event_type ORDER BY h) AS idx
+      FROM xs JOIN st USING (event_type)
+    ),
+    den AS (
+      SELECT event_type, CAST(sum(dev * dev) AS BIGINT) AS den
+      FROM devs GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT d1.event_type, lags.lag, d1.dev * d2.dev AS p
+      FROM lags CROSS JOIN devs d1
+      JOIN devs d2
+        ON d2.event_type = d1.event_type AND d2.idx = d1.idx + lags.lag
+    )
+    SELECT p.event_type, CAST(p.lag AS INTEGER) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {fround_sql("CAST(sum(p.p) AS DOUBLE) / CAST(den.den AS DOUBLE)", 6)}
+             AS acf
+    FROM pairs p JOIN den USING (event_type)
+    GROUP BY p.event_type, p.lag, den.den
+    ORDER BY event_type, lag
+    """,
+    doc="Sample autocorrelation function of the hourly event-count series "
+    "per event_type, lags 1-24 — the seasonality/burstiness diagnostic "
+    "behind alert-rule tuning (a 24h spike confirms daily periodicity; "
+    "fast decay justifies short rate windows). Counts are densified "
+    "onto the full hour grid (gaps count 0 — sequence/explode, "
+    "grid-sized not data-sized) and centered in EXACT integers via "
+    "dev = n*x - S (the n^2 factors cancel in num/den), so both moment "
+    "sums are order-independent BIGINTs and the single final division "
+    "is the only float op (floor-micro'd to 6dp). One window sort per "
+    "series computes all 24 lag products (the EWMA-kernel move); the "
+    "denominator is the full-series power sum (statistical ACF "
+    "normalization, not per-lag).",
+    tags=("monitoring", "timeseries", "window"),
+)
+def timeseries_acf(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("x"))
+    grid = (
+        counts.groupBy("event_type")
+        .agg(F.min("h").alias("tmin"), F.max("h").alias("tmax"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("tmin", "tmax", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    xs = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    st = xs.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    devs = xs.join(F.broadcast(st), "event_type").select(
+        "event_type", "h", (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    )
+    den = devs.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den")
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = devs.select(
+        "event_type",
+        F.array(
+            *[
+                F.col("dev") * F.lag("dev", L).over(w)
+                for L in range(1, _ACF_MAX_LAG + 1)
+            ]
+        ).alias("ps"),
+    )
+    prods = lagged.select(
+        "event_type", F.posexplode("ps").alias("li", "p")
+    )
+    return (
+        prods.groupBy("event_type", (F.col("li") + 1).alias("lag"))
+        .agg(F.sum("p").alias("num"), F.count("p").alias("n_pairs"))
+        .join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            fround(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+_M4_BUCKET_S = 14400  # 4-hour rendering buckets
+
+
+@register(
+    "timeseries_m4_downsample",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts) / {_M4_BUCKET_S})
+                                 * {_M4_BUCKET_S} AS BIGINT) * 1000000)
+               AS bucket,
+             ts, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                 floor(epoch(ts) / {_M4_BUCKET_S})
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type,
+                 floor(epoch(ts) / {_M4_BUCKET_S})
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+           max(CASE WHEN rn_d = 1 THEN value END) AS v_last,
+           min(value) AS v_min,
+           max(value) AS v_max
+    FROM pts
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    doc="M4 time-series rendering downsample (Jugel et al., VLDB 2014): "
+    "per (series, 4h pixel bucket) keep first/last/min/max — the "
+    "error-free line-rendering envelope time-series DBs serve to "
+    "dashboards instead of raw points (width-pixel-bounded output "
+    "regardless of input volume). first/last tie-break on (ts, "
+    "event_id) for determinism; every emitted value is a raw data "
+    "double (no arithmetic), so the result is cross-engine exact with "
+    "no rounding contract needed. One window sort keyed identically "
+    "to the following groupBy — a single exchange end to end.",
+    tags=("monitoring", "timeseries", "window"),
+)
+def timeseries_m4_downsample(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bidx = F.floor(F.unix_timestamp("ts") / _M4_BUCKET_S)
+    w_a = W.partitionBy("event_type", "b").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_d = W.partitionBy("event_type", "b").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    pts = ev.select(
+        "event_type",
+        bidx.alias("b"),
+        "ts",
+        "event_id",
+        "value",
+    ).select(
+        "event_type",
+        "b",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    # group on the raw bucket index `b` (the window's partition key) so
+    # the aggregate reuses the window's exchange; the display timestamp
+    # is derived AFTER the aggregation, on bucket-count-sized rows.
+    return (
+        pts.groupBy("event_type", "b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .select(
+            "event_type",
+            F.timestamp_seconds(F.col("b") * _M4_BUCKET_S).alias("bucket"),
+            "n",
+            "v_first",
+            "v_last",
+            "v_min",
+            "v_max",
+        )
+        .orderBy("event_type", "bucket")
+    )
