@@ -102,3 +102,35 @@ def test_bloom_screen_has_no_false_negatives(spark, sf_dir):
     assert r["n_candidates"] == r["n_present"] + r["n_false_pos"]
     assert 0 < r["bits_set"] <= _BLOOM_M
     assert r["n_eval_grams"] >= r["n_candidates"]
+
+
+def test_jsd_bounded_and_zero_on_identical_halves(spark, sf_dir):
+    """JSD is bounded by ln 2; every document's tokens land in exactly
+    one half, so per-lang token totals must partition the corpus."""
+    import math
+
+    rows = REGISTRY["text_jsd_corpus_drift"].build(spark, sf_dir).collect()
+    assert rows
+    totals = {
+        r["lang"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .select("lang", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert -1e-9 <= r["jsd"] <= math.log(2) + 1e-9, r
+        assert r["n_tokens_a"] + r["n_tokens_b"] == totals[r["lang"]], r
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """The smallest doc_id with >=8 tokens has novelty exactly 1.0, and
+    novelty fractions are valid (0 < n_novel <= n_grams ... n_novel can
+    be 0 for later duplicate docs)."""
+    rows = REGISTRY["doc_ngram_novelty"].build(spark, sf_dir).collect()
+    assert rows
+    first = min(rows, key=lambda r: r["doc_id"])
+    assert first["novelty"] == 1.0 and first["n_novel"] == first["n_grams"]
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"], r

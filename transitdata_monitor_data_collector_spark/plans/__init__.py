@@ -80,7 +80,8 @@ def register(
 # doc_source_preference_dedup, emb_pca_power_iteration,
 # join_null_safe_equality, sketch_kmv_distinct,
 # sketch_bloom_decontamination, timeseries_acf,
-# timeseries_m4_downsample — green on the
+# timeseries_m4_downsample, text_jsd_corpus_drift,
+# doc_ngram_novelty — green on the
 # local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

@@ -4563,3 +4563,186 @@ def sketch_bloom_decontamination(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("fp_rate_pct"),
     )
+
+
+@register(
+    "text_jsd_corpus_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT lang, CASE WHEN {_MD5_PCT_DD} < 50 THEN 'a' ELSE 'b' END AS half,
+             unnest({_DD_TOKENS_LOWER}) AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, t,
+             CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM halves GROUP BY lang, t
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM cnt GROUP BY lang
+    ),
+    terms AS (
+      SELECT c.lang,
+             CAST(floor((
+               CASE WHEN c.ca > 0 THEN
+                 0.5 * (CAST(c.ca AS DOUBLE) / t.na)
+                     * ln((CAST(c.ca AS DOUBLE) / t.na)
+                          / ((CAST(c.ca AS DOUBLE) / t.na
+                              + CAST(c.cb AS DOUBLE) / t.nb) / 2))
+               ELSE 0.0 END
+               +
+               CASE WHEN c.cb > 0 THEN
+                 0.5 * (CAST(c.cb AS DOUBLE) / t.nb)
+                     * ln((CAST(c.cb AS DOUBLE) / t.nb)
+                          / ((CAST(c.ca AS DOUBLE) / t.na
+                              + CAST(c.cb AS DOUBLE) / t.nb) / 2))
+               ELSE 0.0 END) * 1e9 + 0.5) AS BIGINT) AS term_nano
+      FROM cnt c JOIN tot t USING (lang)
+    )
+    SELECT t.lang,
+           tot.na AS n_tokens_a, tot.nb AS n_tokens_b,
+           CAST(count(*) AS BIGINT) AS vocab_union,
+           CAST(sum(t.term_nano) AS BIGINT) AS jsd_nano,
+           CAST(sum(t.term_nano) AS DOUBLE) / 1e9 AS jsd
+    FROM terms t JOIN tot USING (lang)
+    GROUP BY t.lang, tot.na, tot.nb
+    ORDER BY t.lang
+    """,
+    doc="Jensen-Shannon divergence between the token distributions of two "
+    "deterministic md5-split corpus halves, per language — the "
+    "distribution-drift monitor run between crawl snapshots before a "
+    "new batch joins the training mix (JSD is symmetric and bounded "
+    "by ln 2, unlike KL). Probability ratios are IEEE-exact doubles; "
+    "ln() (the one libm call) is evaluated once per DISTINCT "
+    "(lang, token) and nano-quantized immediately — the "
+    "collocations-PMI discipline — so per-language sums are exact "
+    "integer adds in any order. Counts collapse map-side to "
+    "vocabulary-sized rows; totals broadcast back.",
+    tags=("llm", "text", "approx"),
+)
+def text_jsd_corpus_drift(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    pct = F.expr(_MD5_PCT)
+    halves = d.select(
+        "lang",
+        F.when(pct < 50, F.lit("a")).otherwise(F.lit("b")).alias("half"),
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    cnt = halves.groupBy("lang", "t").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = cnt.groupBy("lang").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    m = (p + q) / 2
+    term = F.when(F.col("ca") > 0, 0.5 * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("cb") > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    terms = cnt.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "na",
+        "nb",
+        F.floor(term * 1e9 + 0.5).cast("long").alias("term_nano"),
+    )
+    return (
+        terms.groupBy("lang", "na", "nb")
+        .agg(
+            F.count("*").cast("long").alias("vocab_union"),
+            F.sum("term_nano").cast("long").alias("jsd_nano"),
+        )
+        .select(
+            "lang",
+            F.col("na").alias("n_tokens_a"),
+            F.col("nb").alias("n_tokens_b"),
+            "vocab_union",
+            "jsd_nano",
+            (F.col("jsd_nano").cast("double") / 1e9).alias("jsd"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_DD_TOKENS_LOWER} AS ts FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+               || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6]
+               || ' ' || ts[i+7] AS g
+      FROM tok, unnest(range(1, len(ts) - 6)) AS r(i)
+      WHERE len(ts) >= 8
+    ),
+    first_seen AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {fround_sql(
+               "CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / count(*)", 6)} AS novelty
+    FROM grams g JOIN first_seen f USING (g)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    doc="Per-document 8-gram novelty: the fraction of a document's "
+    "distinct 8-grams whose FIRST occurrence (min doc_id over the "
+    "corpus-wide arrival order) is this document — the "
+    "novelty/memorization score curation pipelines use to prefer "
+    "fresh text over boilerplate when trimming to a token budget "
+    "(complements doc_containment_pairs, which finds the containing "
+    "pairs; this scores every doc in one pass). Two "
+    "map-side-combined aggregates keyed by gram then doc — no "
+    "pairwise joins; the gram inverted index is the same asymmetric "
+    "shape as doc_incremental_dedup, built once and reusable for "
+    "both.",
+    tags=("llm", "text", "dedup"),
+)
+def doc_ngram_novelty(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    ts = TX.tokens(F.lower(F.col("text")))
+    n = F.size(ts)
+    grams = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda i: F.array_join(F.slice(ts, i, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(grams).alias("g")).distinct()
+    first_seen = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        fround(
+            F.col("n_novel").cast("double") / F.col("n_grams"), 6
+        ).alias("novelty"),
+    ).orderBy("doc_id")
