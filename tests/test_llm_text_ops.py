@@ -134,3 +134,39 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
     assert first["novelty"] == 1.0 and first["n_novel"] == first["n_grams"]
     for r in rows:
         assert 0 <= r["n_novel"] <= r["n_grams"], r
+
+
+def test_kneser_ney_counts_and_sign(spark, sf_dir):
+    """Every doc with n tokens contributes exactly n-1 bigram slots, and
+    log-probabilities are strictly negative (P < 1 for every bigram in a
+    corpus with more than one bigram type)."""
+    rows = REGISTRY["doc_perplexity_kneser_ney"].build(spark, sf_dir).collect()
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n")
+        )
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert r["n_bigrams"] == n_tokens[r["doc_id"]] - 1, r
+        assert r["mean_logprob"] < 0, r
+
+
+def test_bitmap_distinct_matches_exact(spark, sf_dir):
+    got = {
+        r["day"]: r["n_users_bitmap"]
+        for r in REGISTRY["agg_bitmap_distinct_users"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact

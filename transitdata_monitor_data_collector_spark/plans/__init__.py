@@ -81,7 +81,8 @@ def register(
 # join_null_safe_equality, sketch_kmv_distinct,
 # sketch_bloom_decontamination, timeseries_acf,
 # timeseries_m4_downsample, text_jsd_corpus_drift,
-# doc_ngram_novelty — green on the
+# doc_ngram_novelty, agg_bitmap_distinct_users,
+# doc_perplexity_kneser_ney — green on the
 # local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

@@ -4746,3 +4746,129 @@ def doc_ngram_novelty(spark, sf_dir):
             F.col("n_novel").cast("double") / F.col("n_grams"), 6
         ).alias("novelty"),
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_perplexity_kneser_ney",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_DD_TOKENS_LOWER} AS ts FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM tok, unnest(range(1, len(ts))) AS r(i)
+      WHERE len(ts) >= 2
+    ),
+    bgc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM bgc GROUP BY 1
+    ),
+    back AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bgc GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bgc),
+    lp AS (
+      SELECT b.w1, b.w2,
+             CAST(floor(ln(
+               (CAST(b.c12 AS DOUBLE) - 0.75) / c.c1
+               + 0.75 * (CAST(c.n1f AS DOUBLE) / c.c1)
+                      * (CAST(k.n1b AS DOUBLE) / tot.t)
+             ) * 1e9 + 0.5) AS BIGINT) AS lp_nano
+      FROM bgc b JOIN ctx c USING (w1) JOIN back k USING (w2) CROSS JOIN tot
+    ),
+    docbg AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+      FROM bg GROUP BY 1, 2, 3
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+           CAST(sum(d.k * l.lp_nano) AS BIGINT) AS sum_lp_nano,
+           {fround_sql(
+               "CAST(sum(d.k * l.lp_nano) AS DOUBLE)"
+               " / (CAST(sum(d.k) AS DOUBLE) * 1e9)", 6)} AS mean_logprob
+    FROM docbg d JOIN lp l USING (w1, w2)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram language-model scoring (Kneser & "
+    "Ney 1995, d=0.75) of every document against the corpus-trained "
+    "model — the statistically-principled upgrade of "
+    "doc_perplexity_unigram and the batch analog of the KenLM filter "
+    "CCNet applies at crawl scale: P(w2|w1) = (c12-d)/c1 + "
+    "d*N1+(w1,.)/c1 * N1+(.,w2)/N1+(.,.) (continuation probability, "
+    "not raw frequency, for the backoff mass). Every model quantity "
+    "is an exact integer count; the probability arithmetic is "
+    "correctly-rounded IEEE ops in an identical expression tree on "
+    "both engines, and ln() — the one libm call — is evaluated once "
+    "per DISTINCT bigram type (vocab^2-bounded; real corpora "
+    "threshold counts first) and nano-quantized, so per-doc sums are "
+    "order-independent integer adds. Mean log-prob is reported "
+    "rather than exp()'d perplexity: exp is per-doc libm and would "
+    "re-introduce the cross-engine ulp the quantization removed.",
+    tags=("llm", "text"),
+)
+def doc_perplexity_kneser_ney(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    ts = TX.tokens(F.lower(F.col("text")))
+    n = F.size(ts)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    back = bgc.groupBy("w2").agg(F.count("*").cast("long").alias("n1b"))
+    tot = bgc.agg(F.count("*").cast("long").alias("t"))
+    prob = (F.col("c12").cast("double") - 0.75) / F.col("c1") + F.lit(0.75) * (
+        F.col("n1f").cast("double") / F.col("c1")
+    ) * (F.col("n1b").cast("double") / F.col("t"))
+    lp = (
+        bgc.join(ctx, "w1")
+        .join(back, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.log(prob) * 1e9 + 0.5).cast("long").alias("lp_nano"),
+        )
+    )
+    docbg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    return (
+        docbg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("lp_nano"))
+            .cast("long")
+            .alias("sum_lp_nano"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_lp_nano",
+            fround(
+                F.col("sum_lp_nano").cast("double")
+                / (F.col("n_bigrams").cast("double") * 1e9),
+                6,
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2059,3 +2059,54 @@ def join_null_safe_equality(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "agg_bitmap_distinct_users",
+    oracle="""
+    WITH words AS (
+      SELECT CAST(ts AS DATE) AS day,
+             user_id // 32 AS word_i,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS mask
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(mask)) AS BIGINT) AS n_users_bitmap
+    FROM words GROUP BY day ORDER BY day
+    """,
+    doc="EXACT daily distinct users via integer bitmaps (the "
+    "ClickHouse/Druid groupBitmap technique): user ids hash into "
+    "(word = id/32, bit = id%32) cells, bit_or collapses map-side to "
+    "domain/32 longs per day, popcount sums give the exact distinct "
+    "count. The bitmap is mergeable state — OR is associative and "
+    "commutative — so unlike count(DISTINCT) (which re-shuffles raw "
+    "ids per grouping) the same per-day words roll up to weekly or "
+    "all-time distincts, feed streaming update-mode state, and cost "
+    "O(domain/32) longs per group regardless of event volume. The "
+    "exact-when-dense complement to the KMV/HLL sketches for "
+    "dictionary-encoded id domains.",
+    tags=("relational", "agg", "sketch"),
+)
+def agg_bitmap_distinct_users(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("word_i"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("day", "word_i")
+        .agg(F.bit_or("b").alias("mask"))
+    )
+    return (
+        words.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.bit_count("mask")).cast("long").alias("n_users_bitmap"),
+        )
+        .orderBy("day")
+    )
