@@ -231,3 +231,32 @@ def test_audio_garbage_payload_skipped(spark):
         [(1, "audio", bytearray(b"not-a-container"))], MEDIA_SCHEMA
     )
     assert audio_frame_energy(bad).count() == 0
+
+
+def test_ahash_pigeonhole_recall_on_identical_payloads(spark, sf_dir):
+    """Two identical payloads must produce identical signatures, share
+    every band, and surface as a hamming-0 near-dup candidate."""
+    from pyspark.sql import functions as F
+
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        image_ahash_bands,
+        synthesize_image_payloads,
+    )
+    from transitdata_monitor_data_collector_spark.plans import table
+
+    docs = table(spark, sf_dir, "documents").limit(5)
+    twin = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    bands = image_ahash_bands(
+        synthesize_image_payloads(docs.unionByName(twin))
+    ).collect()
+    by_doc = {}
+    for r in bands:
+        by_doc.setdefault(r["doc_id"], {})[r["band_i"]] = r["band_v"]
+    originals = [d for d in by_doc if d < 100000]
+    assert originals
+    for d in originals:
+        # fake payload dims derive from doc_id, but the BODY (and so the
+        # signature) derives only from text — twins must match exactly
+        assert by_doc[d] == by_doc[d + 100000]
+        assert len(by_doc[d]) == 4
+        assert all(0 <= v < (1 << 16) for v in by_doc[d].values())

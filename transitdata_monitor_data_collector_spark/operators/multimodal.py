@@ -389,3 +389,65 @@ __all__ += [
     "decode_audio_meta",
     "audio_frame_energy",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash (aHash) over image payloads. With a real codec the
+# 64 cells would be the 8x8 block means of the decoded, downsampled
+# grayscale raster (decode_with_library swap point); over the FAKE container
+# they are 64 equal spans of the body byte stream — the thresholding,
+# banding, and hamming machinery is the production article either way.
+# ---------------------------------------------------------------------------
+
+AHASH_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band_i", T.IntegerType(), False),
+        T.StructField("band_v", T.LongType(), False),
+    ]
+)
+
+_AHASH_CELLS = 64
+_AHASH_BAND_BITS = 16
+
+
+def image_ahash_bands(media: DataFrame) -> DataFrame:
+    """64-bit average-hash per image payload, emitted as 4 x 16-bit band
+    integers (the LSH join keys; hamming distance re-assembles from
+    bit_count over band xors, so no engine ever shifts into bit 63).
+
+    bit_k = mean(cell_k) > mean(all) evaluated as the EXACT integer
+    cross-multiplication sum_k * n_total > total_sum * n_k — the whole
+    signature is integer arithmetic, bit-reproducible by any engine.
+    Payloads shorter than 64 body bytes are skipped (no 8x8 raster).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def sign(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, body = _parse_header(payload)
+                n = len(body)
+                if n < _AHASH_CELLS:
+                    continue
+                v = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+                k = (np.arange(n, dtype=np.int64) * _AHASH_CELLS) // n
+                sums = np.bincount(k, weights=v, minlength=_AHASH_CELLS)
+                sums = sums.astype(np.int64)  # bincount weights are float64;
+                # exact for sums < 2^53 (255 * len(body) is far below)
+                counts = np.bincount(k, minlength=_AHASH_CELLS)
+                total = int(v.sum())
+                bits = (sums * n) > (total * counts)
+                for b in range(_AHASH_CELLS // _AHASH_BAND_BITS):
+                    band = 0
+                    for j in range(_AHASH_BAND_BITS):
+                        if bits[b * _AHASH_BAND_BITS + j]:
+                            band |= 1 << j
+                    rows.append((int(doc_id), b, band))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_BANDS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(sign, AHASH_BANDS_SCHEMA)

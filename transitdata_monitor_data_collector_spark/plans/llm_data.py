@@ -4872,3 +4872,123 @@ def doc_perplexity_kneser_ney(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_image_ahash_neardup",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS bs
+      FROM documents WHERE length(text) >= 64
+    ),
+    pos AS (
+      SELECT doc_id, n,
+             CAST(((generate_subscripts(bs, 1) - 1) * 64) // n AS BIGINT)
+               AS k,
+             CAST(unnest(bs) AS BIGINT) AS v
+      FROM b
+    ),
+    seg AS (
+      SELECT doc_id, n, k, CAST(sum(v) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM pos GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS ts FROM seg GROUP BY 1),
+    bits AS (
+      SELECT seg.doc_id, seg.k,
+             CASE WHEN seg.s * seg.n > tot.ts * seg.c
+                  THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM seg JOIN tot USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 16 AS INTEGER) AS band_i,
+             CAST(sum(bit << CAST(k % 16 AS INTEGER)) AS BIGINT) AS band_v
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a
+      JOIN bands b2 ON a.band_i = b2.band_i AND a.band_v = b2.band_v
+                    AND a.doc_id < b2.doc_id
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(bit_count(xor(ba.band_v, bb.band_v))) AS BIGINT)
+               AS hamming
+      FROM cand c
+      JOIN bands ba ON ba.doc_id = c.id_a
+      JOIN bands bb ON bb.doc_id = c.id_b AND bb.band_i = ba.band_i
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming,
+           hamming <= 3 AS is_neardup
+    FROM ham ORDER BY id_a, id_b
+    """,
+    doc="Image near-duplicate pairs via perceptual average-hash: 64-bit "
+    "aHash signatures (bit = cell mean > global mean, exact integer "
+    "cross-multiplication — no floats anywhere) banded into 4 x "
+    "16-bit keys; any shared band makes a candidate, and hamming <= 3 "
+    "over bit_count(xor) confirms. By pigeonhole, 4 bands over a "
+    "64-bit signature give EXACT recall for hamming <= 3 — no "
+    "probabilistic miss, unlike the S-curve MinHash bands. The "
+    "signature extraction runs over the opaque binary payload path "
+    "(mapInPandas, codec swap point documented in "
+    "operators/multimodal.py); the oracle replays the byte math from "
+    "the source text the fake container wraps. Same banded "
+    "bucket-join discipline as doc_simhash_neardup — candidates from "
+    "an equi-join, never an all-pairs compare. Emits every banded "
+    "candidate with its hamming and an is_neardup flag (<= 3) rather "
+    "than only survivors, so the report stays non-degenerate when a "
+    "small corpus holds no true image dups.",
+    tags=("llm", "multimodal", "dedup", "sketch"),
+)
+def multimodal_image_ahash_neardup(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        image_ahash_bands,
+        synthesize_image_payloads,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    bands = image_ahash_bands(synthesize_image_payloads(docs))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_i") == F.col("b.band_i"))
+            & (F.col("a.band_v") == F.col("b.band_v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band_i"),
+        F.col("band_v").alias("va"),
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_i"),
+        F.col("band_v").alias("vb"),
+    )
+    return (
+        cand.join(ba, "id_a")
+        .join(bb, ["id_b", "band_i"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+            .cast("long")
+            .alias("hamming")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            (F.col("hamming") <= 3).alias("is_neardup"),
+        )
+        .orderBy("id_a", "id_b")
+    )
