@@ -318,3 +318,32 @@ def streaming_histogram_buckets(spark, sf_dir):
         .select("event_type", "le", "cumulative_count")
         .orderBy("event_type", "bucket_idx")
     )
+
+
+@register(
+    "streaming_bitmap_distinct",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="EXACT streaming distinct: daily unique users maintained "
+    "incrementally as update-mode bitmap state (bit_or over "
+    "(day, user_id/32) words — idempotent, mergeable, domain/32 longs "
+    "per day regardless of traffic); the replayed final state's "
+    "popcounts must equal the batch COUNT(DISTINCT). Update mode "
+    "re-emits a key's word whenever a bit lands, so the memory sink "
+    "keeps the max (bits only ever turn on — the nonnegative word "
+    "value is monotone).",
+    tags=("streaming", "sketch"),
+)
+def streaming_bitmap_distinct(spark, sf_dir):
+    events = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    words = jobs.bitmap_distinct_job(events)
+    mem = jobs.run_to_memory(spark, words, output_mode="update")
+    final = mem.groupBy("day", "word_i").agg(F.max("mask").alias("mask"))
+    return (
+        final.groupBy("day")
+        .agg(F.sum(F.bit_count("mask")).cast("long").alias("n_users"))
+        .orderBy("day")
+    )

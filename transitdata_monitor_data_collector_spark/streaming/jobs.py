@@ -404,3 +404,24 @@ def tws_meter_job(messages: DataFrame, filters: Sequence[str]) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def bitmap_distinct_job(events: DataFrame) -> DataFrame:
+    """Exact distinct-user cardinality per day maintained INCREMENTALLY as
+    bitmap state (the streaming twin of the batch
+    ``agg_bitmap_distinct_users`` registry query): each event sets one bit
+    in a (day, word = user_id/32) cell; ``bit_or`` is associative,
+    commutative, and idempotent, so update-mode keyed state holds exactly
+    domain/32 longs per day no matter how many events replay, re-deliver,
+    or arrive late — the property HLL gives approximately, delivered
+    exactly for dense id domains. Run in update output mode; downstream
+    popcounts sum the words per day. A production job adds
+    ``withWatermark`` on ts to evict closed days' words."""
+    words = events.select(
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") / 32).cast("long").alias("word_i"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+        ).alias("b"),
+    )
+    return words.groupBy("day", "word_i").agg(F.bit_or("b").alias("mask"))
