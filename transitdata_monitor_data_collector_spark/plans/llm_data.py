@@ -4992,3 +4992,160 @@ def multimodal_image_ahash_neardup(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "emb_binary_quantization_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(v) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+               AS xq
+      FROM e
+    ),
+    thr AS (
+      SELECT dim, CAST(sum(xq) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dims GROUP BY 1
+    ),
+    words AS (
+      SELECT vec_id, CAST(dim // 16 AS INTEGER) AS word_i,
+             CAST(sum(CASE WHEN d.xq * t.n > t.sq
+                           THEN 1::BIGINT ELSE 0::BIGINT END
+                      << CAST(dim % 16 AS INTEGER)) AS BIGINT) AS w
+      FROM dims d JOIN thr t USING (dim) GROUP BY 1, 2
+    ),
+    ham AS (
+      SELECT qw.vec_id AS q_id, cw.vec_id AS c_id,
+             CAST(sum(bit_count(xor(qw.w, cw.w))) AS BIGINT) AS ham
+      FROM words qw JOIN words cw USING (word_i)
+      WHERE qw.vec_id < 10 AND cw.vec_id <> qw.vec_id
+      GROUP BY 1, 2
+    ),
+    bq AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY ham, c_id) AS rn
+        FROM ham
+      ) WHERE rn <= 10
+    ),
+    q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    bf AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY floor({SIM.pico_cosine_sql("qv", "cv", 64)}
+                                * 1e6 + 0.5) DESC,
+                       c.c_id) AS rn
+        FROM q, c WHERE c.c_id <> q.q_id
+      ) WHERE rn <= 10
+    )
+    SELECT bf.q_id AS query_id,
+           CAST(count(bq.c_id) AS BIGINT) AS n_overlap,
+           CAST(count(bq.c_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM bf LEFT JOIN bq USING (q_id, c_id)
+    GROUP BY bf.q_id ORDER BY query_id
+    """,
+    doc="Binary-quantization QA: recall@10 of 1-bit-per-dimension "
+    "signatures (bit = dim value above the per-dimension corpus mean, "
+    "decided by EXACT integer cross-multiplication over micro-"
+    "quantized values) ranked by hamming distance, against the exact "
+    "picounit-cosine top-10 — the measurement that qualifies 64x-"
+    "compressed vectors for a first-stage retrieval tier (the BQ mode "
+    "modern vector stores ship; complements emb_quantize_int8's 4x "
+    "and emb_matryoshka_recall's prefix tiers). Signatures are 4 x "
+    "16-bit words (never a shift into bit 63), hamming is "
+    "bit_count(xor) over a word-aligned equi-join, and both rankings "
+    "tie-break on id, so the whole report hashes cross-engine.",
+    tags=("llm", "similarity", "approx", "embedding", "sketch"),
+)
+def emb_binary_quantization_recall(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+        pico_cosine,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    dims = e.select(
+        "vec_id", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x") * 1e6 + 0.5).cast("long").alias("xq"),
+    )
+    thr = dims.groupBy("dim").agg(
+        F.sum("xq").alias("sq"), F.count("*").alias("n")
+    )
+    words = (
+        dims.join(F.broadcast(thr), "dim")
+        .select(
+            "vec_id",
+            (F.col("dim") / 16).cast("int").alias("word_i"),
+            F.expr(
+                "shiftleft(CAST(IF(xq * n > sq, 1, 0) AS BIGINT),"
+                " CAST(dim % 16 AS INT))"
+            ).alias("wbit"),
+        )
+        .groupBy("vec_id", "word_i")
+        .agg(F.sum("wbit").cast("long").alias("w"))
+    )
+    q_w = words.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "word_i", F.col("w").alias("qw")
+    )
+    c_w = words.select(
+        F.col("vec_id").alias("c_id"), "word_i", F.col("w").alias("cw")
+    )
+    ham = (
+        F.broadcast(q_w)
+        .join(c_w, "word_i")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum(F.bit_count(F.col("qw").bitwiseXOR(F.col("cw"))))
+            .cast("long")
+            .alias("ham")
+        )
+    )
+    w_bq = W.partitionBy("q_id").orderBy(F.asc("ham"), "c_id")
+    bq = (
+        ham.withColumn("rn", F.row_number().over(w_bq))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("c_id") != F.col("q_id"))
+    w_bf = W.partitionBy("q_id").orderBy(F.desc("s"), "c_id")
+    bf = (
+        pairs.withColumn(
+            "s",
+            F.floor(pico_cosine(F.col("qv"), F.col("cv")) * 1e6 + 0.5),
+        )
+        .withColumn("rn", F.row_number().over(w_bf))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id")
+    )
+    return (
+        bf.join(bq.withColumn("hit", F.lit(1)), ["q_id", "c_id"], "left")
+        .groupBy(F.col("q_id").alias("query_id"))
+        .agg(
+            F.count("hit").cast("long").alias("n_overlap"),
+            (F.count("hit").cast("double") / 10.0).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

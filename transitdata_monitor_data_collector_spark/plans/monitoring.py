@@ -3747,3 +3747,130 @@ def timeseries_m4_downsample(spark, sf_dir):
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "events_forecast_seasonal_naive",
+    oracle=f"""
+    WITH last_d AS (SELECT max(CAST(ts AS DATE)) AS ld FROM events),
+    base AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour, event_type
+      FROM events
+    ),
+    train AS (
+      SELECT event_type, hour, CAST(count(*) AS BIGINT) AS s
+      FROM base, last_d WHERE day < ld GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT CAST(count(DISTINCT day) AS BIGINT) AS n
+      FROM base, last_d WHERE day < ld
+    ),
+    act AS (
+      SELECT event_type, hour, CAST(count(*) AS BIGINT) AS a
+      FROM base, last_d WHERE day = ld GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type, CAST(h AS INTEGER) AS hour
+      FROM (SELECT DISTINCT event_type FROM events),
+           (SELECT unnest(range(0, 24)) AS h)
+    ),
+    joined AS (
+      SELECT g.event_type, g.hour, nd.n AS n_train_days,
+             coalesce(t.s, 0) AS s, coalesce(a.a, 0) AS a
+      FROM grid g
+      LEFT JOIN train t USING (event_type, hour)
+      LEFT JOIN act a USING (event_type, hour)
+      CROSS JOIN nd
+    )
+    SELECT event_type, hour, n_train_days,
+           s AS train_total, a AS actual,
+           CAST(floor(CAST(s AS DOUBLE) / n_train_days * 1000 + 0.5)
+                AS BIGINT) AS forecast_milli,
+           CAST(CASE WHEN s + n_train_days * a = 0 THEN 0
+                ELSE floor((2.0 * abs(s - n_train_days * a)
+                            / (s + n_train_days * a)) * 1e9 + 0.5)
+           END AS BIGINT) AS sape_nano
+    FROM joined
+    ORDER BY event_type, hour
+    """,
+    doc="Seasonal-naive forecast backtest — the capacity-planning "
+    "baseline every fancier model must beat: forecast for each hour "
+    "of the LAST day = mean count of that hour over all training "
+    "days, scored by symmetric APE against the actual. The sAPE term "
+    "2|F-A|/(F+A) is computed on the CROSS-MULTIPLIED integer form "
+    "2|s - n*a|/(s + n*a) (s = train total, n = train days), so the "
+    "rational forecast never materializes as a float; the one "
+    "division is nano-quantized. The (type x 24h) grid densifies "
+    "silent hours — a forecaster that never sees the quiet hours "
+    "overestimates them. Two map-side-collapsing aggregates plus a "
+    "broadcast grid join; no windows, no shuffles beyond the "
+    "grouped counts.",
+    tags=("monitoring", "timeseries"),
+)
+def events_forecast_seasonal_naive(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("int").alias("hour"),
+        "event_type",
+    )
+    last_d = base.agg(F.max("day").alias("ld"))
+    based = base.crossJoin(F.broadcast(last_d))
+    train = (
+        based.filter(F.col("day") < F.col("ld"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").cast("long").alias("s"))
+    )
+    nd = (
+        based.filter(F.col("day") < F.col("ld"))
+        .agg(F.countDistinct("day").cast("long").alias("n"))
+    )
+    act = (
+        based.filter(F.col("day") == F.col("ld"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").cast("long").alias("a"))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            table(spark, sf_dir, "events")
+            .sparkSession.range(24)
+            .select(F.col("id").cast("int").alias("hour"))
+        )
+    )
+    joined = (
+        grid.join(train, ["event_type", "hour"], "left")
+        .join(act, ["event_type", "hour"], "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").alias("n_train_days"),
+            F.coalesce("s", F.lit(0)).cast("long").alias("s"),
+            F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+        )
+    )
+    na = F.col("n_train_days") * F.col("a")
+    return joined.select(
+        "event_type",
+        "hour",
+        "n_train_days",
+        F.col("s").alias("train_total"),
+        F.col("a").alias("actual"),
+        F.floor(
+            F.col("s").cast("double") / F.col("n_train_days") * 1000 + 0.5
+        )
+        .cast("long")
+        .alias("forecast_milli"),
+        F.when(F.col("s") + na == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (2.0 * F.abs(F.col("s") - na) / (F.col("s") + na)) * 1e9
+                + 0.5
+            )
+        )
+        .cast("long")
+        .alias("sape_nano"),
+    ).orderBy("event_type", "hour")
