@@ -71,6 +71,15 @@ HEADLINE = [
     "scd2_build_from_events",
     "doc_source_preference_dedup",
     "emb_pca_power_iteration",
+    # round-4 continuation: sketch family (KMV distinct, Bloom screen),
+    # perceptual image hashing, binary-quantized retrieval QA, and the
+    # Kneser-Ney LM scorer — the heaviest of the new text/embedding ops
+    "sketch_kmv_distinct",
+    "sketch_bloom_decontamination",
+    "multimodal_image_ahash_neardup",
+    "emb_binary_quantization_recall",
+    "doc_perplexity_kneser_ney",
+    "timeseries_acf",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
