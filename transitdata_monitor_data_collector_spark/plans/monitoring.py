@@ -3874,3 +3874,70 @@ def events_forecast_seasonal_naive(spark, sf_dir):
         .cast("long")
         .alias("sape_nano"),
     ).orderBy("event_type", "hour")
+
+
+@register(
+    "events_gini_concentration",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x, user_id) AS i
+      FROM per_user
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS total_events,
+             CAST(sum(i * x) AS BIGINT) AS wsum
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n_users, total_events,
+           CAST(floor(CAST(2 * wsum - (n_users + 1) * total_events AS DOUBLE)
+                      / (CAST(n_users AS DOUBLE) * total_events) * 1e9 + 0.5)
+                AS BIGINT) AS gini_nano
+    FROM agg ORDER BY event_type
+    """,
+    doc="Gini coefficient of per-user event concentration, per "
+    "event_type — the power-user inequality profile (G = "
+    "(2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending-sorted "
+    "counts): G near 0 = traffic spread evenly, near 1 = a handful of "
+    "users dominate — the skew early-warning for partition hot keys "
+    "and for per-user rate limits alike. Every moment is an exact "
+    "integer (rank-weighted sums over integer counts; ties broken on "
+    "user_id so the rank weighting is reproducible); the single "
+    "closing division is nano-quantized. One count aggregate, one "
+    "per-type window sort, one tiny final aggregate.",
+    tags=("monitoring", "window"),
+)
+def events_gini_concentration(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    ranked = per_user.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("x", "user_id"))
+        .alias("i"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("wsum"),
+    )
+    num = (2 * F.col("wsum") - (F.col("n_users") + 1) * F.col("total_events")).cast(
+        "double"
+    )
+    den = F.col("n_users").cast("double") * F.col("total_events")
+    return agg.select(
+        "event_type",
+        "n_users",
+        "total_events",
+        F.floor(num / den * 1e9 + 0.5).cast("long").alias("gini_nano"),
+    ).orderBy("event_type")

@@ -2110,3 +2110,111 @@ def agg_bitmap_distinct_users(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "basket_part_pair_lift",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_ord AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM basket
+    ),
+    part_c AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM basket GROUP BY 1
+    ),
+    pair_c AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS c12
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    scored AS (
+      SELECT p.pa, p.pb, p.c12, ca.c AS ca, cb.c AS cb,
+             CAST(floor(CAST(n_ord.n AS DOUBLE) * p.c12
+                        / (CAST(ca.c AS DOUBLE) * cb.c) * 1e9 + 0.5)
+                  AS BIGINT) AS lift_nano,
+             CAST(floor(CAST(p.c12 AS DOUBLE) / ca.c * 1e6 + 0.5)
+                  AS BIGINT) AS conf_ab_micro
+      FROM pair_c p
+      JOIN part_c ca ON ca.l_partkey = p.pa
+      JOIN part_c cb ON cb.l_partkey = p.pb
+      CROSS JOIN n_ord
+    )
+    SELECT pa, pb, c12 AS support, ca, cb, lift_nano, conf_ab_micro
+    FROM scored
+    ORDER BY lift_nano DESC, c12 DESC, pa, pb
+    LIMIT 20
+    """,
+    doc="Market-basket association mining over order line items: "
+    "support / confidence / lift for co-purchased part pairs (lift = "
+    "N * c12 / (c1 * c2)), top-20 by lift — the A-priori first pass "
+    "(pair itemsets) every retail/recommendation pipeline starts "
+    "from. Pairs come from a within-order self-join of the DISTINCT "
+    "(order, part) basket — fan-out bounded by basket size squared "
+    "(~4 items/order here), never a cross-corpus product; counts "
+    "collapse map-side; lift and confidence are single nano/micro-"
+    "quantized divisions of exact integers; deterministic total "
+    "order before the LIMIT.",
+    tags=("relational", "join", "agg"),
+)
+def basket_part_pair_lift(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = basket.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    part_c = basket.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pair_c = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .filter(F.col("c12") >= 2)
+    )
+    scored = (
+        pair_c.join(
+            F.broadcast(part_c.select(F.col("l_partkey").alias("pa"),
+                                      F.col("c").alias("ca"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(part_c.select(F.col("l_partkey").alias("pb"),
+                                      F.col("c").alias("cb"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "pa",
+            "pb",
+            F.col("c12").alias("support"),
+            "ca",
+            "cb",
+            F.floor(
+                F.col("n").cast("double")
+                * F.col("c12")
+                / (F.col("ca").cast("double") * F.col("cb"))
+                * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("lift_nano"),
+            F.floor(F.col("c12").cast("double") / F.col("ca") * 1e6 + 0.5)
+            .cast("long")
+            .alias("conf_ab_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_nano"), F.desc("support"), "pa", "pb"
+    ).limit(20)
