@@ -440,3 +440,19 @@ def test_acf_one_window_sort_no_smj(spark, sf_dir):
     plan = _plan(spark, sf_dir, "timeseries_acf")
     assert plan.count("Window") == 1, plan.count("Window")
     assert "SortMergeJoin" not in plan
+
+
+def test_concurrent_sessions_curve_invariants(spark, sf_dir):
+    """Sweep-line invariants: the curve never goes negative, ends at 0
+    (every +1 has its -1), and never exceeds the number of users."""
+    from transitdata_monitor_data_collector_spark.plans import table
+
+    rows = (
+        REGISTRY["events_concurrent_sessions"].build(spark, sf_dir).collect()
+    )
+    assert rows
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    for r in rows:
+        assert 0 <= r["active"] <= n_users, r
+    assert rows[-1]["active"] == 0
+    assert sum(r["delta"] for r in rows) == 0

@@ -3941,3 +3941,108 @@ def events_gini_concentration(spark, sf_dir):
         "total_events",
         F.floor(num / den * 1e9 + 0.5).cast("long").alias("gini_nano"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_concurrent_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, sid,
+             date_trunc('minute', min(ts)) AS m_start,
+             date_trunc('minute', max(ts)) + INTERVAL 1 MINUTE AS m_end
+      FROM islands GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT m_start AS minute, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT m_end AS minute, -1 AS delta FROM sessions
+    ),
+    steps AS (
+      SELECT minute, CAST(sum(delta) AS BIGINT) AS delta
+      FROM edges GROUP BY minute
+    )
+    SELECT minute, delta,
+           CAST(sum(delta) OVER (ORDER BY minute
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS active
+    FROM steps ORDER BY minute
+    """,
+    doc="Concurrent-session curve via sweep line: 30-min-gap sessions "
+    "(the session_windows islands) emit +1/-1 edges at their start / "
+    "end-exclusive minutes; the running sum over merged edges IS the "
+    "step function of simultaneously-active sessions — the "
+    "capacity-planning number (license seats, connection pools, "
+    "statestore sizing) that naive per-minute GROUP BYs get wrong by "
+    "counting events instead of open intervals. Output is edge-sized, "
+    "not timeline-sized. The curve is one logical series, so the "
+    "final prefix sum orders globally; at 100 TB compute per-day "
+    "partial sums and prefix-offset them (two-pass, same algebra as "
+    "the CUSUM identity) — the per-user session windows before it "
+    "partition cleanly.",
+    tags=("monitoring", "window"),
+)
+def events_concurrent_sessions(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w_lag) + F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(w_cum).alias("sid")
+    )
+    sessions = islands.groupBy("user_id", "sid").agg(
+        F.date_trunc("minute", F.min("ts")).alias("m_start"),
+        (
+            F.date_trunc("minute", F.max("ts"))
+            + F.expr("INTERVAL 1 MINUTE")
+        ).alias("m_end"),
+    )
+    edges = sessions.select(
+        F.col("m_start").alias("minute"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            F.col("m_end").alias("minute"), F.lit(-1).alias("delta")
+        )
+    )
+    steps = edges.groupBy("minute").agg(
+        F.sum("delta").cast("long").alias("delta")
+    )
+    w_run = W.orderBy("minute").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return steps.select(
+        "minute",
+        "delta",
+        F.sum("delta").over(w_run).cast("long").alias("active"),
+    ).orderBy("minute")
