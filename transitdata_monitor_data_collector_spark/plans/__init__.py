@@ -85,7 +85,8 @@ def register(
 # doc_perplexity_kneser_ney, multimodal_image_ahash_neardup,
 # streaming_bitmap_distinct, emb_binary_quantization_recall,
 # events_forecast_seasonal_naive, events_gini_concentration,
-# basket_part_pair_lift, events_concurrent_sessions — green on the
+# basket_part_pair_lift, events_concurrent_sessions,
+# doc_minhash_band_tuning — green on the
 # local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

@@ -5149,3 +5149,143 @@ def emb_binary_quantization_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+def _pow_chain_sql(expr: str, n: int) -> str:
+    """Integer power as an explicit multiplication tree (binary
+    exponentiation, fixed association) — the SAME SQL text runs on both
+    engines, so every intermediate product is the identical
+    correctly-rounded IEEE double. Replaces pow(), which is libm and not
+    correctly rounded."""
+    if n == 1:
+        return f"({expr})"
+    half = _pow_chain_sql(expr, n // 2)
+    if n % 2 == 0:
+        return f"({half} * {half})"
+    return f"({half} * {half} * ({expr}))"
+
+
+_LSH_CONFIGS = [(32, 2), (16, 4), (8, 8), (4, 16)]  # (bands, rows), 64 hashes
+
+
+def _band_p_sql(b: int, r: int) -> str:
+    """P(pair becomes an LSH candidate) = 1 - (1 - s^r)^b as a
+    deterministic multiplication tree over the pair's exact Jaccard s."""
+    srp = _pow_chain_sql("s", r)
+    return f"(1.0 - {_pow_chain_sql(f'(1.0 - {srp})', b)})"
+
+
+@register(
+    "doc_minhash_band_tuning",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DD_SHINGLES} AS shingles FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    pairs AS (
+      SELECT CAST(n_common AS DOUBLE)
+               / (sa.sz + sb.sz - n_common) AS s
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE 2 * n_common >= sa.sz + sb.sz - n_common
+    ),
+    per_cfg AS (
+      {" UNION ALL ".join(
+          f'''SELECT {b} AS bands, {r} AS rows_per_band,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CAST(floor({_band_p_sql(b, r)} * 1e9 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS sum_p_nano,
+              CAST(min(CAST(floor({_band_p_sql(b, r)} * 1e9 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS worst_p_nano
+              FROM pairs'''
+          for b, r in _LSH_CONFIGS
+      )}
+    )
+    SELECT bands, rows_per_band, n_pairs, sum_p_nano, worst_p_nano,
+           {fround_sql("CAST(sum_p_nano AS DOUBLE) / (n_pairs * 1e9)", 6)}
+             AS expected_recall
+    FROM per_cfg ORDER BY bands DESC
+    """,
+    doc="LSH band-layout tuning report: for each (bands, rows) layout of "
+    "the 64 MinHash values, the expected recall over the corpus's "
+    "OBSERVED near-dup pair population (exact 3-gram Jaccard >= 0.5, "
+    "stated integer-exactly as 2*|inter| >= |union|) using the "
+    "S-curve P(candidate) = 1 - (1 - s^r)^b — how an index team picks "
+    "b x r before reindexing 100 TB, from data instead of folklore. "
+    "s is one exact-integer division; every power is an explicit "
+    "multiplication tree (shared SQL text on both engines — pow() is "
+    "libm and not correctly rounded, a product chain of "
+    "correctly-rounded IEEE multiplies is deterministic), "
+    "nano-quantized per pair before summing. Also reports the "
+    "worst-case pair probability — the number that catches a layout "
+    "whose AVERAGE looks fine while its threshold-edge pairs leak.",
+    tags=("llm", "dedup", "approx", "sketch"),
+)
+def doc_minhash_band_tuning(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.dedup import shingle_sets
+
+    sets = shingle_sets(_docs_spread(spark, sf_dir))
+    ex = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("sza"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("szb"))
+    pairs = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            2 * F.col("n_common")
+            >= F.col("sza") + F.col("szb") - F.col("n_common")
+        )
+        .select(
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("n_common"))
+            ).alias("s")
+        )
+    )
+    cfgs = []
+    for bands, r in _LSH_CONFIGS:
+        p_nano = F.expr(
+            f"CAST(floor({_band_p_sql(bands, r)} * 1e9 + 0.5) AS BIGINT)"
+        )
+        cfgs.append(
+            pairs.select(p_nano.alias("p_nano")).agg(
+                F.lit(bands).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum("p_nano").cast("long").alias("sum_p_nano"),
+                F.min("p_nano").cast("long").alias("worst_p_nano"),
+            )
+        )
+    out = cfgs[0]
+    for c in cfgs[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "n_pairs",
+        "sum_p_nano",
+        "worst_p_nano",
+        fround(
+            F.col("sum_p_nano").cast("double") / (F.col("n_pairs") * 1e9), 6
+        ).alias("expected_recall"),
+    ).orderBy(F.desc("bands"))
