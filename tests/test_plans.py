@@ -456,3 +456,17 @@ def test_concurrent_sessions_curve_invariants(spark, sf_dir):
         assert 0 <= r["active"] <= n_users, r
     assert rows[-1]["active"] == 0
     assert sum(r["delta"] for r in rows) == 0
+
+
+def test_wau_bitmap_equals_exact_pair_join_wau(spark, sf_dir):
+    """Two independent exact WAU formulations (bitmap OR-rollup vs the
+    distinct-day range join) must agree day for day."""
+    bm = {
+        r["day"]: r["wau"]
+        for r in REGISTRY["events_wau_bitmap_exact"].build(spark, sf_dir).collect()
+    }
+    pj = {
+        r["day"]: r["wau"]
+        for r in REGISTRY["events_dau_wau_stickiness"].build(spark, sf_dir).collect()
+    }
+    assert bm == pj

@@ -4046,3 +4046,78 @@ def events_concurrent_sessions(spark, sf_dir):
         "delta",
         F.sum("delta").over(w_run).cast("long").alias("active"),
     ).orderBy("minute")
+
+
+@register(
+    "events_wau_bitmap_exact",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    idx AS (
+      SELECT day, CAST(day - DATE '1970-01-01' AS BIGINT) AS di FROM days
+    ),
+    words AS (
+      SELECT CAST(ts AS DATE) AS day,
+             user_id // 32 AS word_i,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS mask
+      FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT w.word_i, i.day, i.di,
+             bit_or(w.mask) AS mask7
+      FROM idx i
+      JOIN words w
+        ON CAST(w.day - DATE '1970-01-01' AS BIGINT)
+           BETWEEN i.di - 6 AND i.di
+      GROUP BY 1, 2, 3
+    )
+    SELECT day,
+           CAST(sum(bit_count(mask7)) AS BIGINT) AS wau
+    FROM rolled GROUP BY day ORDER BY day
+    """,
+    doc="EXACT trailing-7-day WAU via bitmap OR-rollup: per-(day, word) "
+    "user bitmaps (the agg_bitmap_distinct_users state) OR-merged "
+    "over the trailing window, popcounted per anchor day — the scale "
+    "answer to sliding exact-distinct: cost is days x domain/32 longs "
+    "(merge of per-day partials), NOT the (day,user)x(day,user) pair "
+    "fan-out of events_dau_wau_stickiness's exact join, and unlike "
+    "the HLL variant (events_dau_wau_stickiness_approx, rows-only) "
+    "the result is exact and driver-hash-checked. OR is idempotent, "
+    "so overlapping windows never double-count. Spark side rolls up "
+    "with one RANGE-frame bit_or window per word series.",
+    tags=("monitoring", "window", "sketch"),
+)
+def events_wau_bitmap_exact(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("word_i"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("day", "word_i")
+        .agg(F.bit_or("b").alias("mask"))
+        .withColumn("di", F.datediff("day", F.lit("1970-01-01")).cast("long"))
+    )
+    # the trailing OR must be anchored on every ACTIVE day, including
+    # days where a given word has no new bits — align each word series
+    # onto the distinct-day grid first (grid-sized, not event-sized)
+    days = words.select("day", "di").distinct()
+    grid = days.crossJoin(words.select("word_i").distinct())
+    aligned = grid.join(words, ["day", "di", "word_i"], "left")
+    w7 = (
+        W.partitionBy("word_i").orderBy("di").rangeBetween(-6, 0)
+    )
+    rolled = aligned.select(
+        "day",
+        "word_i",
+        F.bit_or("mask").over(w7).alias("mask7"),
+    ).filter(F.col("mask7").isNotNull())
+    return (
+        rolled.groupBy("day")
+        .agg(F.sum(F.bit_count("mask7")).cast("long").alias("wau"))
+        .orderBy("day")
+    )
