@@ -86,7 +86,8 @@ def register(
 # streaming_bitmap_distinct, emb_binary_quantization_recall,
 # events_forecast_seasonal_naive, events_gini_concentration,
 # basket_part_pair_lift, events_concurrent_sessions,
-# doc_minhash_band_tuning, events_wau_bitmap_exact — green on the
+# doc_minhash_band_tuning, events_wau_bitmap_exact,
+# orders_rfm_segmentation — green on the
 # local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

@@ -2218,3 +2218,91 @@ def basket_part_pair_lift(spark, sf_dir):
     return scored.orderBy(
         F.desc("lift_nano"), F.desc("support"), "pa", "pb"
     ).limit(20)
+
+
+@register(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                  AS BIGINT) AS last_di,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_centi
+      FROM orders GROUP BY 1
+    ),
+    anchor AS (
+      SELECT CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                  AS BIGINT) AS adi
+      FROM orders
+    ),
+    scored AS (
+      SELECT o_custkey,
+             anchor.adi - last_di AS recency_days,
+             n_orders, monetary_centi,
+             ntile(4) OVER (ORDER BY anchor.adi - last_di, o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY monetary_centi DESC, o_custkey) AS m_q
+      FROM per_cust CROSS JOIN anchor
+    )
+    SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_centi) AS BIGINT) AS monetary_centi_total
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quartiles) — the classic CRM scoring grid, reported as customer "
+    "counts and monetary totals per (R,F,M) cell (<= 64 rows). "
+    "Monetary sums accumulate as exact centi-integers (double sums "
+    "are order-dependent); every ntile rides a TOTAL order (metric, "
+    "custkey) so quartile assignment is reproducible on both engines "
+    "(SQL-standard ntile puts the remainder in the leading buckets). "
+    "The three ntile windows are single-partition over CUSTOMER-"
+    "dimension rows — already one aggregate smaller than the fact "
+    "table; at true scale swap ntile for percentile thresholds "
+    "computed in one pass and a broadcast join.",
+    tags=("relational", "window", "agg"),
+)
+def orders_rfm_segmentation(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    di = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(di).alias("last_di"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("monetary_centi"),
+    )
+    anchor = o.agg(F.max(di).alias("adi"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        (F.col("adi") - F.col("last_di")).alias("recency_days"),
+        "n_orders",
+        "monetary_centi",
+    )
+    scored = scored.select(
+        "o_custkey",
+        "monetary_centi",
+        F.ntile(4)
+        .over(W.orderBy("recency_days", "o_custkey"))
+        .cast("int")
+        .alias("r_q"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("n_orders"), "o_custkey"))
+        .cast("int")
+        .alias("f_q"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("monetary_centi"), "o_custkey"))
+        .cast("int")
+        .alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("monetary_centi").cast("long").alias("monetary_centi_total"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
