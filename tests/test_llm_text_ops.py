@@ -170,3 +170,22 @@ def test_bitmap_distinct_matches_exact(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_cdc_chunks_reconstruct_and_resync(spark, sf_dir):
+    """CDC invariants: per source, chunk chars reconstruct the filtered
+    corpus exactly, and dedup ratio is in [0, 1)."""
+    rows = REGISTRY["doc_cdc_chunk_dedup"].build(spark, sf_dir).collect()
+    assert rows
+    chars = {
+        r["source"]: r["c"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 8)
+        .groupBy("source")
+        .agg(F.sum(F.length("text")).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert r["total_chunk_chars"] == chars[r["source"]], r
+        assert 0 <= r["dedup_ratio_micro"] < 1_000_000, r
+        assert r["distinct_chunks"] <= r["total_chunks"], r

@@ -5289,3 +5289,125 @@ def doc_minhash_band_tuning(spark, sf_dir):
             F.col("sum_p_nano").cast("double") / (F.col("n_pairs") * 1e9), 6
         ).alias("expected_recall"),
     ).orderBy(F.desc("bands"))
+
+
+@register(
+    "doc_cdc_chunk_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, text, length(text) AS n
+      FROM documents WHERE length(text) >= 8
+    ),
+    bounded AS (
+      SELECT doc_id, source, text, n,
+             list_sort(list_distinct(
+               list_concat(
+                 list_filter(range(8, n + 1),
+                   i -> ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8))
+                          ::BIGINT % 32 = 0),
+                 [n]))) AS bnd
+      FROM base
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             md5(substr(text,
+                        CASE WHEN j = 1 THEN 1 ELSE bnd[j - 1] + 1 END,
+                        bnd[j] - CASE WHEN j = 1 THEN 0 ELSE bnd[j - 1] END))
+               AS chash,
+             bnd[j] - CASE WHEN j = 1 THEN 0 ELSE bnd[j - 1] END AS clen
+      FROM bounded, unnest(range(1, len(bnd) + 1)) AS r(j)
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(count(DISTINCT chash) AS BIGINT) AS distinct_chunks,
+           CAST(sum(clen) AS BIGINT) AS total_chunk_chars,
+           CAST(floor((1.0 - CAST(count(DISTINCT chash) AS DOUBLE)
+                             / count(*)) * 1e6 + 0.5) AS BIGINT)
+             AS dedup_ratio_micro
+    FROM chunks GROUP BY source ORDER BY source
+    """,
+    doc="Content-defined chunking + chunk-level dedup (the "
+    "Rabin/FastCDC storage-dedup primitive): a boundary lands after "
+    "any position whose 8-char window hash is = 0 mod 32 (expected "
+    "32-char chunks), so chunk boundaries RESYNCHRONIZE after an "
+    "insertion — unlike fixed-size blocks, one edit invalidates one "
+    "chunk, not every block after it. Reports per-source chunk "
+    "counts, distinct chunk content hashes, and the dedup ratio a "
+    "content-addressed store would achieve. Boundary detection is a "
+    "pure array pipeline (range -> filter -> slice) inside one "
+    "narrow projection — no UDF, no shuffle until the per-source "
+    "aggregate; chunk identity travels as md5, never the substring.",
+    tags=("llm", "text", "dedup", "sketch"),
+)
+def doc_cdc_chunk_dedup(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir).filter(F.length("text") >= 8)
+    bnd = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.filter(
+                    F.sequence(F.lit(8), F.length("text")),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(F.substring("text", i - 7, 8)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 32
+                    == 0,
+                ),
+                F.array(F.length("text").cast("int")),
+            )
+        )
+    )
+    bounded = d.select("doc_id", "source", "text", bnd.alias("bnd"))
+    prev = F.when(F.col("j") == 1, F.lit(0)).otherwise(
+        F.element_at(F.col("bnd"), F.col("j") - 1)
+    )
+    cur = F.element_at(F.col("bnd"), F.col("j"))
+    chunks = (
+        bounded.select(
+            "doc_id",
+            "source",
+            "bnd",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.size("bnd"))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.col("text").substr(prev + 1, (cur - prev).cast("int"))
+            ).alias("chash"),
+            (cur - prev).cast("long").alias("clen"),
+        )
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("total_chunks"),
+            F.countDistinct("chash").cast("long").alias("distinct_chunks"),
+            F.sum("clen").cast("long").alias("total_chunk_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chunks",
+            "distinct_chunks",
+            "total_chunk_chars",
+            F.floor(
+                (
+                    1.0
+                    - F.col("distinct_chunks").cast("double")
+                    / F.col("total_chunks")
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("dedup_ratio_micro"),
+        )
+        .orderBy("source")
+    )
