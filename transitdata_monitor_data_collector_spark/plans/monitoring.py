@@ -4121,3 +4121,111 @@ def events_wau_bitmap_exact(spark, sf_dir):
         .agg(F.sum(F.bit_count("mask7")).cast("long").alias("wau"))
         .orderBy("day")
     )
+
+
+@register(
+    "events_rollup_incremental",
+    oracle="""
+    SELECT event_type,
+           date_trunc('week', CAST(ts AS DATE)) AS week,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_centi,
+           min(value) AS vmin,
+           max(value) AS vmax
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Incremental rollup correctness: the weekly aggregate is built by "
+    "MERGING daily partials (sum of sums, sum of counts, min of mins, "
+    "max of maxes) while the oracle computes the same weeks DIRECTLY "
+    "from raw events — hash equality proves the merge algebra, the "
+    "property that lets a 100 TB pipeline maintain day partials once "
+    "and re-aggregate to any coarser grain (week/month/all-time) "
+    "without ever re-reading raw data (the Druid/Cube pre-agg "
+    "discipline; same mergeable-state argument as the bitmap "
+    "distinct family, here for the standard sum/count/min/max "
+    "algebra with value sums as exact centi-integers).",
+    tags=("monitoring", "agg"),
+)
+def events_rollup_incremental(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_centi"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return (
+        daily.groupBy(
+            "event_type", F.date_trunc("week", "day").alias("week")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_centi").cast("long").alias("sum_centi"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+@register(
+    "events_k_anonymity",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value / 50) AS BIGINT) AS v_bucket,
+             CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cells_k_lt_5,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_k_lt_5,
+           CAST(floor(CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+                      / sum(k) * 1e6 + 0.5) AS BIGINT)
+             AS pct_rows_risky_micro
+    FROM cells GROUP BY event_type ORDER BY event_type
+    """,
+    doc="k-anonymity audit of the (event_type, day, value-bucket) "
+    "quasi-identifier projection — the privacy gate run before an "
+    "event extract leaves the boundary: min k per class, how many "
+    "equivalence classes fall under k=5, and what fraction of ROWS "
+    "sit in those re-identifiable classes (cells and rows tell "
+    "different stories when the risky cells are tiny). Pure "
+    "group-size arithmetic: one map-side-combining aggregate to "
+    "cells, one tiny per-type aggregate; exact integers until the "
+    "single micro-quantized fraction.",
+    tags=("monitoring", "agg"),
+)
+def events_k_anonymity(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / 50).cast("long").alias("v_bucket"),
+    ).agg(F.count("*").cast("long").alias("k"))
+    risky = F.when(F.col("k") < 5, F.col("k")).otherwise(F.lit(0))
+    return (
+        cells.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.min("k").cast("long").alias("min_k"),
+            F.sum((F.col("k") < 5).cast("long")).cast("long").alias("cells_k_lt_5"),
+            F.sum(risky).cast("long").alias("rows_k_lt_5"),
+            F.floor(
+                F.sum(risky).cast("double") / F.sum("k") * 1e6 + 0.5
+            )
+            .cast("long")
+            .alias("pct_rows_risky_micro"),
+        )
+        .orderBy("event_type")
+    )
