@@ -5411,3 +5411,96 @@ def doc_cdc_chunk_dedup(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "emb_mahalanobis_ood",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT label, dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS s,
+             CAST(sum(xq * xq) AS BIGINT) AS q
+      FROM dims GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT d.vec_id, d.label,
+             CAST(floor(
+               CAST((st.n * d.xq - st.s) * (st.n * d.xq - st.s) AS DOUBLE)
+               / (st.n * st.q - st.s * st.s) * 1e6 + 0.5) AS BIGINT)
+               AS t_micro
+      FROM dims d JOIN stats st USING (label, dim)
+      WHERE st.n * st.q - st.s * st.s > 0
+    ),
+    scores AS (
+      SELECT vec_id, label,
+             CAST(sum(t_micro) AS BIGINT) AS score_micro
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT vec_id, label, score_micro
+    FROM scores
+    ORDER BY score_micro DESC, vec_id
+    LIMIT 20
+    """,
+    doc="Diagonal-Mahalanobis out-of-distribution scoring per label: "
+    "score = sum_d (x_d - mu_d)^2 / var_d against the vector's OWN "
+    "label's per-dimension moments, top-20 most-OOD embeddings — the "
+    "mislabeled/outlier screen run before contrastive training or "
+    "centroid indexing (complements emb_centroid_confusion, which "
+    "asks 'nearer to another centroid?'; this asks 'improbable under "
+    "its own?'). The per-dim z^2 term is the exact-integer ratio "
+    "(n*x - S)^2 / (n*Q - S^2) over micro-quantized values — "
+    "scale-invariant, so the n^2 factors cancel — micro-quantized "
+    "per dim BEFORE the sum (64 correctly-rounded divisions, then "
+    "order-free integer adds). Moments collapse map-side to "
+    "(labels x dims) rows and broadcast back; one narrow pass, one "
+    "top-k. Integer headroom: terms peak near (n_label * 6e5)^2, so "
+    "BIGINT holds to ~n_label 5e6 per label; past that, drop the "
+    "quantization to 1e4 (the z^2 ratio is scale-invariant, only "
+    "resolution changes).",
+    tags=("llm", "embedding", "approx"),
+)
+def emb_mahalanobis_ood(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    from transitdata_monitor_data_collector_spark.functions.vectors import as_double
+
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("x") * 1e6 + 0.5).cast("long").alias("xq"),
+    )
+    stats = dims.groupBy("label", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("q"),
+    )
+    dev = F.col("n") * F.col("xq") - F.col("s")
+    var = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    terms = (
+        dims.join(F.broadcast(stats), ["label", "dim"])
+        .filter(var > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.floor((dev * dev).cast("double") / var * 1e6 + 0.5)
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    return (
+        terms.groupBy("vec_id", "label")
+        .agg(F.sum("t_micro").cast("long").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "vec_id")
+        .limit(20)
+    )
