@@ -2306,3 +2306,83 @@ def orders_rfm_segmentation(spark, sf_dir):
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus
+      FROM events WHERE event_type = 'error'
+    ),
+    sig AS (
+      SELECT event_id AS s_id, user_id, epoch_us(ts) AS s_tus
+      FROM events WHERE event_type = 'signup'
+    ),
+    cand AS (
+      SELECT e.event_id, e.user_id, s.s_id,
+             abs(e.tus - s.s_tus) AS dist_us,
+             CASE WHEN s.s_tus <= e.tus THEN 'before' ELSE 'after' END
+               AS direction,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(e.tus - s.s_tus), s.s_tus, s.s_id) AS rn
+      FROM err e JOIN sig s
+        ON e.user_id = s.user_id
+       AND s.s_tus BETWEEN e.tus - 3600000000 AND e.tus + 3600000000
+    )
+    SELECT event_id, user_id, s_id AS nearest_signup_id,
+           CAST(dist_us AS BIGINT) AS dist_us, direction
+    FROM cand WHERE rn = 1
+    ORDER BY event_id
+    """,
+    doc="Nearest-event join (bidirectional as-of with tolerance): each "
+    "error event pairs with the SAME user's temporally closest signup "
+    "within +/-1 h, ties to the earlier signup then id — the "
+    "diagnostics join ('what account action sits nearest this "
+    "error?') that backward-only as-of (join_range_asof) cannot "
+    "answer. Distances are exact integer microseconds; the candidate "
+    "set is an equi-join on user with a +/-tolerance band predicate "
+    "(fan-out bounded by per-user traffic in the 2 h window, never a "
+    "time-cross-product), argmin by one per-probe-row window.",
+    tags=("relational", "join", "window"),
+)
+def join_asof_nearest(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"),
+        "user_id",
+        F.unix_micros("ts").alias("s_tus"),
+    )
+    tol = 3_600_000_000
+    cand = err.join(
+        sig,
+        (err["user_id"] == sig["user_id"])
+        & (F.col("s_tus") >= F.col("tus") - tol)
+        & (F.col("s_tus") <= F.col("tus") + tol),
+    ).select(
+        "event_id",
+        err["user_id"].alias("user_id"),
+        "s_id",
+        F.abs(F.col("tus") - F.col("s_tus")).alias("dist_us"),
+        F.when(F.col("s_tus") <= F.col("tus"), "before")
+        .otherwise("after")
+        .alias("direction"),
+        "s_tus",
+    )
+    w = W.partitionBy("event_id").orderBy("dist_us", "s_tus", "s_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("s_id").alias("nearest_signup_id"),
+            F.col("dist_us").cast("long").alias("dist_us"),
+            "direction",
+        )
+        .orderBy("event_id")
+    )
