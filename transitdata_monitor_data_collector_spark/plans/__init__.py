@@ -89,7 +89,8 @@ def register(
 # doc_minhash_band_tuning, events_wau_bitmap_exact,
 # orders_rfm_segmentation, doc_cdc_chunk_dedup,
 # events_rollup_incremental, events_k_anonymity,
-# emb_mahalanobis_ood, join_asof_nearest — green on the
+# emb_mahalanobis_ood, join_asof_nearest,
+# events_funnel_attribution — green on the
 # local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

@@ -4229,3 +4229,137 @@ def events_k_anonymity(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_funnel_attribution",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_tus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS t_id, user_id, event_type AS t_type,
+             epoch_us(ts) AS t_tus
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    cand AS (
+      SELECT p.p_id, t.t_id, t.t_type, t.t_tus,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_tus, t.t_id) AS rn_a,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_tus DESC, t.t_id DESC) AS rn_d,
+             count(*) OVER (PARTITION BY p.p_id) AS n_touch
+      FROM purch p JOIN touch t
+        ON p.user_id = t.user_id
+       AND t.t_tus >= p.p_tus - 86400000000 AND t.t_tus < p.p_tus
+    ),
+    linear_credit AS (
+      SELECT 'linear' AS model, t_type AS touch_type,
+             CAST(sum(CAST(floor(1e6 * cnt / n_touch + 0.5) AS BIGINT))
+                  AS BIGINT) AS credit_micro
+      FROM (
+        SELECT p_id, t_type, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(max(n_touch) AS BIGINT) AS n_touch
+        FROM cand GROUP BY 1, 2
+      ) GROUP BY 2
+    ),
+    first_credit AS (
+      SELECT 'first_touch' AS model, t_type AS touch_type,
+             CAST(count(*) AS BIGINT) * 1000000 AS credit_micro
+      FROM cand WHERE rn_a = 1 GROUP BY 2
+    ),
+    last_credit AS (
+      SELECT 'last_touch' AS model, t_type AS touch_type,
+             CAST(count(*) AS BIGINT) * 1000000 AS credit_micro
+      FROM cand WHERE rn_d = 1 GROUP BY 2
+    )
+    SELECT * FROM linear_credit
+    UNION ALL SELECT * FROM first_credit
+    UNION ALL SELECT * FROM last_credit
+    ORDER BY model, touch_type
+    """,
+    doc="Multi-model conversion attribution: each purchase credits the "
+    "same user's view/click touches in the prior 24 h under "
+    "first-touch, last-touch, and linear models — the three answers "
+    "marketing teams compare before reallocating spend (they diverge "
+    "exactly when journeys are long, which is why all three ship "
+    "from ONE candidate join). Linear credit is micro-quantized per "
+    "(purchase, touch-type) from exact counts; first/last pick by "
+    "row_number over (ts, id) so ties are deterministic; the touch "
+    "window is an equi-join on user with a band predicate, bounded "
+    "fan-out, and all three window functions share one per-purchase "
+    "partitioning.",
+    tags=("monitoring", "window", "join"),
+)
+def events_funnel_attribution(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_tus"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("event_type").alias("t_type"),
+        F.unix_micros("ts").alias("t_tus"),
+    )
+    day_us = 86_400_000_000
+    cand = (
+        purch.join(
+            touch,
+            (purch["user_id"] == touch["user_id"])
+            & (F.col("t_tus") >= F.col("p_tus") - day_us)
+            & (F.col("t_tus") < F.col("p_tus")),
+        )
+        .select("p_id", "t_id", "t_type", "t_tus")
+        .withColumn(
+            "rn_a",
+            F.row_number().over(
+                W.partitionBy("p_id").orderBy("t_tus", "t_id")
+            ),
+        )
+        .withColumn(
+            "rn_d",
+            F.row_number().over(
+                W.partitionBy("p_id").orderBy(
+                    F.desc("t_tus"), F.desc("t_id")
+                )
+            ),
+        )
+        .withColumn("n_touch", F.count("*").over(W.partitionBy("p_id")))
+    )
+    linear = (
+        cand.groupBy("p_id", "t_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.max("n_touch").cast("long").alias("n_touch"),
+        )
+        .select(
+            "t_type",
+            F.floor(
+                1e6 * F.col("cnt") / F.col("n_touch") + 0.5
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy(F.col("t_type").alias("touch_type"))
+        .agg(F.sum("c").cast("long").alias("credit_micro"))
+        .withColumn("model", F.lit("linear"))
+    )
+
+    def picked(flag_col, model):
+        return (
+            cand.filter(F.col(flag_col) == 1)
+            .groupBy(F.col("t_type").alias("touch_type"))
+            .agg((F.count("*") * 1_000_000).cast("long").alias("credit_micro"))
+            .withColumn("model", F.lit(model))
+        )
+
+    out = linear.unionByName(picked("rn_a", "first_touch")).unionByName(
+        picked("rn_d", "last_touch")
+    )
+    return out.select("model", "touch_type", "credit_micro").orderBy(
+        "model", "touch_type"
+    )
