@@ -451,3 +451,40 @@ def image_ahash_bands(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(sign, AHASH_BANDS_SCHEMA)
+
+
+FRAME_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+    ]
+)
+
+
+def frame_byte_sums(frames: DataFrame) -> DataFrame:
+    """Per-frame byte sums over sampled frame rows — the integer-exact
+    luminance proxy the scene-cut detector differences (with a real
+    codec this is the decoded frame's pixel sum; the byte sum over the
+    fake container is the same arithmetic on the same plumbing)."""
+    import numpy as np
+    import pandas as pd
+
+    def sums(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [
+                (
+                    int(d),
+                    int(i),
+                    int(np.frombuffer(fr, dtype=np.uint8).astype(np.int64).sum()),
+                )
+                for d, i, fr in zip(
+                    pdf["doc_id"], pdf["frame_index"], pdf["frame"]
+                )
+                if fr is not None
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SUM_SCHEMA.fields]
+            )
+
+    return frames.mapInPandas(sums, FRAME_SUM_SCHEMA)

@@ -5504,3 +5504,79 @@ def emb_mahalanobis_ood(spark, sf_dir):
         .orderBy(F.desc("score_micro"), "vec_id")
         .limit(20)
     )
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS bs
+      FROM documents WHERE length(text) >= 64
+    ),
+    pos AS (
+      SELECT doc_id,
+             CAST((generate_subscripts(bs, 1) - 1) // 64 AS INTEGER) AS k,
+             CAST(unnest(bs) AS BIGINT) AS v,
+             n // 64 AS n_frames
+      FROM b
+    ),
+    sums AS (
+      SELECT doc_id, k, CAST(sum(v) AS BIGINT) AS s
+      FROM pos WHERE k < n_frames GROUP BY doc_id, k
+    ),
+    diffs AS (
+      SELECT doc_id, k, s,
+             abs(s - lag(s) OVER (PARTITION BY doc_id ORDER BY k)) AS d
+      FROM sums
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN d >= 1280 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(min(CASE WHEN d >= 1280 THEN k END) AS BIGINT)
+             AS first_cut
+    FROM diffs GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Video scene-cut detection over the sampled-frame path: every "
+    "64-byte frame's exact integer byte sum (the luminance proxy; "
+    "with a real codec, the decoded pixel sum — same plumbing, "
+    "operators/multimodal.frame_byte_sums) is lag-differenced per "
+    "video, and a jump >= 1280 (mean shift >= 20/byte over equal-size "
+    "frames, so integer sums compare directly — no division) marks a "
+    "cut. Reports frames, cuts, and first-cut index per video — the "
+    "shot-boundary pass that decides which frames a multimodal "
+    "training pipeline keeps. Fan-out is frame-count-sized; the "
+    "detector is one window per video over integer sums.",
+    tags=("llm", "multimodal", "window"),
+)
+def multimodal_video_scene_cuts(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        frame_byte_sums,
+        sample_frames,
+        synthesize_image_payloads,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    frames = sample_frames(synthesize_image_payloads(docs), stride=1)
+    sums = frame_byte_sums(frames)
+    w = W.partitionBy("doc_id").orderBy("frame_index")
+    diffs = sums.select(
+        "doc_id",
+        F.col("frame_index").alias("k"),
+        F.abs(F.col("byte_sum") - F.lag("byte_sum").over(w)).alias("d"),
+    )
+    return (
+        diffs.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum(F.when(F.col("d") >= 1280, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cuts"),
+            F.min(F.when(F.col("d") >= 1280, F.col("k")))
+            .cast("long")
+            .alias("first_cut"),
+        )
+        .orderBy("doc_id")
+    )
