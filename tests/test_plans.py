@@ -470,3 +470,13 @@ def test_wau_bitmap_equals_exact_pair_join_wau(spark, sf_dir):
         for r in REGISTRY["events_dau_wau_stickiness"].build(spark, sf_dir).collect()
     }
     assert bm == pj
+
+
+def test_new_plus_returning_equals_active(spark, sf_dir):
+    rows = REGISTRY["events_new_vs_returning"].build(spark, sf_dir).collect()
+    assert rows
+    assert all(
+        r["new_users"] + r["returning_users"] == r["active_users"]
+        for r in rows
+    )
+    assert rows[0]["returning_users"] == 0  # day one: everyone is new

@@ -90,7 +90,9 @@ def register(
 # orders_rfm_segmentation, doc_cdc_chunk_dedup,
 # events_rollup_incremental, events_k_anonymity,
 # emb_mahalanobis_ood, join_asof_nearest,
-# events_funnel_attribution, multimodal_video_scene_cuts — green on the
+# events_funnel_attribution, multimodal_video_scene_cuts,
+# emb_ivf_balance_report, text_tokenizer_compression,
+# events_new_vs_returning — green on the
 # local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

@@ -5580,3 +5580,133 @@ def multimodal_video_scene_cuts(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _ivf_balance_oracle_sql() -> str:
+    rounds = []
+    cent = "c0"
+    for i in range(1, _IVF_ROUNDS + 1):
+        rounds.append(_ivf_assign_cte(f"a{i}", cent))
+        rounds.append(_ivf_update_cte(f"c{i}", f"a{i}"))
+        cent = f"c{i}"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT cid, cv FROM (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid,
+                   v AS cv
+            FROM e
+        ) WHERE cid < {_IVF_K}
+    ),
+    {",".join(rounds)},
+    {_ivf_assign_cte("afin", cent)},
+    sizes AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM afin GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM e)
+    SELECT c.cid, coalesce(s.n_vectors, 0) AS n_vectors,
+           CAST(floor(CAST(coalesce(s.n_vectors, 0) * {_IVF_K} AS DOUBLE)
+                      / tot.nt * 1e6 + 0.5) AS BIGINT) AS load_micro
+    FROM {cent} c LEFT JOIN sizes s USING (cid) CROSS JOIN tot
+    ORDER BY cid
+    """
+
+
+@register(
+    "emb_ivf_balance_report",
+    oracle=_ivf_balance_oracle_sql(),
+    doc=f"IVF index balance report: per-cluster vector counts and load "
+    f"factor (n * k / N; 1e6 micro = perfectly balanced) for the "
+    f"deterministic k={_IVF_K} index — the health check run before "
+    f"trusting nprobe math, because a skewed inverted file turns "
+    f"'probe 2 of 8 lists' into 'scan half the corpus' (hot cluster) "
+    f"or wasted probes (empty ones), exactly the partition-skew "
+    f"failure mode salting fixes for joins. Rides the same md5-seeded "
+    f"micro-quantized Lloyd training as emb_ivf_recall_report, so the "
+    f"DuckDB oracle replays the identical index and the report is "
+    f"hash-checked; empty clusters are densified from the centroid "
+    f"list (a report that silently omits them hides the worst case).",
+    tags=("llm", "similarity", "embedding", "approx"),
+)
+def emb_ivf_balance_report(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import as_double
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cent, afin = _ivf_spark_train(e)
+    sizes = afin.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    tot = e.agg(F.count("*").cast("long").alias("nt"))
+    return (
+        cent.select("cid")
+        .join(sizes, "cid", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            F.coalesce("n_vectors", F.lit(0)).cast("long").alias("n_vectors"),
+            F.floor(
+                (F.coalesce("n_vectors", F.lit(0)) * _IVF_K).cast("double")
+                / F.col("nt")
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("load_micro"),
+        )
+        .orderBy("cid")
+    )
+
+
+@register(
+    "text_tokenizer_compression",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(regexp_extract_all(text, '{TX.BPE_ISH}')) )
+                AS BIGINT) AS total_bpe_tokens,
+           CAST(floor(CAST(sum(length(text)) AS DOUBLE)
+                      / sum(len(regexp_extract_all(text, '{TX.BPE_ISH}')))
+                      * 1000 + 0.5) AS BIGINT) AS chars_per_token_milli
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility / compression ratio per language: characters "
+    "per BPE-ish token — the number that exposes tokenizer bias "
+    "(languages the vocabulary serves badly pay more tokens per "
+    "character, silently shrinking their effective share of a "
+    "token-denominated training budget; mixture weights and per-lang "
+    "token budgets must correct by exactly this ratio). Pure "
+    "map-side-collapsing integer sums; one milli-quantized division "
+    "per language.",
+    tags=("llm", "text"),
+)
+def text_tokenizer_compression(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    per = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(TX.bpe_ish_count(F.col("text")))
+        .cast("long")
+        .alias("total_bpe_tokens"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_bpe_tokens",
+        F.floor(
+            F.col("total_chars").cast("double")
+            / F.col("total_bpe_tokens")
+            * 1000
+            + 0.5
+        )
+        .cast("long")
+        .alias("chars_per_token_milli"),
+    ).orderBy("lang")

@@ -4363,3 +4363,58 @@ def events_funnel_attribution(spark, sf_dir):
     return out.select("model", "touch_type", "credit_micro").orderBy(
         "model", "touch_type"
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    )
+    SELECT d.day,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN f.first_day < d.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM daily d JOIN first_seen f USING (user_id)
+    GROUP BY d.day ORDER BY d.day
+    """,
+    doc="Daily new-vs-returning user split — the growth-accounting "
+    "decomposition (acquisition vs retention) behind every DAU chart: "
+    "a user is 'new' on their first-ever active day, 'returning' "
+    "after. First-seen days collapse map-side to one row per user "
+    "(the same dimension the retention cohorts key on) and broadcast "
+    "back onto the distinct (day, user) activity pairs; exact "
+    "integer counts, no rounding contract needed. new + returning = "
+    "active by construction — asserted in tests.",
+    tags=("monitoring", "agg"),
+)
+def events_new_vs_returning(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("active_users"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("new_users"),
+            F.sum(
+                F.when(F.col("first_day") < F.col("day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )
