@@ -92,7 +92,8 @@ def register(
 # emb_mahalanobis_ood, join_asof_nearest,
 # events_funnel_attribution, multimodal_video_scene_cuts,
 # emb_ivf_balance_report, text_tokenizer_compression,
-# events_new_vs_returning — green on the
+# events_new_vs_returning, orders_ship_lead_time,
+# events_bot_detection — green on the
 # local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

@@ -4418,3 +4418,82 @@ def events_new_vs_returning(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_bot_detection",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+               AS gap_s
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(count(gap_s) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_s) AS BIGINT) AS s,
+             CAST(sum(gap_s * gap_s) AS BIGINT) AS q
+      FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_gaps,
+           s // n_gaps AS mean_gap_s,
+           CAST(floor(sqrt(CAST(n_gaps * q - s * s AS DOUBLE))
+                      / s * 1e6 + 0.5) AS BIGINT) AS cv_micro,
+           floor(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) / s * 1e6 + 0.5)
+             < 250000 AS is_bot_suspect
+    FROM stats
+    WHERE n_gaps >= 20 AND s > 0
+    ORDER BY cv_micro, user_id
+    """,
+    doc="Bot/automation detection from inter-arrival regularity: per "
+    "user, the coefficient of variation of inter-event gaps — humans "
+    "are bursty (cv near or above 1), schedulers are metronomes (cv "
+    "near 0); flag users with cv < 0.25 over >= 20 gaps. The moments "
+    "are exact integer microsecond sums; cv = sqrt(n*q - s^2)/s "
+    "multiplies out the means so the ONLY irrational op is one "
+    "correctly-rounded IEEE sqrt per user (the skew/kurtosis "
+    "discipline), micro-quantized. One window sort per user feeding "
+    "one map-side-collapsing aggregate — the abuse-filtering pass a "
+    "crawl pipeline runs before user-weighted sampling. Gaps are "
+    "truncated to whole seconds: microsecond squares overflow BIGINT "
+    "once gaps span days, and cadence regularity lives at second "
+    "scale anyway.",
+    tags=("monitoring", "window", "agg"),
+)
+def events_bot_detection(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    # second resolution: microsecond squares overflow BIGINT once a
+    # user's gaps span days (30 d = 2.6e12 us; squared = 6.7e24)
+    gaps = gaps.select("user_id", F.expr("gap_us div 1000000").alias("gap_s"))
+    stats = gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("q"),
+    )
+    cv_micro = F.floor(
+        F.sqrt((F.col("n_gaps") * F.col("q") - F.col("s") * F.col("s")).cast("double"))
+        / F.col("s")
+        * 1e6
+        + 0.5
+    )
+    return (
+        stats.filter((F.col("n_gaps") >= 20) & (F.col("s") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            F.expr("s div n_gaps").cast("long").alias("mean_gap_s"),
+            cv_micro.cast("long").alias("cv_micro"),
+            (cv_micro < 250000).alias("is_bot_suspect"),
+        )
+        .orderBy("cv_micro", "user_id")
+    )
