@@ -93,7 +93,7 @@ def register(
 # events_funnel_attribution, multimodal_video_scene_cuts,
 # emb_ivf_balance_report, text_tokenizer_compression,
 # events_new_vs_returning, orders_ship_lead_time,
-# events_bot_detection — green on the
+# events_bot_detection, agg_weighted_median, parts_abc_pareto — green on the
 # local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
 # window with the oldest green rows.
 GATE_ORDER: list[str] = [

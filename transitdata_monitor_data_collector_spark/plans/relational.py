@@ -2444,3 +2444,170 @@ def orders_ship_lead_time(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, price_c, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price_c, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN price_c END) AS BIGINT)
+             AS weighted_median_price_centi
+    FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Weighted median (quantity-weighted median extended price per "
+    "return flag): the first value whose cumulative weight reaches "
+    "half the total — the robust 'typical price per unit sold' that "
+    "an unweighted median gets wrong when line sizes vary. The "
+    "halfway test is the cross-multiplied integer 2*cw >= tw (no "
+    "division anywhere); prices are exact centi-integers; the "
+    "cumulative walk is one window sort per group with a TOTAL "
+    "order (price, orderkey, linenumber) so the crossing row is "
+    "unique on both engines.",
+    tags=("relational", "window", "agg"),
+)
+def agg_weighted_median(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    win = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min("tw").cast("long").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c"))
+            )
+            .cast("long")
+            .alias("weighted_median_price_centi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "parts_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_c,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_c,
+             sum(rev_c) OVER () AS tot_c
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_partkey, rev_c,
+             CASE WHEN 100 * cum_c <= 80 * tot_c THEN 'A'
+                  WHEN 100 * cum_c <= 95 * tot_c THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_c) AS BIGINT) AS revenue_centi,
+           CAST(floor(CAST(sum(rev_c) AS DOUBLE)
+                      / (SELECT CAST(sum(rev_c) AS DOUBLE) FROM rev)
+                      * 1e6 + 0.5) AS BIGINT) AS revenue_share_micro
+    FROM classed GROUP BY abc ORDER BY abc
+    """,
+    doc="ABC / Pareto inventory classification: parts ranked by "
+    "discounted revenue, classed A (first 80% of cumulative "
+    "revenue), B (to 95%), C (tail) — the 'few parts carry the "
+    "revenue' cut that decides stocking policy, and the same "
+    "cumulative-share machinery behind corpus token-budget trims. "
+    "Revenue accumulates as exact centi-integers; class boundaries "
+    "are cross-multiplied integer comparisons (100*cum <= 80*tot), "
+    "so no division touches the classification; the global ranking "
+    "is one part-dimension-sized window (already aggregated off the "
+    "fact table).",
+    tags=("relational", "window", "agg"),
+)
+def parts_abc_pareto(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    win = W.orderBy(F.desc("rev_c"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(win).alias("cum_c"),
+        F.sum("rev_c").over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("tot_c"),
+    )
+    classed = ranked.select(
+        "rev_c",
+        F.when(100 * F.col("cum_c") <= 80 * F.col("tot_c"), "A")
+        .when(100 * F.col("cum_c") <= 95 * F.col("tot_c"), "B")
+        .otherwise("C")
+        .alias("abc"),
+        "tot_c",
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_c").cast("long").alias("revenue_centi"),
+            F.floor(
+                F.sum("rev_c").cast("double")
+                / F.max("tot_c").cast("double")
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("revenue_share_micro"),
+        )
+        .orderBy("abc")
+    )
