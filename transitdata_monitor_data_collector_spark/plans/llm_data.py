@@ -4828,7 +4828,14 @@ def doc_perplexity_kneser_ney(spark, sf_dir):
     bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    # one explode feeds everything: corpus bigram counts derive from the
+    # per-doc counts (sum of k), so the token stream is scanned once
+    docbg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    bgc = docbg.groupBy("w1", "w2").agg(
+        F.sum("k").cast("long").alias("c12")
+    )
     ctx = bgc.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count("*").cast("long").alias("n1f"),
@@ -4847,9 +4854,6 @@ def doc_perplexity_kneser_ney(spark, sf_dir):
             "w2",
             F.floor(F.log(prob) * 1e9 + 0.5).cast("long").alias("lp_nano"),
         )
-    )
-    docbg = bg.groupBy("doc_id", "w1", "w2").agg(
-        F.count("*").cast("long").alias("k")
     )
     return (
         docbg.join(lp, ["w1", "w2"])
