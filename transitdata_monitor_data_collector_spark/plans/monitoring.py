@@ -4497,3 +4497,98 @@ def events_bot_detection(spark, sf_dir):
         )
         .orderBy("cv_micro", "user_id")
     )
+
+
+@register(
+    "promql_absent_alert",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('minute', min(ts)) AS tmin,
+             date_trunc('minute', max(ts)) AS tmax
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(tmin, tmax, INTERVAL 1 MINUTE)) AS minute
+      FROM bounds
+    ),
+    samples AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT g.event_type, g.minute,
+             CAST(epoch(g.minute) AS BIGINT) // 60 AS mi,
+             CASE WHEN s.n IS NULL THEN 1 ELSE 0 END AS absent
+      FROM grid g LEFT JOIN samples s USING (event_type, minute)
+    ),
+    islands AS (
+      SELECT event_type, minute, mi,
+             mi - row_number() OVER (PARTITION BY event_type ORDER BY mi)
+               AS grp
+      FROM flagged WHERE absent = 1
+    )
+    SELECT event_type,
+           min(minute) AS absent_start,
+           max(minute) AS absent_end,
+           CAST(count(*) AS BIGINT) AS n_minutes
+    FROM islands
+    GROUP BY event_type, grp
+    HAVING count(*) >= 5
+    ORDER BY event_type, absent_start
+    """,
+    doc="PromQL absent()-style silent-series alerting: intervals of >= 5 "
+    "consecutive minutes where a series reported NO samples — the "
+    "alert that catches a dead exporter or stuck pipeline, which "
+    "threshold rules structurally cannot fire on (no data, no "
+    "breach; the reference's liveness endpoint answers this for the "
+    "process, this answers it per series). Dense minute grid "
+    "(grid-sized sequence/explode, the LOCF discipline), absence "
+    "islands via the rn-difference trick on integer minute indexes — "
+    "the same gaps-and-islands family as promql_alert_for_duration, "
+    "inverted to fire on missing data instead of breaching data.",
+    tags=("monitoring", "window", "timeseries"),
+)
+def promql_absent_alert(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("minute", F.min("ts")).alias("tmin"),
+        F.date_trunc("minute", F.max("ts")).alias("tmax"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("tmin", "tmax", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute"),
+    )
+    samples = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").alias("n"))
+    flagged = (
+        grid.join(samples, ["event_type", "minute"], "left")
+        .filter(F.col("n").isNull())
+        .select(
+            "event_type",
+            "minute",
+            (F.unix_timestamp("minute") / 60).cast("long").alias("mi"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("mi")
+    islands = flagged.withColumn(
+        "grp", F.col("mi") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("event_type", "grp")
+        .agg(
+            F.min("minute").alias("absent_start"),
+            F.max("minute").alias("absent_end"),
+            F.count("*").cast("long").alias("n_minutes"),
+        )
+        .filter(F.col("n_minutes") >= 5)
+        .select(
+            "event_type", "absent_start", "absent_end", "n_minutes"
+        )
+        .orderBy("event_type", "absent_start")
+    )
