@@ -2611,3 +2611,79 @@ def parts_abc_pareto(spark, sf_dir):
         )
         .orderBy("abc")
     )
+
+
+@register(
+    "orders_cohort_clv",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS mi,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    first_m AS (
+      SELECT o_custkey, min(mi) AS cohort_mi FROM om GROUP BY 1
+    ),
+    cells AS (
+      SELECT f.cohort_mi, om.mi - f.cohort_mi AS month_offset,
+             CAST(count(DISTINCT om.o_custkey) AS BIGINT) AS n_active,
+             CAST(sum(om.price_c) AS BIGINT) AS revenue_centi
+      FROM om JOIN first_m f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_mi, CAST(month_offset AS BIGINT) AS month_offset,
+           n_active, revenue_centi,
+           CAST(sum(revenue_centi) OVER (
+                  PARTITION BY cohort_mi ORDER BY month_offset
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_revenue_centi
+    FROM cells ORDER BY cohort_mi, month_offset
+    """,
+    doc="Customer-lifetime-value triangle: revenue by acquisition cohort "
+    "(month of first order) x months-since-acquisition, with the "
+    "per-cohort cumulative CLV curve — the finance-side twin of the "
+    "retention matrix (events_retention_cohorts counts users; this "
+    "accumulates exact centi-integer revenue, the number CAC payback "
+    "is measured against). Month indexes are exact integers "
+    "(year*12+month), first-order months collapse map-side to one "
+    "row per customer and join back broadcastably, and the "
+    "cumulative curve is one window over cohort-dimension-sized "
+    "cells.",
+    tags=("relational", "window", "agg"),
+)
+def orders_cohort_clv(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("mi"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_c"),
+    )
+    first_m = om.groupBy("o_custkey").agg(F.min("mi").alias("cohort_mi"))
+    cells = (
+        om.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("month_offset")
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+            F.sum("price_c").cast("long").alias("revenue_centi"),
+        )
+    )
+    w = (
+        W.partitionBy("cohort_mi")
+        .orderBy("month_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return cells.select(
+        "cohort_mi",
+        F.col("month_offset").cast("long").alias("month_offset"),
+        "n_active",
+        "revenue_centi",
+        F.sum("revenue_centi").over(w).cast("long").alias("cum_revenue_centi"),
+    ).orderBy("cohort_mi", "month_offset")
