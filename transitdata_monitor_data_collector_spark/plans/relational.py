@@ -2687,3 +2687,74 @@ def orders_cohort_clv(spark, sf_dir):
         "revenue_centi",
         F.sum("revenue_centi").over(w).cast("long").alias("cum_revenue_centi"),
     ).orderBy("cohort_mi", "month_offset")
+
+
+@register(
+    "window_range_numeric_frame",
+    oracle="""
+    WITH pc AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    dens AS (
+      SELECT l_returnflag, price_c,
+             count(*) OVER (
+               PARTITION BY l_returnflag ORDER BY price_c
+               RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING
+             ) AS n_within_1k
+      FROM pc
+    )
+    SELECT l_returnflag,
+           CAST(max(n_within_1k) AS BIGINT) AS max_density,
+           CAST(min(CASE WHEN n_within_1k = m THEN price_c END) AS BIGINT)
+             AS densest_price_centi
+    FROM (SELECT *, max(n_within_1k) OVER (PARTITION BY l_returnflag) AS m
+          FROM dens)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Numeric RANGE window frame: for every line item, the count of "
+    "same-flag lines within +/-1000 of its extended price (a VALUE "
+    "frame, not a row frame — the frame adapts to data density), "
+    "reduced to the densest price point per flag. Exercises "
+    "RANGE-BETWEEN on a numeric ORDER BY — the price-band/moving-"
+    "value-window feature distinct from the time-range frames the "
+    "PromQL queries use. Prices order as exact centi-integers so "
+    "frame membership is integer comparison on both engines; the "
+    "densest price ties to the smallest value deterministically. "
+    "One sort per flag serves both the frame and the max windows.",
+    tags=("relational", "window"),
+)
+def window_range_numeric_frame(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    pc = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_c"),
+    )
+    w_range = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rangeBetween(-100000, 100000)
+    )
+    dens = pc.select(
+        "l_returnflag",
+        "price_c",
+        F.count("*").over(w_range).alias("n_within_1k"),
+    ).withColumn(
+        "m", F.max("n_within_1k").over(W.partitionBy("l_returnflag"))
+    )
+    return (
+        dens.groupBy("l_returnflag")
+        .agg(
+            F.max("n_within_1k").cast("long").alias("max_density"),
+            F.min(
+                F.when(F.col("n_within_1k") == F.col("m"), F.col("price_c"))
+            )
+            .cast("long")
+            .alias("densest_price_centi"),
+        )
+        .orderBy("l_returnflag")
+    )
