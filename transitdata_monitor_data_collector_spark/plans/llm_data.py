@@ -5714,3 +5714,203 @@ def text_tokenizer_compression(spark, sf_dir):
         .cast("long")
         .alias("chars_per_token_milli"),
     ).orderBy("lang")
+
+
+@register(
+    "doc_gopher_repetition_rules",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(ws, 1) AS pos,
+             unnest(ws) AS word
+      FROM (SELECT doc_id, {_DD_TOKENS_LOWER} AS ws FROM documents)
+    ),
+    off AS (
+      SELECT doc_id, pos, word,
+             CAST(coalesce(sum(length(word) + 1) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_c
+      FROM tok
+    ),
+    total AS (
+      SELECT doc_id,
+             CAST(sum(length(word)) + count(*) - 1 AS BIGINT) AS total_chars
+      FROM tok GROUP BY doc_id
+    ),
+    g2 AS (
+      SELECT doc_id,
+             word || ' ' || lead(word) OVER (
+               PARTITION BY doc_id ORDER BY pos) AS gram
+      FROM off
+    ),
+    g2top AS (
+      SELECT doc_id, gram, cnt FROM (
+        SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, gram) AS rn
+        FROM g2 WHERE gram IS NOT NULL GROUP BY doc_id, gram)
+      WHERE rn = 1
+    ),
+    g10 AS (
+      SELECT doc_id, start_c,
+             word || ' ' || lead(word, 1) OVER w || ' ' ||
+             lead(word, 2) OVER w || ' ' || lead(word, 3) OVER w || ' ' ||
+             lead(word, 4) OVER w || ' ' || lead(word, 5) OVER w || ' ' ||
+             lead(word, 6) OVER w || ' ' || lead(word, 7) OVER w || ' ' ||
+             lead(word, 8) OVER w || ' ' || lead(word, 9) OVER w AS gram
+      FROM off
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    d10 AS (
+      SELECT doc_id, start_c AS s, start_c + length(gram) AS e,
+             count(*) OVER (PARTITION BY doc_id, gram) AS occ
+      FROM g10 WHERE gram IS NOT NULL
+    ),
+    cov AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM d10 WHERE occ > 1
+    ),
+    dupc AS (
+      SELECT doc_id,
+             CAST(sum(greatest(e - greatest(s, coalesce(pm, 0)), 0))
+               AS BIGINT) AS covered
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(g.gram, '') AS top_2gram,
+           coalesce(g.cnt, 0) AS top2_count,
+           coalesce({fround_sql(
+               "CAST(g.cnt * length(g.gram) AS DOUBLE)"
+               " / nullif(t.total_chars, 0)", 6)}, 0.0) AS top2_char_frac,
+           coalesce({fround_sql(
+               "CAST(c.covered AS DOUBLE) / nullif(t.total_chars, 0)",
+               6)}, 0.0) AS dup10_char_frac,
+           (coalesce({fround_sql(
+               "CAST(g.cnt * length(g.gram) AS DOUBLE)"
+               " / nullif(t.total_chars, 0)", 6)}, 0.0) > 0.20
+            OR coalesce({fround_sql(
+               "CAST(c.covered AS DOUBLE) / nullif(t.total_chars, 0)",
+               6)}, 0.0) > 0.10) AS is_repetitive
+    FROM documents d
+    LEFT JOIN total t ON t.doc_id = d.doc_id
+    LEFT JOIN g2top g ON g.doc_id = d.doc_id
+    LEFT JOIN dupc c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="Gopher REPETITION gate (Rae et al. 2021, Table A1's other half — "
+    "doc_gopher_quality_rules covers the length/symbol rules): "
+    "(a) fraction of characters inside the most frequent word 2-gram "
+    "(count x gram chars / normalized text chars, >0.20 flags), and "
+    "(b) fraction of characters covered by ANY duplicated word 10-gram "
+    "(>0.10 flags) — overlapping occurrences counted ONCE via an "
+    "interval-union sweep: sort occurrence intervals per doc, running "
+    "max of interval end over preceding rows, each row contributes "
+    "max(0, e - max(s, prev_max)). Everything is per-doc narrow work "
+    "after one posexplode: token offsets, 2-/10-gram forms, and the "
+    "sweep are windows over ONE (doc_id, pos) sort; dup counting is a "
+    "(doc_id, gram) window. Char denominators use the token-normalized "
+    "length (sum len + separators), making the metric whitespace-"
+    "canonical. All fractions floor-micro'd (functions/rounding.py).",
+    tags=("llm", "text", "quality"),
+)
+def doc_gopher_repetition_rules(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    tok = d.select("doc_id", F.posexplode(toks).alias("pos", "word"))
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    off = tok.withColumn(
+        "start_c",
+        F.coalesce(
+            F.sum(F.length("word") + 1).over(
+                wd.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    total = tok.groupBy("doc_id").agg(
+        (F.sum(F.length("word")) + F.count("*") - 1)
+        .cast("long")
+        .alias("total_chars")
+    )
+    sep = F.lit(" ")
+    g2 = off.select(
+        "doc_id",
+        F.concat("word", sep, F.lead("word", 1).over(wd)).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    g2top = (
+        g2.groupBy("doc_id", "gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("cnt"), "gram")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    parts = ["word"]
+    for i in range(1, 10):
+        parts += [sep, F.lead("word", i).over(wd)]
+    g10 = off.select(
+        "doc_id", "start_c", F.concat(*parts).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    d10 = g10.select(
+        "doc_id",
+        F.col("start_c").alias("s"),
+        (F.col("start_c") + F.length("gram")).cast("long").alias("e"),
+        F.count("*").over(W.partitionBy("doc_id", "gram")).alias("occ"),
+    ).filter(F.col("occ") > 1)
+    cov = d10.withColumn(
+        "pm",
+        F.max("e").over(
+            W.partitionBy("doc_id")
+            .orderBy("s")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    dupc = cov.groupBy("doc_id").agg(
+        F.sum(
+            F.greatest(
+                F.col("e")
+                - F.greatest(F.col("s"), F.coalesce(F.col("pm"), F.lit(0))),
+                F.lit(0).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("covered")
+    )
+    tc = F.col("total_chars")
+    top2_frac = F.coalesce(
+        fround(
+            (F.col("cnt") * F.length("gram")).cast("double")
+            / F.nullif(tc, F.lit(0)),
+            6,
+        ),
+        F.lit(0.0),
+    )
+    dup10_frac = F.coalesce(
+        fround(F.col("covered").cast("double") / F.nullif(tc, F.lit(0)), 6),
+        F.lit(0.0),
+    )
+    return (
+        d.select("doc_id")
+        .join(total, "doc_id", "left")
+        .join(g2top, "doc_id", "left")
+        .join(dupc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("gram", F.lit("")).alias("top_2gram"),
+            F.coalesce("cnt", F.lit(0).cast("long")).alias("top2_count"),
+            top2_frac.alias("top2_char_frac"),
+            dup10_frac.alias("dup10_char_frac"),
+            ((top2_frac > 0.20) | (dup10_frac > 0.10)).alias(
+                "is_repetitive"
+            ),
+        )
+        .orderBy("doc_id")
+    )
