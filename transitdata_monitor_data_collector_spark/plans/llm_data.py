@@ -5914,3 +5914,279 @@ def doc_gopher_repetition_rules(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- deterministic PQ (emb_pq_recall_report) --------------------------------
+# Product quantization (Jegou et al., TPAMI 2011): split the 64-dim vector
+# into M=8 subspaces of 8 dims, learn a K=16-entry codebook per subspace,
+# store each vector as 8 four-bit codes (64x compression), and rank by
+# asymmetric distance (exact query subvector vs reconstructed centroid).
+# Same engine-deterministic training dialect as emb_ivf_recall_report:
+# md5-seeded init, fixed Lloyd rounds, micro-quantized centroid means,
+# picounit scaled-LONG distances (per-subspace terms stay integers, so the
+# ADC sum is order-independent and hashes cross-engine).
+
+_PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ROUNDS = 8, 8, 16, 2
+
+
+def _pq_sqdist_long_sql(a: str, b: str) -> str:
+    """Scaled-LONG picounit squared distance over one subspace (DuckDB)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}), "
+        f"i -> CAST(floor(pow(({a})[i] - ({b})[i], 2) * 1e12 + 0.5) "
+        f"AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _pq_sqdist_long(a, b):
+    """Spark twin of :func:`_pq_sqdist_long_sql` (any dim; exact LONG)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.floor(F.pow(x - y, 2) * 1e12 + 0.5).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_assign_cte(name: str, cent: str) -> str:
+    d = _pq_sqdist_long_sql("s.sv", "c.cv")
+    return f"""
+    {name} AS (
+      SELECT vec_id, m, sv, cid FROM (
+        SELECT s.vec_id, s.m, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d}, c.cid) AS rn
+        FROM es s JOIN {cent} c ON c.m = s.m
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_update_cte(name: str, assigned: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT m, cid, list(mean_val ORDER BY dim) AS cv FROM (
+        SELECT m, cid, dim,
+               floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT))
+                          AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_val
+        FROM (SELECT m, cid, generate_subscripts(sv, 1) AS dim,
+                     unnest(sv) AS val
+              FROM {assigned})
+        GROUP BY m, cid, dim
+      ) GROUP BY m, cid
+    )"""
+
+
+def _pq_spark_subvectors(e):
+    """(vec_id, m, sv): the M 8-dim slices of each vector — one narrow
+    explode, no shuffle."""
+    return e.select(
+        "vec_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+    ).select(
+        "vec_id",
+        "m",
+        F.slice("v", F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+    )
+
+
+def _pq_spark_assign(es, cent):
+    w = W.partitionBy("vec_id", "m").orderBy(
+        _pq_sqdist_long(F.col("sv"), F.col("cv")), "cid"
+    )
+    return (
+        es.join(F.broadcast(cent), "m")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "sv", "cid")
+    )
+
+
+def _pq_spark_update(assigned):
+    dim_means = assigned.select(
+        "m", "cid", F.posexplode("sv").alias("dim", "val")
+    ).groupBy("m", "cid", "dim").agg(
+        (
+            F.floor(
+                F.sum(F.floor(F.col("val") * 1e6 + 0.5).cast("long"))
+                .cast("double")
+                / F.count("*")
+                + 0.5
+            )
+            / 1e6
+        ).alias("mean_val")
+    )
+    return (
+        dim_means.groupBy("m", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("s"))
+        .select("m", "cid", F.transform("s", lambda x: x["mean_val"]).alias("cv"))
+    )
+
+
+def _pq_spark_train(e, es):
+    """md5-seeded per-subspace codebooks + fixed quantized Lloyd rounds."""
+    w_seed = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = (
+        e.withColumn("cid", F.row_number().over(w_seed) - 1)
+        .filter(F.col("cid") < _PQ_K)
+        .select("cid", "v")
+    )
+    cent = _pq_spark_subvectors(
+        seeds.select(F.col("cid").alias("vec_id"), "v")
+    ).select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+    for _ in range(_PQ_ROUNDS):
+        cent = _pq_spark_update(_pq_spark_assign(es, cent))
+    return cent
+
+
+def _pq_oracle_sql() -> str:
+    rounds = []
+    cent = "c0"
+    for i in range(1, _PQ_ROUNDS + 1):
+        rounds.append(_pq_assign_cte(f"a{i}", cent))
+        rounds.append(_pq_update_cte(f"c{i}", f"a{i}"))
+        cent = f"c{i}"
+    bf_d = SIM.pico_sqdist_sql("q.qv", "c.v", _PQ_M * _PQ_SUBDIM)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    es AS (
+        SELECT vec_id, m,
+               v[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS sv
+        FROM e, (SELECT unnest(range(0, {_PQ_M})) AS m)
+    ),
+    seeds AS (
+        SELECT cid, v FROM (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid,
+                   v
+            FROM e
+        ) WHERE cid < {_PQ_K}
+    ),
+    c0 AS (
+        SELECT m, cid,
+               v[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS cv
+        FROM seeds, (SELECT unnest(range(0, {_PQ_M})) AS m)
+    ),
+    {",".join(rounds)},
+    {_pq_assign_cte("codes", cent)},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    qs AS (
+        SELECT vec_id AS q_id, m, sv AS qsv FROM es WHERE vec_id < 10
+    ),
+    adc AS (
+      SELECT qs.q_id, k.vec_id AS c_id,
+             CAST(sum({_pq_sqdist_long_sql("qs.qsv", "c.cv")}) AS BIGINT)
+               AS adc_pico
+      FROM codes k
+      JOIN {cent} c ON c.m = k.m AND c.cid = k.cid
+      JOIN qs ON qs.m = k.m
+      WHERE k.vec_id <> qs.q_id
+      GROUP BY qs.q_id, k.vec_id
+    ),
+    ann AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_pico, c_id) AS rn
+        FROM adc
+      ) WHERE rn <= 10
+    ),
+    bf AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {bf_d}, c.vec_id) AS rn
+        FROM q JOIN e c ON c.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    )
+    SELECT bf.q_id AS query_id,
+           CAST(count(ann.c_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM bf LEFT JOIN ann USING (q_id, c_id)
+    GROUP BY bf.q_id ORDER BY query_id
+    """
+
+
+@register(
+    "emb_pq_recall_report",
+    oracle=_pq_oracle_sql(),
+    doc="Product-quantization retrieval QA (Jegou et al., TPAMI 2011), "
+    f"fully oracle-checkable: recall@10 of ADC ranking over M={_PQ_M} "
+    f"subspaces x K={_PQ_K} codes (4 bits/subspace = 64x compression) "
+    "vs the exact L2 top-10, per query vector — completing the "
+    "compression ladder beside int8 (emb_quantize_int8), MRL prefixes "
+    "(emb_matryoshka_recall), and 1-bit signs "
+    "(emb_binary_quantization_recall). Training reuses the IVF report's "
+    "engine-deterministic dialect per subspace: md5-seeded init, fixed "
+    f"{_PQ_ROUNDS} Lloyd rounds, micro-quantized centroid means, and "
+    "picounit scaled-LONG distances, so the DuckDB oracle replays the "
+    "identical codebooks. ADC terms stay integer LONGs per subspace and "
+    "sum exactly (order-independent). Scale shape: codebooks are "
+    f"{_PQ_M}x{_PQ_K} tiny rows broadcast everywhere (the classic PQ "
+    "lookup table); encoding is one narrow pass + bounded argmin window; "
+    "the ADC scan joins codes to the broadcast codebook — no "
+    "full-vector reads on the ranking path.",
+    tags=("llm", "similarity", "approx", "embedding"),
+)
+def emb_pq_recall_report(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+        pico_sqdist,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    es = _pq_spark_subvectors(e)
+    cent = _pq_spark_train(e, es)
+    codes = _pq_spark_assign(es, cent).select("vec_id", "m", "cid")
+
+    qs = es.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv")
+    )
+    adc = (
+        codes.join(F.broadcast(cent), ["m", "cid"])
+        .join(qs, "m")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(
+            F.sum(_pq_sqdist_long(F.col("qsv"), F.col("cv")))
+            .cast("long")
+            .alias("adc_pico")
+        )
+    )
+    ann = (
+        adc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy("adc_pico", "c_id")
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    bf = (
+        q.join(e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv64")),
+               F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    pico_sqdist(F.col("qv"), F.col("cv64")), "c_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id")
+    )
+    return (
+        bf.join(ann.withColumn("hit", F.lit(1)), ["q_id", "c_id"], "left")
+        .groupBy(F.col("q_id").alias("query_id"))
+        .agg((F.count("hit").cast("double") / 10.0).alias("recall_at_10"))
+        .orderBy("query_id")
+    )
