@@ -4592,3 +4592,83 @@ def promql_absent_alert(spark, sf_dir):
         )
         .orderBy("event_type", "absent_start")
     )
+
+
+@register(
+    "events_chain_recursive_cte",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    e AS (
+      SELECT user_id, event_id, ts, rn,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY rn) AS gap_us
+      FROM base
+    ),
+    chain(user_id, chain_id, rn, ts, steps) AS (
+      SELECT user_id, event_id, rn, ts, 1
+      FROM e WHERE gap_us IS NULL OR gap_us > 900000000
+      UNION ALL
+      SELECT c.user_id, c.chain_id, n.rn, n.ts, c.steps + 1
+      FROM chain c JOIN e n
+        ON n.user_id = c.user_id AND n.rn = c.rn + 1
+       AND n.gap_us <= 900000000
+    )
+    SELECT user_id, chain_id,
+           CAST(max(steps) AS BIGINT) AS chain_len,
+           min(ts) AS start_ts, max(ts) AS end_ts
+    FROM chain GROUP BY user_id, chain_id
+    ORDER BY user_id, chain_id
+    """,
+    doc="Burst chains via a RECURSIVE CTE — Spark 4's new WITH RECURSIVE "
+    "(UNION ALL dialect) demonstrated end to end: seeds are events with "
+    "no predecessor within 15 min, and each recursion step follows the "
+    "UNIQUE next event (rn + 1) while the inter-event gap stays within "
+    "the threshold — unique successors mean UNION ALL can never "
+    "duplicate a row, and strictly increasing rn bounds the depth at "
+    "the longest chain (4 on this corpus; "
+    "spark.sql.cteRecursionLevelLimit defaults to 100). The DuckDB "
+    "oracle runs the IDENTICAL recursion shape (epoch_us vs "
+    "unix_micros is the only dialect delta). The window-based "
+    "gaps-and-islands form (events_sessionization / session_windows) "
+    "remains the 100 TB scale path — one sort instead of "
+    "depth-many joins; the recursion IS the spec, and at test scale "
+    "both formulations are cross-checked by the shared oracle.",
+    tags=("monitoring", "events", "recursive"),
+)
+def events_chain_recursive_cte(spark, sf_dir):
+    table(spark, sf_dir, "events").createOrReplaceTempView("v_events_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE base AS (
+          SELECT user_id, event_id, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM v_events_rc
+        ),
+        e AS (
+          SELECT user_id, event_id, ts, rn,
+                 unix_micros(ts) - lag(unix_micros(ts)) OVER (
+                   PARTITION BY user_id ORDER BY rn) AS gap_us
+          FROM base
+        ),
+        chain(user_id, chain_id, rn, ts, steps) AS (
+          SELECT user_id, event_id, rn, ts, 1
+          FROM e WHERE gap_us IS NULL OR gap_us > 900000000
+          UNION ALL
+          SELECT c.user_id, c.chain_id, n.rn, n.ts, c.steps + 1
+          FROM chain c JOIN e n
+            ON n.user_id = c.user_id AND n.rn = c.rn + 1
+           AND n.gap_us <= 900000000
+        )
+        SELECT user_id, chain_id,
+               CAST(max(steps) AS BIGINT) AS chain_len,
+               min(ts) AS start_ts, max(ts) AS end_ts
+        FROM chain GROUP BY user_id, chain_id
+        ORDER BY user_id, chain_id
+        """
+    )
