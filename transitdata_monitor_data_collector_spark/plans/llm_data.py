@@ -5716,6 +5716,75 @@ def text_tokenizer_compression(spark, sf_dir):
     ).orderBy("lang")
 
 
+def _tok_offsets(d):
+    """(off, total): per-token char offsets in the whitespace-normalized
+    text, and per-doc normalized char totals — one posexplode + one
+    (doc_id, pos) window sort, shared by every span-accounting query."""
+    toks = TX.tokens(F.lower(F.col("text")))
+    tok = d.select("doc_id", F.posexplode(toks).alias("pos", "word"))
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    off = tok.withColumn(
+        "start_c",
+        F.coalesce(
+            F.sum(F.length("word") + 1).over(
+                wd.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    total = tok.groupBy("doc_id").agg(
+        (F.sum(F.length("word")) + F.count("*") - 1)
+        .cast("long")
+        .alias("total_chars")
+    )
+    return off, total
+
+
+def _ngram_spans(off, n):
+    """(doc_id, s, e, gram): word n-grams with their char-span interval,
+    built from n-1 lead() terms over the shared (doc_id, pos) sort."""
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    sep = F.lit(" ")
+    parts = ["word"]
+    for i in range(1, n):
+        parts += [sep, F.lead("word", i).over(wd)]
+    return (
+        off.select("doc_id", "start_c", F.concat(*parts).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .select(
+            "doc_id",
+            F.col("start_c").alias("s"),
+            (F.col("start_c") + F.length("gram")).cast("long").alias("e"),
+            "gram",
+        )
+    )
+
+
+def _interval_union(iv):
+    """(doc_id, covered): total chars covered by the union of the
+    (doc_id, s, e) intervals — sort by start, running max of end over
+    preceding rows, each row contributes max(0, e - max(s, prev_max))."""
+    cov = iv.withColumn(
+        "pm",
+        F.max("e").over(
+            W.partitionBy("doc_id")
+            .orderBy("s")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    return cov.groupBy("doc_id").agg(
+        F.sum(
+            F.greatest(
+                F.col("e")
+                - F.greatest(F.col("s"), F.coalesce(F.col("pm"), F.lit(0))),
+                F.lit(0).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("covered")
+    )
+
+
 @register(
     "doc_gopher_repetition_rules",
     oracle=f"""
@@ -5819,23 +5888,8 @@ def text_tokenizer_compression(spark, sf_dir):
 )
 def doc_gopher_repetition_rules(spark, sf_dir):
     d = _docs_spread(spark, sf_dir)
-    toks = TX.tokens(F.lower(F.col("text")))
-    tok = d.select("doc_id", F.posexplode(toks).alias("pos", "word"))
+    off, total = _tok_offsets(d)
     wd = W.partitionBy("doc_id").orderBy("pos")
-    off = tok.withColumn(
-        "start_c",
-        F.coalesce(
-            F.sum(F.length("word") + 1).over(
-                wd.rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).cast("long"),
-    )
-    total = tok.groupBy("doc_id").agg(
-        (F.sum(F.length("word")) + F.count("*") - 1)
-        .cast("long")
-        .alias("total_chars")
-    )
     sep = F.lit(" ")
     g2 = off.select(
         "doc_id",
@@ -5853,37 +5907,14 @@ def doc_gopher_repetition_rules(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    parts = ["word"]
-    for i in range(1, 10):
-        parts += [sep, F.lead("word", i).over(wd)]
-    g10 = off.select(
-        "doc_id", "start_c", F.concat(*parts).alias("gram")
-    ).filter(F.col("gram").isNotNull())
-    d10 = g10.select(
-        "doc_id",
-        F.col("start_c").alias("s"),
-        (F.col("start_c") + F.length("gram")).cast("long").alias("e"),
-        F.count("*").over(W.partitionBy("doc_id", "gram")).alias("occ"),
-    ).filter(F.col("occ") > 1)
-    cov = d10.withColumn(
-        "pm",
-        F.max("e").over(
-            W.partitionBy("doc_id")
-            .orderBy("s")
-            .rowsBetween(W.unboundedPreceding, -1)
-        ),
-    )
-    dupc = cov.groupBy("doc_id").agg(
-        F.sum(
-            F.greatest(
-                F.col("e")
-                - F.greatest(F.col("s"), F.coalesce(F.col("pm"), F.lit(0))),
-                F.lit(0).cast("long"),
-            )
+    d10 = (
+        _ngram_spans(off, 10)
+        .withColumn(
+            "occ", F.count("*").over(W.partitionBy("doc_id", "gram"))
         )
-        .cast("long")
-        .alias("covered")
+        .filter(F.col("occ") > 1)
     )
+    dupc = _interval_union(d10.select("doc_id", "s", "e"))
     tc = F.col("total_chars")
     top2_frac = F.coalesce(
         fround(
@@ -6189,4 +6220,132 @@ def emb_pq_recall_report(spark, sf_dir):
         .groupBy(F.col("q_id").alias("query_id"))
         .agg((F.count("hit").cast("double") / 10.0).alias("recall_at_10"))
         .orderBy("query_id")
+    )
+
+
+@register(
+    "doc_exact_substring_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(ws, 1) AS pos,
+             unnest(ws) AS word
+      FROM (SELECT doc_id, {_DD_TOKENS_LOWER} AS ws FROM documents)
+    ),
+    off AS (
+      SELECT doc_id, pos, word,
+             CAST(coalesce(sum(length(word) + 1) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_c
+      FROM tok
+    ),
+    total AS (
+      SELECT doc_id,
+             CAST(sum(length(word)) + count(*) - 1 AS BIGINT) AS total_chars
+      FROM tok GROUP BY doc_id
+    ),
+    g10 AS (
+      SELECT doc_id, start_c AS s,
+             word || ' ' || lead(word, 1) OVER w || ' ' ||
+             lead(word, 2) OVER w || ' ' || lead(word, 3) OVER w || ' ' ||
+             lead(word, 4) OVER w || ' ' || lead(word, 5) OVER w || ' ' ||
+             lead(word, 6) OVER w || ' ' || lead(word, 7) OVER w || ' ' ||
+             lead(word, 8) OVER w || ' ' || lead(word, 9) OVER w AS gram
+      FROM off
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    spans AS (
+      SELECT doc_id, s, s + length(gram) AS e, gram
+      FROM g10 WHERE gram IS NOT NULL
+    ),
+    sh AS (
+      SELECT gram FROM spans GROUP BY gram
+      HAVING count(DISTINCT doc_id) > 1
+    ),
+    iv AS (SELECT doc_id, s, e, gram FROM spans JOIN sh USING (gram)),
+    cov AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv
+    ),
+    dupc AS (
+      SELECT doc_id,
+             CAST(sum(greatest(e - greatest(s, coalesce(pm, 0)), 0))
+               AS BIGINT) AS covered
+      FROM cov GROUP BY doc_id
+    ),
+    nsh AS (
+      SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams
+      FROM iv GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n.n_shared_grams, 0) AS n_shared_grams,
+           coalesce({fround_sql(
+               "CAST(c.covered AS DOUBLE) / nullif(t.total_chars, 0)",
+               6)}, 0.0) AS dup_span_frac,
+           coalesce({fround_sql(
+               "CAST(c.covered AS DOUBLE) / nullif(t.total_chars, 0)",
+               6)}, 0.0) > 0.2 AS is_flagged
+    FROM documents d
+    LEFT JOIN total t ON t.doc_id = d.doc_id
+    LEFT JOIN dupc c ON c.doc_id = d.doc_id
+    LEFT JOIN nsh n ON n.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="CROSS-document duplicated-span accounting (the exact-substring "
+    "dedup signal of Lee et al. 2022, 'Deduplicating Training Data "
+    "Makes Language Models Better', at word-10-gram granularity): a "
+    "10-gram is shared if it occurs in >= 2 DISTINCT documents "
+    "(inverted-index aggregate on the gram — one shuffle, partial "
+    "count-distinct collapses hot grams map-side); each doc then "
+    "reports the fraction of its normalized chars covered by ANY "
+    "shared-gram occurrence, overlaps counted once via the same "
+    "interval-union sweep as the within-doc Gopher gate "
+    "(doc_gopher_repetition_rules — this is its corpus-level twin: "
+    "that one flags self-repetition, this one flags boilerplate "
+    "replicated ACROSS the corpus, which per-doc rules cannot see). "
+    "At 100 TB the gram index is the same asymmetric join shape as "
+    "doc_decontamination; span accounting stays per-doc narrow work.",
+    tags=("llm", "text", "dedup"),
+)
+def doc_exact_substring_dedup(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    off, total = _tok_offsets(d)
+    spans = _ngram_spans(off, 10)
+    shared = (
+        spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    iv = spans.join(shared, "gram")
+    dupc = _interval_union(iv.select("doc_id", "s", "e"))
+    nsh = iv.groupBy("doc_id").agg(
+        F.count_distinct("gram").cast("long").alias("n_shared_grams")
+    )
+    frac = F.coalesce(
+        fround(
+            F.col("covered").cast("double")
+            / F.nullif(F.col("total_chars"), F.lit(0)),
+            6,
+        ),
+        F.lit(0.0),
+    )
+    return (
+        d.select("doc_id")
+        .join(total, "doc_id", "left")
+        .join(dupc, "doc_id", "left")
+        .join(nsh, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0).cast("long")).alias(
+                "n_shared_grams"
+            ),
+            frac.alias("dup_span_frac"),
+            (frac > 0.2).alias("is_flagged"),
+        )
+        .orderBy("doc_id")
     )
