@@ -480,3 +480,12 @@ def test_new_plus_returning_equals_active(spark, sf_dir):
         for r in rows
     )
     assert rows[0]["returning_users"] == 0  # day one: everyone is new
+
+
+def test_interval_bin_join_is_hash_not_nlj(spark, sf_dir):
+    # the many-interval overlap join must run as a bucket equi-join
+    # (BroadcastHashJoin) with a residual range filter, never as a
+    # BroadcastNestedLoopJoin over the fact table
+    plan = _plan(spark, sf_dir, "join_interval_bin_equi")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

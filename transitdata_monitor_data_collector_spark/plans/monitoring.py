@@ -4672,3 +4672,70 @@ def events_chain_recursive_cte(spark, sf_dir):
         ORDER BY user_id, chain_id
         """
     )
+
+
+@register(
+    "join_interval_bin_equi",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    iv AS (
+      SELECT row_number() OVER (ORDER BY d) AS w_id,
+             CAST(d AS TIMESTAMP) + INTERVAL 10 HOUR AS w_start,
+             CAST(d AS TIMESTAMP) + INTERVAL 52 HOUR AS w_end
+      FROM days WHERE extract(day FROM d) % 5 = 1
+    )
+    SELECT w_id, count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM iv JOIN events ON ts >= w_start AND ts < w_end
+    GROUP BY w_id ORDER BY w_id
+    """,
+    doc="J5 depth, the MANY-interval scale path: the same overlap "
+    "semantics as join_interval_overlap, but executed as a day-bin "
+    "EQUI-join — each (data-derived, multi-day) window explodes into "
+    "the day buckets it covers, the fact side buckets by date(ts), and "
+    "a BroadcastHashJoin on the bucket plus a residual range predicate "
+    "replaces the BroadcastNestedLoopJoin (plan-pinned in "
+    "tests/test_plans.py). An event lands in exactly ONE bucket, so a "
+    "window matches each event at most once — no post-join dedup. At "
+    "100 TB this is the difference between O(facts x windows) NLJ "
+    "compares and O(facts + overlaps) hash lookups; with a partitioned "
+    "store the bucket key also prunes partitions "
+    "(sinks/parquet.read_dt_pruned). The DuckDB oracle states the "
+    "declarative range-join form.",
+    tags=("join", "range", "agg"),
+)
+def join_interval_bin_equi(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    days = (
+        ev.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .filter(F.dayofmonth("d") % 5 == 1)
+    )
+    iv = days.select(
+        F.row_number().over(W.orderBy("d")).alias("w_id"),
+        (F.col("d").cast("timestamp") + F.expr("INTERVAL 10 HOURS")).alias(
+            "w_start"
+        ),
+        (F.col("d").cast("timestamp") + F.expr("INTERVAL 52 HOURS")).alias(
+            "w_end"
+        ),
+    )
+    bins = iv.select(
+        "w_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(F.to_date("w_start"), F.to_date("w_end"))
+        ).alias("bucket"),
+    )
+    return (
+        ev.withColumn("bucket", F.to_date("ts"))
+        .join(F.broadcast(bins), "bucket")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("w_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("w_id")
+    )
