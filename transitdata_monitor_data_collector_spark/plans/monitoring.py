@@ -4739,3 +4739,129 @@ def join_interval_bin_equi(spark, sf_dir):
         )
         .orderBy("w_id")
     )
+
+
+@register(
+    "events_kaplan_meier_churn",
+    oracle="""
+    WITH bounds AS (SELECT max(ts) AS corpus_end FROM events),
+    users AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT user_id,
+             CASE WHEN last_ts < corpus_end - INTERVAL 7 DAY
+                  THEN (epoch_us(last_ts) - epoch_us(first_ts))
+                       // 86400000000
+                  ELSE (epoch_us(corpus_end) - epoch_us(first_ts))
+                       // 86400000000 END AS t_day,
+             CASE WHEN last_ts < corpus_end - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS churned
+      FROM users, bounds
+    ),
+    dt AS (
+      SELECT t_day, CAST(sum(churned) AS BIGINT) AS d
+      FROM obs GROUP BY t_day HAVING sum(churned) > 0
+    ),
+    risk AS (
+      SELECT dt.t_day, dt.d, CAST(count(*) AS BIGINT) AS n
+      FROM dt JOIN obs ON obs.t_day >= dt.t_day
+      GROUP BY dt.t_day, dt.d
+    ),
+    km AS (
+      SELECT t_day, d, n,
+             CAST(floor(ln(CAST(n - d AS DOUBLE) / n) * 1e9 + 0.5)
+               AS BIGINT) AS term
+      FROM risk WHERE n > d
+    )
+    SELECT CAST(t_day AS BIGINT) AS t_day, n AS n_risk, d AS n_churn,
+           CAST(sum(term) OVER (ORDER BY t_day) AS BIGINT) AS km_log_nano
+    FROM km ORDER BY t_day
+    """,
+    doc="Kaplan-Meier churn survival curve over the event log: a user's "
+    "observation ends at their last event (churned) unless they were "
+    "active within 7 days of corpus end (censored at corpus end) — the "
+    "right-censoring product-limit estimator behind every retention "
+    "curve. Product turned into an exact-integer prefix SUM: each "
+    "distinct event time contributes ln((n_i - d_i)/n_i) computed ONCE "
+    "per distinct (n, d) from exact integer counts and nano-quantized "
+    "(the ln-once-then-integer-sum discipline of text_collocations_pmi) "
+    "— S(t) = exp(km_log_nano / 1e9), left to the presentation layer so "
+    "no cross-engine exp() touches the hash. Risk sets come from "
+    "joining the tiny distinct-event-time dimension against per-user "
+    "observations (the same broadcast-days shape as the WAU fix); all "
+    "heavy work is the per-user min/max aggregate — one shuffle over "
+    "users. Rows where the risk set would hit zero survival (n = d) "
+    "are excluded (log undefined; cannot occur while any user is "
+    "active in the final week).",
+    tags=("monitoring", "events", "survival"),
+)
+def events_kaplan_meier_churn(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("corpus_end"))
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    week_us = 7 * 86400 * 1000000
+    day_us = 86400 * 1000000
+    # exact integer day division (DIV) — a double `/` + cast could round
+    # across a day boundary differently than the oracle's integer `//`
+    dur_churn = F.expr(
+        f"(unix_micros(last_ts) - unix_micros(first_ts)) DIV {day_us}"
+    )
+    dur_cens = F.expr(
+        f"(unix_micros(corpus_end) - unix_micros(first_ts)) DIV {day_us}"
+    )
+    obs = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(
+                F.unix_micros("last_ts")
+                < F.unix_micros("corpus_end") - F.lit(week_us),
+                dur_churn,
+            )
+            .otherwise(dur_cens)
+            .alias("t_day"),
+            F.when(
+                F.unix_micros("last_ts")
+                < F.unix_micros("corpus_end") - F.lit(week_us),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("churned"),
+        )
+    )
+    dt = (
+        obs.groupBy("t_day")
+        .agg(F.sum("churned").cast("long").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    risk = (
+        F.broadcast(dt)
+        .join(obs.select("t_day").alias("o"), F.col("o.t_day") >= dt["t_day"])
+        .groupBy(dt["t_day"].alias("t_day"), "d")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    km = risk.filter(F.col("n") > F.col("d")).select(
+        "t_day",
+        "d",
+        "n",
+        F.floor(
+            F.log((F.col("n") - F.col("d")).cast("double") / F.col("n"))
+            * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    return km.select(
+        F.col("t_day").cast("long").alias("t_day"),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_churn"),
+        F.sum("term")
+        .over(W.orderBy("t_day").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("km_log_nano"),
+    ).orderBy("t_day")
