@@ -4865,3 +4865,108 @@ def events_kaplan_meier_churn(spark, sf_dir):
         .cast("long")
         .alias("km_log_nano"),
     ).orderBy("t_day")
+
+
+@register(
+    "promql_deriv_predict_linear",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id,
+             (epoch_us(ts) - t0) // 1000000 AS x_s,
+             CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS y_q
+      FROM events, (SELECT min(epoch_us(ts)) AS t0 FROM events)
+    ),
+    agg AS (
+      SELECT event_type, event_id, x_s,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x_s) OVER w AS BIGINT) AS sx,
+             CAST(sum(y_q) OVER w AS BIGINT) AS sy,
+             CAST(sum(x_s * y_q) OVER w AS BIGINT) AS sxy,
+             CAST(sum(x_s * x_s) OVER w AS BIGINT) AS sxx
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY x_s
+                   RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, n AS n_samples,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx) / 1e4 * 1e6 + 0.5) / 1e6
+               AS deriv_per_sec,
+           floor((CAST(sy AS DOUBLE) / n
+                  + (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+                    * (CAST(x_s + 600 AS DOUBLE) - CAST(sx AS DOUBLE) / n))
+                 / 1e4 * 1e6 + 0.5) / 1e6
+               AS predict_10m
+    FROM agg
+    WHERE n * sxx - sx * sx > 0
+    ORDER BY event_type, event_id
+    """,
+    doc="PromQL deriv() / predict_linear(v, 600s): least-squares slope of "
+    "the trailing 15-minute range vector per series, and the value "
+    "extrapolated 10 minutes ahead — the capacity-planning alert pair "
+    "(rate/avg/max/histogram_quantile live in the sibling promql_* "
+    "queries). OLS moments (n, Sx, Sy, Sxy, Sxx) are EXACT BIGINT "
+    "window sums over one RANGE frame on integer epoch seconds "
+    "(x relative to corpus start so squares stay far from overflow; y "
+    "1e-4-quantized) — slope and prediction then derive from identical "
+    "integers through a structurally identical double expression on "
+    "both engines, floor-micro'd. Windows needing >= 2 distinct sample "
+    "times (nonzero variance) are kept, matching PromQL's two-point "
+    "minimum. One sort per series, no self-join, O(1) state per frame "
+    "step at 100 TB.",
+    tags=("monitoring", "promql", "window", "timeseries"),
+)
+def promql_deriv_predict_linear(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    base = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        "event_id",
+        F.expr("(unix_micros(ts) - t0) DIV 1000000").alias("x_s"),
+        F.floor(F.col("value") * 1e4 + 0.5).cast("long").alias("y_q"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("x_s")
+        .rangeBetween(-900, 0)
+    )
+    agg = base.select(
+        "event_type",
+        "event_id",
+        "x_s",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum("x_s").over(w).cast("long").alias("sx"),
+        F.sum("y_q").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x_s") * F.col("y_q")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x_s") * F.col("x_s")).over(w).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    slope = num.cast("double") / den
+    deriv = F.floor(slope / 1e4 * 1e6 + 0.5) / 1e6
+    predict = (
+        F.floor(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                + slope
+                * (
+                    (F.col("x_s") + 600).cast("double")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            )
+            / 1e4
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    return (
+        agg.filter(den > 0)
+        .select(
+            "event_type",
+            "event_id",
+            F.col("n").alias("n_samples"),
+            deriv.alias("deriv_per_sec"),
+            predict.alias("predict_10m"),
+        )
+        .orderBy("event_type", "event_id")
+    )
