@@ -347,3 +347,108 @@ def streaming_bitmap_distinct(spark, sf_dir):
         .agg(F.sum(F.bit_count("mask")).cast("long").alias("n_users"))
         .orderBy("day")
     )
+
+
+def _cms_user_col_sql(tok_expr: str, row: int, w: int = 512) -> str:
+    return (
+        f"(('0x' || substr(md5({tok_expr} || '#{row}'), 1, 8))::BIGINT % {w})"
+    )
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events),
+    cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {r} AS row_i, {_cms_user_col_sql('t', r)} AS col_i, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 2"
+        for r in range(4)
+      )}
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 20
+    )
+    SELECT e.user_id, e.exact_n,
+           min(c.cnt) AS cms_estimate,
+           min(c.cnt) - e.exact_n AS overcount
+    FROM exact e
+    JOIN cells c ON {" OR ".join(
+        f"(c.row_i = {r} AND "
+        f"c.col_i = {_cms_user_col_sql('CAST(e.user_id AS VARCHAR)', r)})"
+        for r in range(4)
+    )}
+    GROUP BY e.user_id, e.exact_n
+    ORDER BY e.exact_n DESC, e.user_id
+    """,
+    doc="The Count-Min sketch maintained as LIVE streaming state (the "
+    "streaming twin of sketch_countmin_heavy_hitters, same d=4 x w=512 "
+    "md5 layout over user traffic): every replayed event increments d "
+    "hashed cells in update-mode keyed state — constant 2,048 counters "
+    "regardless of traffic — and the final sketch must equal the "
+    "batch-built one, cell for cell (counts are monotone, so max-per-"
+    "cell recovers the final state from the update-mode sink). The "
+    "top-20 exact heavy hitters probe the sketch; estimate >= exact "
+    "always, overcount bounded by hash-collision mass. This is the "
+    "live-dashboard form: rankings served from the sketch while the "
+    "exact aggregate would need the full key domain in state.",
+    tags=("streaming", "sketch", "approx"),
+)
+def streaming_cms_heavy_hitters(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.plans import table
+
+    events = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    mem = jobs.run_to_memory(
+        spark, jobs.cms_cells_job(events), output_mode="update"
+    )
+    cells = mem.groupBy("row_i", "col_i").agg(F.max("cnt").alias("cnt"))
+
+    def cms_col(tok, row_i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(tok, F.lit("#"), row_i.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 512
+        )
+
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    probe = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("row_i"),
+    ).select(
+        "user_id",
+        "exact_n",
+        "row_i",
+        cms_col(F.col("user_id").cast("string"), F.col("row_i")).alias(
+            "col_i"
+        ),
+    )
+    return (
+        probe.join(cells, ["row_i", "col_i"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )

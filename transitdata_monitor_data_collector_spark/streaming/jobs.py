@@ -425,3 +425,42 @@ def bitmap_distinct_job(events: DataFrame) -> DataFrame:
         ).alias("b"),
     )
     return words.groupBy("day", "word_i").agg(F.bit_or("b").alias("mask"))
+
+
+def cms_cells_job(events: DataFrame, d: int = 4, w: int = 512) -> DataFrame:
+    """Count-Min sketch maintained INCREMENTALLY over a stream (the
+    streaming twin of the batch ``sketch_countmin_heavy_hitters``): each
+    event increments d hashed cells (row r, col = md5-prefix of
+    ``user_id#r`` mod w), so keyed update-mode state is exactly d x w
+    counters no matter how much traffic replays — the mergeable
+    fixed-size frequency structure that replaces an unbounded exact
+    key count at 100 TB. Counts are monotone, so a downstream max per
+    cell recovers the final sketch from an update-mode sink. A
+    production job adds ``withWatermark`` + windowing for a decaying
+    sketch; the replay twin keeps the lifetime sketch so the final
+    state must equal the batch-built cells."""
+    rows = F.array(*[F.lit(r) for r in range(d)])
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("#"),
+                        F.col("row_i").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    return (
+        events.select(F.col("user_id"), F.explode(rows).alias("row_i"))
+        .select("row_i", col.alias("col_i"))
+        .groupBy("row_i", "col_i")
+        .agg(F.count("*").alias("cnt"))
+    )
