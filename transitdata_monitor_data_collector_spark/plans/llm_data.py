@@ -6349,3 +6349,146 @@ def doc_exact_substring_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, {_DD_TOKENS_LOWER} AS ts FROM documents
+      WHERE lang IN ('en', 'de')
+    ),
+    sh AS (
+      SELECT lang, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+      WHERE len(ts) >= 3
+    ),
+    dh AS (
+      SELECT DISTINCT lang, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      FROM sh
+    ),
+    ska AS (
+      SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                     FROM dh WHERE lang = 'en') WHERE rn <= 64
+    ),
+    skb AS (
+      SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                     FROM dh WHERE lang = 'de') WHERE rn <= 64
+    ),
+    sku AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM
+              (SELECT h FROM ska UNION ALL SELECT h FROM skb))
+    ),
+    ust AS (
+      SELECT CAST(count(*) AS BIGINT) AS nm,
+             max(CASE WHEN rn = 64 THEN h END) AS h64
+      FROM sku
+    ),
+    icnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS ni FROM sku
+      WHERE rn <= 64
+        AND h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_union_exact,
+             CAST(sum(CASE WHEN nl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inter_exact
+      FROM (SELECT h, count(DISTINCT lang) AS nl FROM dh GROUP BY h)
+    ),
+    calc AS (
+      SELECT n_union_exact, n_inter_exact, ni,
+             CAST(CASE WHEN nm < 64 THEN nm
+                  ELSE 63 * 4294967296 // (h64 + 1) END AS BIGINT)
+               AS union_est,
+             CAST(least(nm, 64) AS BIGINT) AS kk
+      FROM exact, ust, icnt
+    )
+    SELECT n_union_exact, union_est, n_inter_exact,
+           CAST(ni * union_est // kk AS BIGINT) AS inter_est,
+           CAST(ni * 1000 // kk AS BIGINT) AS jaccard_milli
+    FROM calc
+    """,
+    doc="KMV sketch SET ALGEBRA (Beyer et al., SIGMOD'07): the union and "
+    "intersection cardinalities of two vocabularies (en vs de 3-shingle "
+    "sets) estimated purely from their MERGED bottom-64 sketches — "
+    "union sketch = bottom-k of the two sketches' hashes, |A u B| from "
+    "the k-th smallest as in sketch_kmv_distinct, Jaccard = fraction "
+    "of union-sketch members present in BOTH input sketches, "
+    "|A n B| = Jaccard x |A u B|. This is the property that matters "
+    "at 100 TB: per-partition sketches of 64 longs merge associatively "
+    "into any set-expression estimate without revisiting data; exact "
+    "counterparts computed alongside validate the estimates. All "
+    "arithmetic integer (md5 hashes, integer division), so the driver "
+    "hash-checks the whole set-operation report.",
+    tags=("llm", "text", "sketch", "approx"),
+)
+def sketch_kmv_set_ops(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir).filter(F.col("lang").isin("en", "de"))
+    ts = TX.tokens(F.lower(F.col("text")))
+    n = F.size(ts)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.array_join(F.slice(ts, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dh = (
+        d.select("lang", F.explode(shingles).alias("s"))
+        .select(
+            "lang",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    rnw = W.partitionBy("lang").orderBy("h")
+    sk = dh.withColumn("rn", F.row_number().over(rnw)).filter(F.col("rn") <= 64)
+    ska = sk.filter(F.col("lang") == "en").select("h")
+    skb = sk.filter(F.col("lang") == "de").select("h")
+    sku = (
+        ska.union(skb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("h")))
+    )
+    ust = sku.agg(
+        F.count("*").cast("long").alias("nm"),
+        F.max(F.when(F.col("rn") == 64, F.col("h"))).alias("h64"),
+    )
+    icnt = (
+        sku.filter(F.col("rn") <= 64)
+        .join(ska, "h", "semi")
+        .join(skb, "h", "semi")
+        .agg(F.count("*").cast("long").alias("ni"))
+    )
+    exact = (
+        dh.groupBy("h")
+        .agg(F.countDistinct("lang").alias("nl"))
+        .agg(
+            F.count("*").cast("long").alias("n_union_exact"),
+            F.sum(F.when(F.col("nl") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_inter_exact"),
+        )
+    )
+    calc = (
+        exact.crossJoin(F.broadcast(ust))
+        .crossJoin(F.broadcast(icnt))
+        .withColumn(
+            "union_est",
+            F.expr(
+                "CAST(CASE WHEN nm < 64 THEN nm"
+                " ELSE 63 * 4294967296 DIV (h64 + 1) END AS BIGINT)"
+            ),
+        )
+        .withColumn("kk", F.least(F.col("nm"), F.lit(64)).cast("long"))
+    )
+    return calc.select(
+        "n_union_exact",
+        "union_est",
+        "n_inter_exact",
+        F.expr("CAST(ni * union_est DIV kk AS BIGINT)").alias("inter_est"),
+        F.expr("CAST(ni * 1000 DIV kk AS BIGINT)").alias("jaccard_milli"),
+    )
