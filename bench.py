@@ -80,6 +80,16 @@ HEADLINE = [
     "emb_binary_quantization_recall",
     "doc_perplexity_kneser_ney",
     "timeseries_acf",
+    # round-4 final wave: the span-sweep pair (within-doc Gopher
+    # repetition + cross-doc duplicated spans), the deterministic PQ
+    # codebook trainer (the heaviest new embedding op), the recursive-CTE
+    # chain query (iterative join depth), and the KM survival curve
+    "doc_gopher_repetition_rules",
+    "doc_exact_substring_dedup",
+    "emb_pq_recall_report",
+    "events_chain_recursive_cte",
+    "events_kaplan_meier_churn",
+    "join_interval_bin_equi",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
