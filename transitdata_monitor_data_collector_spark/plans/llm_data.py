@@ -6492,3 +6492,259 @@ def sketch_kmv_set_ops(spark, sf_dir):
         F.expr("CAST(ni * union_est DIV kk AS BIGINT)").alias("inter_est"),
         F.expr("CAST(ni * 1000 DIV kk AS BIGINT)").alias("jaccard_milli"),
     )
+
+
+@register(
+    "doc_curation_v2",
+    oracle=f"""
+    WITH tokq AS (
+      SELECT doc_id,
+             len({_DD_TOKENS_LOWER}) AS n_words,
+             CAST(length(regexp_replace(text, '[^#*]', '', 'g')) AS BIGINT)
+               AS n_symbols,
+             length(text) - length(replace(text, ' ', '')) AS n_spaces,
+             length(text) AS n_chars,
+             len(list_filter({_DD_TOKENS_LOWER},
+                 w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS n_stop
+      FROM documents
+    ),
+    gq AS (
+      SELECT doc_id,
+             CASE
+               WHEN n_words < 5 OR n_words > 100000 THEN 'word_count'
+               WHEN n_words > 0 AND
+                    CAST(n_chars - n_spaces AS DOUBLE) / n_words
+                      NOT BETWEEN 2.0 AND 12.0 THEN 'mean_word_len'
+               WHEN n_words > 0 AND
+                    CAST(n_symbols AS DOUBLE) / n_words > 0.1
+                 THEN 'symbol_ratio'
+               WHEN n_stop = 0 THEN 'no_stopwords'
+               ELSE 'pass'
+             END AS gopher_status
+      FROM tokq
+    ),
+    tok AS (
+      SELECT doc_id,
+             generate_subscripts(ws, 1) AS pos,
+             unnest(ws) AS word
+      FROM (SELECT doc_id, {_DD_TOKENS_LOWER} AS ws FROM documents)
+    ),
+    off AS (
+      SELECT doc_id, pos, word,
+             CAST(coalesce(sum(length(word) + 1) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_c
+      FROM tok
+    ),
+    total AS (
+      SELECT doc_id,
+             CAST(sum(length(word)) + count(*) - 1 AS BIGINT) AS total_chars
+      FROM tok GROUP BY doc_id
+    ),
+    g10 AS (
+      SELECT doc_id, start_c AS s,
+             word || ' ' || lead(word, 1) OVER w || ' ' ||
+             lead(word, 2) OVER w || ' ' || lead(word, 3) OVER w || ' ' ||
+             lead(word, 4) OVER w || ' ' || lead(word, 5) OVER w || ' ' ||
+             lead(word, 6) OVER w || ' ' || lead(word, 7) OVER w || ' ' ||
+             lead(word, 8) OVER w || ' ' || lead(word, 9) OVER w AS gram
+      FROM off
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    spans AS (
+      SELECT doc_id, s, s + length(gram) AS e, gram
+      FROM g10 WHERE gram IS NOT NULL
+    ),
+    rep AS (
+      SELECT doc_id,
+             CAST(sum(greatest(e - greatest(s, coalesce(pm, 0)), 0))
+               AS BIGINT) AS covered
+      FROM (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+        FROM (SELECT doc_id, s, e,
+                     count(*) OVER (PARTITION BY doc_id, gram) AS occ
+              FROM spans)
+        WHERE occ > 1
+      ) GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT gram FROM spans GROUP BY gram
+      HAVING count(DISTINCT doc_id) > 1
+    ),
+    xdoc AS (
+      SELECT doc_id,
+             CAST(sum(greatest(e - greatest(s, coalesce(pm, 0)), 0))
+               AS BIGINT) AS covered
+      FROM (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+        FROM (SELECT doc_id, s, e FROM spans JOIN sh USING (gram))
+      ) GROUP BY doc_id
+    ),
+    keepers AS (
+      SELECT content_md5, min(doc_id) AS keep_id
+      FROM (SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                     AS content_md5
+            FROM documents)
+      GROUP BY 1
+    ),
+    final AS (
+      SELECT d.doc_id,
+             CASE
+               WHEN g.gopher_status <> 'pass'
+                 THEN 'gopher:' || g.gopher_status
+               WHEN coalesce({fround_sql(
+                   "CAST(r.covered AS DOUBLE) / nullif(t.total_chars, 0)",
+                   6)}, 0.0) > 0.10 THEN 'repetition'
+               WHEN coalesce({fround_sql(
+                   "CAST(x.covered AS DOUBLE) / nullif(t.total_chars, 0)",
+                   6)}, 0.0) > 0.20 THEN 'dup_spans'
+               WHEN d.doc_id <> k.keep_id THEN 'exact_dup'
+               WHEN {_MD5_PPM_DD.replace("doc_id", "d.doc_id")} >= CASE d.lang
+                   {" ".join(f"WHEN '{k}' THEN {v}"
+                             for k, v in _STRAT_RATES_PPM.items())}
+                   ELSE 0 END THEN 'sampled_out'
+               ELSE 'kept'
+             END AS status
+      FROM documents d
+      JOIN gq g ON g.doc_id = d.doc_id
+      LEFT JOIN total t ON t.doc_id = d.doc_id
+      LEFT JOIN rep r ON r.doc_id = d.doc_id
+      LEFT JOIN xdoc x ON x.doc_id = d.doc_id
+      JOIN keepers k
+        ON k.content_md5 = md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g')))
+    )
+    SELECT doc_id, status, status = 'kept' AS kept
+    FROM final ORDER BY doc_id
+    """,
+    doc="The round-4 curation stack as ONE pipeline (the FineWeb-style "
+    "recipe, complementing doc_curation's round-2 recipe): Gopher "
+    "quality rules -> within-doc repetition gate (duplicated-10-gram "
+    "char fraction > 0.10) -> cross-doc duplicated-span gate "
+    "(shared-gram coverage > 0.20) -> exact-dedup survivor -> "
+    "deterministic per-language stratified sampling (md5-ppm rates), "
+    "with the FIRST failing stage as the per-doc status. Every stage "
+    "is the independently gated query's exact logic "
+    "(doc_gopher_quality_rules, doc_gopher_repetition_rules, "
+    "doc_exact_substring_dedup, doc_exact_dedup, "
+    "doc_stratified_sample), so this composition cross-checks them "
+    "end to end; all heavy work rides one (doc_id, pos) window sort, "
+    "one gram inverted index, and one content-hash aggregate.",
+    tags=("llm", "text", "quality", "dedup", "sampling"),
+)
+def doc_curation_v2(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+    feats = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), "[^#*]", ""))
+        .cast("long")
+        .alias("n_symbols"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), " ", ""))
+        ).alias("n_spaces"),
+        F.length("text").alias("n_chars"),
+        F.size(
+            F.filter(toks, lambda w: w.isin("the", "and", "of", "to", "a"))
+        ).alias("n_stop"),
+    )
+    mwl = (F.col("n_chars") - F.col("n_spaces")).cast("double") / F.col(
+        "n_words"
+    )
+    gq = feats.select(
+        "doc_id",
+        F.when(
+            (F.col("n_words") < 5) | (F.col("n_words") > 100000), "word_count"
+        )
+        .when(
+            (F.col("n_words") > 0) & (~mwl.between(2.0, 12.0)),
+            "mean_word_len",
+        )
+        .when(
+            (F.col("n_words") > 0)
+            & (F.col("n_symbols").cast("double") / F.col("n_words") > 0.1),
+            "symbol_ratio",
+        )
+        .when(F.col("n_stop") == 0, "no_stopwords")
+        .otherwise("pass")
+        .alias("gopher_status"),
+    )
+    off, total = _tok_offsets(d)
+    spans = _ngram_spans(off, 10)
+    rep = _interval_union(
+        spans.withColumn(
+            "occ", F.count("*").over(W.partitionBy("doc_id", "gram"))
+        )
+        .filter(F.col("occ") > 1)
+        .select("doc_id", "s", "e")
+    ).withColumnRenamed("covered", "rep_covered")
+    shared = (
+        spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    xdoc = _interval_union(
+        spans.join(shared, "gram").select("doc_id", "s", "e")
+    ).withColumnRenamed("covered", "x_covered")
+    content_md5 = F.md5(
+        F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    )
+    keepers = (
+        d.select("doc_id", content_md5.alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    rate = F.lit(0)
+    for k, v in _STRAT_RATES_PPM.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    rep_frac = F.coalesce(
+        fround(
+            F.col("rep_covered").cast("double")
+            / F.nullif(F.col("total_chars"), F.lit(0)),
+            6,
+        ),
+        F.lit(0.0),
+    )
+    x_frac = F.coalesce(
+        fround(
+            F.col("x_covered").cast("double")
+            / F.nullif(F.col("total_chars"), F.lit(0)),
+            6,
+        ),
+        F.lit(0.0),
+    )
+    status = (
+        F.when(
+            F.col("gopher_status") != "pass",
+            F.concat(F.lit("gopher:"), F.col("gopher_status")),
+        )
+        .when(rep_frac > 0.10, "repetition")
+        .when(x_frac > 0.20, "dup_spans")
+        .when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+        .when(F.expr(_MD5_PPM) >= rate, "sampled_out")
+        .otherwise("kept")
+    )
+    return (
+        d.select("doc_id", "lang", content_md5.alias("content_md5"))
+        .join(gq, "doc_id")
+        .join(total, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(xdoc, "doc_id", "left")
+        .join(keepers, "content_md5")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            (status == "kept").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
