@@ -489,3 +489,73 @@ def test_interval_bin_join_is_hash_not_nlj(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_interval_bin_equi")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_splits_skewed_join(spark, oracle_sf_dir):
+    """AQE's runtime skew-join handling — the no-code-change answer to key
+    skew (operators/skew.py's salting is the explicit-rewrite answer).
+    Build a deliberately skewed join (90% of lineitem collapses onto one
+    hot key), tune the skew thresholds down to test-data scale, and
+    assert the FINAL adaptive plan actually split the skewed partition."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        # the downstream aggregate would normally veto the split (it adds
+        # a shuffle); force it — the point here is the split itself
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        # no broadcast: skew handling applies to shuffle joins
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        li = spark.read.parquet(f"{oracle_sf_dir}/lineitem.parquet")
+        # repartition(8): the skew split works at map-block granularity,
+        # so a single-file (single-mapper) shuffle input is unsplittable
+        fact = li.select(
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        ).repartition(8)
+        dim = (
+            spark.read.parquet(f"{oracle_sf_dir}/orders.parquet")
+            .select(F.col("o_orderkey").alias("k"))
+            .withColumn("tag", F.lit("x"))
+        )
+        joined = fact.join(dim, "k").groupBy("tag").count()
+        joined.collect()  # must EXECUTE: skew split is a runtime re-plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
