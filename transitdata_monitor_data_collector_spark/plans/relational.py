@@ -2758,3 +2758,82 @@ def window_range_numeric_frame(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 2
+    ),
+    tri AS (
+      SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.pa = e1.pb
+      JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    node_tri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    )
+    SELECT node AS part_key, n_triangles FROM node_tri
+    ORDER BY n_triangles DESC, part_key LIMIT 10
+    """,
+    doc="Distributed triangle counting (the standard graph-analytics "
+    "benchmark kernel) over the part co-purchase graph: nodes = parts, "
+    "edge (a, b) iff a < b and the pair shares >= 2 order baskets. The "
+    "ORDERED-edge formulation (every edge stored once as min < max, "
+    "wedges e1(a,b) + e2(b,c) closed by e3(a,c)) counts each triangle "
+    "exactly once and is THE scale trick: it caps the wedge fan-out by "
+    "each node's ordered out-degree instead of its full degree, so hub "
+    "nodes don't quadratically explode the e1-e2 join. Two equi-joins "
+    "on edge endpoints (shuffle by node), per-node counts from one "
+    "explode of triangle corners, TakeOrdered top-10. Edge building "
+    "reuses the basket pair fan-out (bounded by basket size) of "
+    "basket_part_pair_lift.",
+    tags=("relational", "graph", "join"),
+)
+def graph_triangle_count(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("co"))
+        .filter(F.col("co") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = pairs.select(F.col("pa").alias("y2"), F.col("pb").alias("z"))
+    e3 = pairs.select(F.col("pa").alias("x3"), F.col("pb").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")))
+        .select("x", "y", "z")
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .select(F.col("node").alias("part_key"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "part_key")
+        .limit(10)
+    )
