@@ -6748,3 +6748,177 @@ def doc_curation_v2(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _ivf_sweep_oracle_sql() -> str:
+    rounds = []
+    cent = "c0"
+    for i in range(1, _IVF_ROUNDS + 1):
+        rounds.append(_ivf_assign_cte(f"a{i}", cent))
+        rounds.append(_ivf_update_cte(f"c{i}", f"a{i}"))
+        cent = f"c{i}"
+    cos_rank = (
+        f"floor({SIM.pico_cosine_sql('qv', 'cv', _IVF_DIM)} * 1e6 + 0.5)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT cid, cv FROM (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid,
+                   v AS cv
+            FROM e
+        ) WHERE cid < {_IVF_K}
+    ),
+    {",".join(rounds)},
+    {_ivf_assign_cte("afin", cent)},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    probe AS (
+      SELECT q.q_id, q.qv, c.cid,
+             row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {SIM.pico_sqdist_sql("q.qv", "c.cv", _IVF_DIM)},
+                          c.cid) AS rn
+      FROM q CROSS JOIN {cent} c
+    ),
+    bf AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {cos_rank.replace("cv", "c.v")} DESC,
+                            c.vec_id) AS rn
+        FROM q JOIN e c ON c.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    ),
+    bfn AS (SELECT CAST(count(*) AS BIGINT) AS n_bf FROM bf),
+    annk AS (
+      SELECT np, q_id, c_id FROM (
+        SELECT p.np, p.q_id, a.vec_id AS c_id,
+               row_number() OVER (PARTITION BY p.np, p.q_id
+                   ORDER BY {cos_rank.replace("qv", "p.qv")
+                                     .replace("cv", "a.v")} DESC,
+                            a.vec_id) AS rnk
+        FROM (SELECT ns.np, q_id, qv, cid FROM probe,
+                (SELECT unnest([1, 2, 4]) AS np) ns
+              WHERE rn <= ns.np) p
+        JOIN afin a USING (cid)
+        WHERE a.vec_id <> p.q_id
+      ) WHERE rnk <= 10
+    ),
+    hits AS (
+      SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+      FROM annk JOIN bf USING (q_id, c_id) GROUP BY np
+    )
+    SELECT ns.np AS nprobe,
+           coalesce(h.n_hits, 0) AS n_hits, bfn.n_bf,
+           CAST(coalesce(h.n_hits, 0) * 1000 // bfn.n_bf AS BIGINT)
+             AS recall_milli
+    FROM (SELECT unnest([1, 2, 4]) AS np) ns
+    LEFT JOIN hits h ON h.np = ns.np, bfn
+    ORDER BY nprobe
+    """
+
+
+@register(
+    "emb_ivf_nprobe_sweep",
+    oracle=_ivf_sweep_oracle_sql(),
+    doc="The IVF tuning curve: recall@10 swept over nprobe in {1, 2, 4} "
+    f"against the k={_IVF_K} deterministic index of "
+    "emb_ivf_recall_report (same md5-seeded micro-quantized training, "
+    "replayed identically by the oracle) — the accuracy-vs-cost curve "
+    "an operator actually reads before fixing nprobe in production "
+    "(nprobe/k is the fraction of the corpus scanned per query). ONE "
+    "training pass and ONE ranked-centroid window feed all three "
+    "sweep points (the nprobe filter is a literal explode, not three "
+    "re-trainings); aggregate recall reported as exact integer "
+    "permille so the curve hashes cross-engine.",
+    tags=("llm", "similarity", "approx", "embedding"),
+)
+def emb_ivf_nprobe_sweep(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+        pico_cosine,
+        pico_sqdist,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cent, afin = _ivf_spark_train(e)
+
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    w_probe = W.partitionBy("q_id").orderBy(
+        pico_sqdist(F.col("qv"), F.col("cv")), "cid"
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .select("q_id", "qv", "cid", "rn")
+    )
+    cos_rank = F.floor(pico_cosine(F.col("qv"), F.col("cv")) * 1e6 + 0.5)
+
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    bf = (
+        corpus.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+        .withColumn("cos_m", cos_rank)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("cos_m"), "c_id")
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id")
+    )
+    probe_np = (
+        probes.select(
+            "q_id",
+            "qv",
+            "cid",
+            "rn",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("np"),
+        )
+        .filter(F.col("rn") <= F.col("np"))
+        .select("np", "q_id", "qv", "cid")
+    )
+    ann = (
+        probe_np.join(
+            afin.select(
+                "cid", F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+            ),
+            "cid",
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cos_m", cos_rank)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("np", "q_id").orderBy(F.desc("cos_m"), "c_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select("np", "q_id", "c_id")
+    )
+    hits = (
+        ann.join(bf, ["q_id", "c_id"], "left_semi")
+        .groupBy("np")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    bfn = bf.agg(F.count("*").cast("long").alias("n_bf"))
+    nps = e.sparkSession.createDataFrame([(1,), (2,), (4,)], "np int")
+    return (
+        nps.join(hits, "np", "left")
+        .crossJoin(F.broadcast(bfn))
+        .select(
+            F.col("np").alias("nprobe"),
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            "n_bf",
+            F.expr(
+                "CAST(coalesce(n_hits, 0) * 1000 DIV n_bf AS BIGINT)"
+            ).alias("recall_milli"),
+        )
+        .orderBy("nprobe")
+    )
