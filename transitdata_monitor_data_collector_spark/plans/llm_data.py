@@ -6179,7 +6179,7 @@ def emb_pq_recall_report(spark, sf_dir):
     )
     adc = (
         codes.join(F.broadcast(cent), ["m", "cid"])
-        .join(qs, "m")
+        .join(F.broadcast(qs), "m")
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", F.col("vec_id").alias("c_id"))
         .agg(
@@ -6216,7 +6216,11 @@ def emb_pq_recall_report(spark, sf_dir):
         .select("q_id", "c_id")
     )
     return (
-        bf.join(ann.withColumn("hit", F.lit(1)), ["q_id", "c_id"], "left")
+        bf.join(
+            F.broadcast(ann.withColumn("hit", F.lit(1))),
+            ["q_id", "c_id"],
+            "left",
+        )
         .groupBy(F.col("q_id").alias("query_id"))
         .agg((F.count("hit").cast("double") / 10.0).alias("recall_at_10"))
         .orderBy("query_id")
