@@ -381,6 +381,48 @@ def audio_frame_energy(media: DataFrame, frame: int = 256) -> DataFrame:
     return media.mapInPandas(energize, FRAME_ENERGY_SCHEMA)
 
 
+ZCR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_index", T.LongType(), False),
+        T.StructField("n_pairs", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def audio_zero_crossings(media: DataFrame, frame: int = 256) -> DataFrame:
+    """Per-frame zero-crossing count over the PCM body — the OTHER classic
+    VAD feature beside RMS energy (audio_frame_energy): voiced speech has
+    low ZCR + high energy, fricatives/noise high ZCR, silence low both.
+    A crossing is a sign flip (negative vs non-negative) between
+    consecutive samples WITHIN the frame, so the count is a pure integer
+    an external oracle reproduces exactly. Same narrow Arrow-batched
+    mapInPandas shape as the energy pass."""
+    import numpy as np
+    import pandas as pd
+
+    def zcr(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, body = _parse_audio_header(payload)
+                if not body:
+                    continue
+                s = np.frombuffer(body, dtype=np.uint8).astype(np.int64) - 128
+                neg = s < 0
+                for k in range(0, (len(s) + frame - 1) // frame):
+                    seg = neg[k * frame : (k + 1) * frame]
+                    n_pairs = max(len(seg) - 1, 0)
+                    zc = int(np.count_nonzero(seg[1:] != seg[:-1]))
+                    rows.append((int(doc_id), k, n_pairs, zc))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ZCR_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(zcr, ZCR_SCHEMA)
+
+
 __all__ += [
     "AUDIO_META_SCHEMA",
     "FRAME_ENERGY_SCHEMA",
@@ -388,6 +430,8 @@ __all__ += [
     "synthesize_audio_payloads",
     "decode_audio_meta",
     "audio_frame_energy",
+    "ZCR_SCHEMA",
+    "audio_zero_crossings",
 ]
 
 

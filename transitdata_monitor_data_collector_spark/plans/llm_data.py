@@ -6926,3 +6926,58 @@ def emb_ivf_nprobe_sweep(spark, sf_dir):
         )
         .orderBy("nprobe")
     )
+
+
+@register(
+    "multimodal_audio_zcr",
+    oracle="""
+    WITH bytes_t AS (
+      SELECT doc_id, list_transform(range(1, length(text) + 1),
+                                    i -> ascii(substr(text, i, 1)) - 128)
+               AS ss
+      FROM documents WHERE length(text) > 0
+    ),
+    samp AS (
+      SELECT doc_id,
+             generate_subscripts(ss, 1) - 1 AS idx,
+             CAST(unnest(ss) AS BIGINT) AS s
+      FROM bytes_t
+    ),
+    fl AS (
+      SELECT doc_id,
+             CAST(idx // 256 AS BIGINT) AS frame_index,
+             idx % 256 AS pos,
+             s < 0 AS neg,
+             lag(s < 0) OVER (PARTITION BY doc_id ORDER BY idx) AS prev_neg
+      FROM samp
+    )
+    SELECT doc_id, frame_index,
+           CAST(sum(CASE WHEN pos > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs,
+           CAST(sum(CASE WHEN pos > 0 AND neg <> prev_neg THEN 1 ELSE 0 END)
+             AS BIGINT) AS zero_crossings
+    FROM fl GROUP BY doc_id, frame_index
+    ORDER BY doc_id, frame_index
+    """,
+    doc="Audio zero-crossing rate per 256-sample frame — the second "
+    "classic VAD feature beside RMS energy (multimodal_audio_energy): "
+    "voiced speech = low ZCR + high energy, fricatives/noise = high "
+    "ZCR, silence = low both; the (energy, zcr) pair per frame is the "
+    "standard cheap speech/silence/noise segmenter run before any "
+    "expensive ASR pass. A crossing is a sign flip between consecutive "
+    "in-frame samples — a pure integer count, so the oracle replays it "
+    "exactly from the same fake PCM (utf8 byte - 128). Same narrow "
+    "Arrow-batched mapInPandas shape as the energy pass "
+    "(operators/multimodal.py:audio_zero_crossings).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_zcr(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.operators.multimodal import (
+        audio_zero_crossings,
+        synthesize_audio_payloads,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return audio_zero_crossings(synthesize_audio_payloads(docs)).orderBy(
+        "doc_id", "frame_index"
+    )
