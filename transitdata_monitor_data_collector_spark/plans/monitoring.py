@@ -4970,3 +4970,57 @@ def promql_deriv_predict_linear(spark, sf_dir):
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@register(
+    "events_l_diversity",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day, user_id % 100 AS uid_bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS l
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_l_eq_1,
+           CAST(sum(CASE WHEN l = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_l_eq_1
+    FROM cells GROUP BY day ORDER BY day
+    """,
+    doc="l-diversity audit — the companion to events_k_anonymity: "
+    "k-anonymity bounds how many people share a quasi-identifier "
+    "class, but a class where everyone shares the SAME sensitive "
+    "value (here: event_type) still discloses it; l counts distinct "
+    "sensitive values per (day, user-bucket) class, and classes with "
+    "l = 1 are full-disclosure cells regardless of their k. Reported "
+    "per day: class count, min l, and how many classes/rows sit at "
+    "l = 1. Same two-aggregate shape as the k audit — the distinct "
+    "count collapses map-side per class.",
+    tags=("monitoring", "agg"),
+)
+def events_l_diversity(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 100).alias("uid_bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("event_type").cast("long").alias("l"),
+    )
+    return (
+        cells.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.min("l").cast("long").alias("min_l"),
+            F.sum((F.col("l") == 1).cast("long"))
+            .cast("long")
+            .alias("classes_l_eq_1"),
+            F.sum(F.when(F.col("l") == 1, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_l_eq_1"),
+        )
+        .orderBy("day")
+    )
