@@ -198,3 +198,31 @@ def test_checkpoint_recovery_resumes_not_reprocesses(spark, sf_dir, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
     }
     assert got == exp
+
+
+def test_observed_ingest_metrics(spark, sf_dir):
+    """df.observe metrics ride each micro-batch's progress event: after a
+    windowed-rate replay, last_observed() must report exactly the replayed
+    row count and the true event-time span — the in-plan, zero-extra-pass
+    analog of the reference collector's per-interval message counters."""
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        DASHBOARD_FILTERS,
+    )
+    from transitdata_monitor_data_collector_spark.plans.streaming_queries import (
+        _message_stream,
+    )
+    from transitdata_monitor_data_collector_spark.streaming import jobs
+
+    rates = jobs.windowed_rate_job(
+        _message_stream(spark, sf_dir), DASHBOARD_FILTERS
+    )
+    jobs.run_to_memory(spark, rates, output_mode="complete")
+    obs = jobs.last_observed("ingest")
+    assert obs is not None, "no ingest observation in any progress event"
+    total_rows = sum(
+        (p.get("observedMetrics") or {}).get("ingest", {}).get("rows", 0)
+        for p in jobs._LAST_PROGRESS
+    )
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total_rows == expected
+    assert obs["min_ts"] <= obs["max_ts"]

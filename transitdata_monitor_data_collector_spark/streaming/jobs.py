@@ -14,6 +14,7 @@ switch the state store to RocksDB
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import uuid
@@ -55,6 +56,17 @@ def windowed_rate_job(
     windows, with wildcard fan-out and unknown bucket
     (mqtt_data_collector.py:95-134,176-215)."""
     window_secs = _duration_seconds(window)
+    # Named observation: per-micro-batch ingest volume and event-time span
+    # surfaced through StreamingQueryProgress.observedMetrics["ingest"]
+    # (read back via last_observed()) — the engine-side analog of the
+    # reference collector's per-interval message counters, computed inside
+    # the running plan with zero extra passes.
+    messages = messages.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
     fanned = _fanout(messages.withWatermark("ts", watermark), filters)
     return (
         fanned.groupBy(F.window("ts", window).alias("w"), "broker", "topic_filter")
@@ -219,11 +231,30 @@ def run_to_memory(
             .start()
         )
         q.processAllAvailable()
+        global _LAST_PROGRESS
+        _LAST_PROGRESS = [json.loads(p.json) for p in q.recentProgress]
         q.stop()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.table(name)
+
+
+#: Progress events of the most recent run_to_memory() query — the replay
+#: path's window into StreamingQueryProgress (observed metrics, state rows,
+#: input rates) after the query object is gone.
+_LAST_PROGRESS: list[dict] = []
+
+
+def last_observed(observation: str = "ingest") -> dict | None:
+    """The most recent non-empty named observation recorded by the last
+    :func:`run_to_memory` run (df.observe metrics ride each micro-batch's
+    StreamingQueryProgress; empty trailing batches report no rows)."""
+    for prog in reversed(_LAST_PROGRESS):
+        metrics = (prog.get("observedMetrics") or {}).get(observation)
+        if metrics and metrics.get("rows"):
+            return metrics
+    return None
 
 
 def read_parquet_stream(
