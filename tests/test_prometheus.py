@@ -96,8 +96,11 @@ def test_runtime_metrics_after_microbatch(spark, tmp_path):
     stream = (
         spark.readStream.format("mqtt-replay").option("path", str(p)).load()
     )
+    from pyspark.sql import functions as F
+
     q = (
-        stream.groupBy("broker")
+        stream.observe("probe", F.count(F.lit(1)).alias("rows"))
+        .groupBy("broker")
         .count()
         .writeStream.format("memory")
         .queryName("rt_probe")
@@ -123,6 +126,13 @@ def test_runtime_metrics_after_microbatch(spark, tmp_path):
     assert state_lines and any(
         float(ln.rsplit(" ", 1)[1]) >= 2 for ln in state_lines
     )
+    # df.observe metrics from the last batch surface as labeled gauges
+    obs_lines = [
+        ln for ln in text.splitlines()
+        if ln.startswith('spark_streaming_observed{query="rt_probe"')
+        and 'observation="probe"' in ln and 'metric="rows"' in ln
+    ]
+    assert obs_lines, "observed metrics missing from runtime page"
 
 
 def test_runtime_metrics_served_over_http(spark):

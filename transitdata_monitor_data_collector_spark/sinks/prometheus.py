@@ -167,7 +167,7 @@ def render_runtime(spark, queries=None) -> str:
 
     if queries is None:
         queries = spark.streams.active
-    in_rate, proc_rate, batch_id, state_rows = [], [], [], []
+    in_rate, proc_rate, batch_id, state_rows, observed = [], [], [], [], []
     for q in queries:
         p = q.lastProgress
         if not p:
@@ -182,6 +182,21 @@ def render_runtime(spark, queries=None) -> str:
                 f'{{query="{qname}",operator="{op.get("operatorName", i)}"}}'
             )
             state_rows.append((op_labels, op.get("numRowsTotal")))
+        # df.observe() metrics: in-plan, per-batch counters/extents a job
+        # declares about its own data (streaming/jobs.py "ingest")
+        for obs_name, metrics in (p.get("observedMetrics") or {}).items():
+            if hasattr(metrics, "asDict"):  # lastProgress yields Rows
+                metrics = metrics.asDict()
+            for m_name, val in (metrics or {}).items():
+                if isinstance(val, (int, float)):
+                    observed.append(
+                        (
+                            f'{{query="{qname}",observation='
+                            f'"{_escape(obs_name)}",metric='
+                            f'"{_escape(m_name)}"}}',
+                            val,
+                        )
+                    )
     lines += _gauge_lines(
         "spark_streaming_input_rows_per_second",
         "Source ingest rate per streaming query", in_rate,
@@ -197,5 +212,9 @@ def render_runtime(spark, queries=None) -> str:
     lines += _gauge_lines(
         "spark_streaming_state_rows_total",
         "State-store rows per stateful operator", state_rows,
+    )
+    lines += _gauge_lines(
+        "spark_streaming_observed",
+        "df.observe() metrics from the last micro-batch", observed,
     )
     return "\n".join(lines) + "\n"
