@@ -5024,3 +5024,70 @@ def events_l_diversity(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "promql_offset_day_over_day",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.h, a.n AS n_now, b.n AS n_prev_day,
+           CASE WHEN b.n IS NOT NULL THEN
+             CAST(floor(CAST(a.n - b.n AS DOUBLE) / b.n * 1e4 + 0.5)
+               AS BIGINT) END AS delta_permyriad
+    FROM hourly a
+    LEFT JOIN hourly b
+      ON b.event_type = a.event_type
+     AND epoch_us(b.h) = epoch_us(a.h) - 86400000000
+    ORDER BY a.event_type, a.h
+    """,
+    doc="PromQL's `offset 1d` comparison: each hour's event count beside "
+    "the same hour one day earlier, with the day-over-day delta — the "
+    "seasonal-baseline alert form ('traffic is 40% below yesterday') "
+    "that absolute thresholds can't express. An equi-self-join on "
+    "(series, exact shifted bucket) rather than a lag() window: "
+    "calendar gaps make row-offset lags wrong, while the shifted-key "
+    "join is gap-correct and stays a co-partitioned shuffle on the "
+    "series key at 100 TB. Counts exact; the delta is floor-micro'd "
+    "permyriad from identical integers.",
+    tags=("monitoring", "promql", "timeseries", "join"),
+)
+def promql_offset_day_over_day(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.window("ts", "1 hour").start.alias("h")
+    ).agg(F.count("*").cast("long").alias("n"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    delta = F.when(
+        F.col("b.n").isNotNull(),
+        F.floor(
+            (F.col("a.n") - F.col("b.n")).cast("double")
+            / F.col("b.n")
+            * 1e4
+            + 0.5
+        ).cast("long"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (
+                F.unix_micros("b.h")
+                == F.unix_micros("a.h") - 86400000000
+            ),
+            "left",
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.h").alias("h"),
+            F.col("a.n").alias("n_now"),
+            F.col("b.n").alias("n_prev_day"),
+            delta.alias("delta_permyriad"),
+        )
+        .orderBy("event_type", "h")
+    )
