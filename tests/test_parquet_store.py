@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import glob
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from transitdata_monitor_data_collector_spark.plans import table
@@ -187,3 +189,62 @@ def test_manifest_missing_falls_back(spark, sf_dir, tmp_path):
     table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
     df = read_manifest_pruned(spark, path, "user_id", lo=0)
     assert df.count() == spark.read.parquet(path).count()
+
+
+def test_merge_upsert_time_travel_and_retry(spark, sf_dir, tmp_path):
+    """The versioned merge table: SCD1 upsert semantics, immutable time
+    travel, exactly-once batch retry, schema evolution via by-name union,
+    and vacuum retention."""
+    from pyspark.sql import functions as F
+
+    from transitdata_monitor_data_collector_spark.sinks import parquet as P
+
+    path = str(tmp_path / "merge_tbl")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .limit(50)
+        .cache()
+    )
+    v0 = P.merge_upsert(spark, path, base, ["user_id"], batch_id="b0")
+    assert v0 == 0 and P.table_version(path) == 0
+
+    # update half the keys, insert two new ones, and ADD a column
+    some = base.limit(10).select(
+        "user_id",
+        (F.col("n_events") + 100).alias("n_events"),
+        F.lit("updated").alias("note"),
+    )
+    newbies = spark.createDataFrame(
+        [(10**9, 1, "new"), (10**9 + 1, 2, "new")],
+        "user_id long, n_events long, note string",
+    )
+    v1 = P.merge_upsert(
+        spark, path, some.unionByName(newbies), ["user_id"], batch_id="b1"
+    )
+    assert v1 == 1
+
+    cur = P.read_table(spark, path)
+    assert cur.count() == base.count() + 2
+    updated = {r["user_id"]: r for r in cur.filter("note = 'updated'").collect()}
+    assert len(updated) == 10
+    base_n = {r["user_id"]: r["n_events"] for r in base.collect()}
+    for uid, row in updated.items():
+        assert row["n_events"] == base_n[uid] + 100
+    # untouched rows carry over with NULL in the evolved column
+    assert cur.filter("note IS NULL").count() == base.count() - 10
+
+    # time travel: v0 is immutable and has no evolved column
+    old = P.read_table(spark, path, version=0)
+    assert old.count() == base.count() and "note" not in old.columns
+
+    # exactly-once: re-delivering batch b1 is a no-op
+    assert P.merge_upsert(spark, path, newbies, ["user_id"], batch_id="b1") == 1
+    assert P.table_version(path) == 1
+
+    # vacuum keeps the newest version readable
+    assert P.vacuum_table(path, keep_last=1) == 1
+    assert P.table_version(path) == 1
+    with pytest.raises(FileNotFoundError):
+        P.read_table(spark, path, version=0)

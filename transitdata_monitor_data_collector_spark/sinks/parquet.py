@@ -368,3 +368,119 @@ def read_manifest_pruned(
 
 
 __all__ += ["write_stats_manifest", "read_manifest_pruned", "MANIFEST_NAME"]
+
+
+# ---------------------------------------------------------------------------
+# Versioned SCD1 table on plain parquet: MERGE upsert + time travel +
+# exactly-once retry, without a table format dependency. Layout:
+#     <path>/v=<n>/part-*.parquet + _COMMIT      (one dir per version)
+# Readers resolve the highest _COMMIT-marked version, so a crashed or
+# in-flight writer is invisible (the azure_datasource epoch-commit idea
+# applied to a keyed table instead of an append log). Single writer per
+# table is assumed (the streaming foreachBatch driver); versions are
+# immutable once committed, which is what makes time travel and
+# concurrent readers safe with zero coordination.
+# ---------------------------------------------------------------------------
+
+
+def _versions(path: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("v=") and os.path.exists(
+            os.path.join(path, name, "_COMMIT")
+        ):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def table_version(path: str) -> int | None:
+    """Highest committed version of a merge table, or None if empty."""
+    vs = _versions(path)
+    return vs[-1] if vs else None
+
+
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed version (default: latest) — TIME TRAVEL is just
+    naming an older committed dir; versions are immutable."""
+    v = table_version(path) if version is None else version
+    if v is None or v not in _versions(path):
+        raise FileNotFoundError(f"no committed version {version} at {path}")
+    return spark.read.parquet(f"{path}/v={v}")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    batch_id: str | None = None,
+) -> int:
+    """MERGE (SCD1 last-write-wins upsert) into the versioned table:
+    current rows whose key collides with an update are replaced, new keys
+    are inserted, everything else carries over — one left-anti join plus
+    a by-name union (allowMissingColumns, so an update batch may ADD
+    columns and old rows read NULL: schema evolution without rewrite).
+
+    ``batch_id`` makes retries exactly-once: if the latest committed
+    version already records this id, the merge is a no-op returning that
+    version — the foreachBatch re-delivery contract. Commit order is
+    crash-safe: data lands in a dot-temp dir, renames to ``v=<n>``, and
+    the ``_COMMIT`` marker (with the batch id) lands last; readers never
+    see a partial version."""
+    import json as _json
+    import os
+    import shutil
+
+    cur_v = table_version(path)
+    if batch_id is not None and cur_v is not None:
+        with open(f"{path}/v={cur_v}/_COMMIT") as f:
+            meta = _json.load(f) if os.path.getsize(
+                f"{path}/v={cur_v}/_COMMIT"
+            ) else {}
+        if meta.get("batch_id") == batch_id:
+            return cur_v
+    if cur_v is None:
+        merged = updates
+        new_v = 0
+    else:
+        current = read_table(spark, path, cur_v)
+        keep = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = keep.unionByName(updates, allowMissingColumns=True)
+        new_v = cur_v + 1
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".v={new_v}.tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    final = os.path.join(path, f"v={new_v}")
+    os.rename(tmp, final)
+    with open(os.path.join(final, "_COMMIT"), "w") as f:
+        _json.dump({"batch_id": batch_id, "version": new_v}, f)
+    return new_v
+
+
+def vacuum_table(path: str, keep_last: int = 2) -> int:
+    """Drop all but the newest ``keep_last`` committed versions (plus any
+    uncommitted temp debris). Returns the number of version dirs removed.
+    Run only when no reader still holds an older version handle."""
+    import os
+    import shutil
+
+    vs = _versions(path)
+    doomed = vs[:-keep_last] if keep_last > 0 else vs
+    removed = 0
+    for v in doomed:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+        removed += 1
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith(".v=") and name.endswith(".tmp"):
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    return removed
