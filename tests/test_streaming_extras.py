@@ -226,3 +226,48 @@ def test_observed_ingest_metrics(spark, sf_dir):
     expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total_rows == expected
     assert obs["min_ts"] <= obs["max_ts"]
+
+
+def test_stream_merge_counter_job(spark, sf_dir, tmp_path):
+    """foreachBatch + merge_upsert: the streamed counter table must equal
+    the batch aggregate, each micro-batch leaves a committed version, and
+    the batch-id ledger makes redelivery exactly-once."""
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        DASHBOARD_FILTERS,
+    )
+    from transitdata_monitor_data_collector_spark.plans.streaming_queries import (
+        _message_stream,
+    )
+    from transitdata_monitor_data_collector_spark.sinks import parquet as P
+    from transitdata_monitor_data_collector_spark.streaming import jobs
+
+    path = str(tmp_path / "counter_tbl")
+    jobs.stream_merge_counter_job(
+        spark, _message_stream(spark, sf_dir), path, DASHBOARD_FILTERS
+    )
+    assert P.table_version(path) is not None
+
+    got = {
+        (r["broker"], r["topic_filter"]): r["messages_received_total"]
+        for r in P.read_table(spark, path).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from transitdata_monitor_data_collector_spark.plans import table
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        BROKER_SQL,
+        TOPIC_SQL,
+    )
+
+    batch_msgs = table(spark, sf_dir, "events").select(
+        F.expr(BROKER_SQL).alias("broker"),
+        F.expr(TOPIC_SQL).alias("topic"),
+        "ts",
+        "event_id",
+    )
+    batch = jobs.cumulative_counter_job(batch_msgs, DASHBOARD_FILTERS)
+    exp = {
+        (r["broker"], r["topic_filter"]): r["messages_received_total"]
+        for r in batch.collect()
+    }
+    assert got == exp

@@ -495,3 +495,47 @@ def cms_cells_job(events: DataFrame, d: int = 4, w: int = 512) -> DataFrame:
         .groupBy("row_i", "col_i")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def stream_merge_counter_job(
+    spark: SparkSession,
+    messages: DataFrame,
+    table_path: str,
+    filters: Sequence[str],
+) -> None:
+    """Maintain the per-(broker, topic_filter) counter table as a VERSIONED
+    MERGE TABLE via foreachBatch: each micro-batch's deltas upsert into
+    sinks.parquet.merge_upsert with batch_id = the epoch id, so a retried
+    batch is exactly-once (the merge no-ops on a replayed id) and every
+    batch leaves a time-travelable version. Complete-mode aggregation
+    keeps the running totals in state; the merge replaces changed keys —
+    at 100 TB the update set per batch is the ACTIVE keys only, not the
+    whole table."""
+    from transitdata_monitor_data_collector_spark.sinks.parquet import (
+        merge_upsert,
+    )
+
+    totals = cumulative_counter_job(messages, filters)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(
+            spark,
+            table_path,
+            batch_df,
+            ["broker", "topic_filter"],
+            batch_id=str(batch_id),
+        )
+
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_merge_", dir=ckpt_base)
+    q = (
+        totals.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
