@@ -5091,3 +5091,79 @@ def promql_offset_day_over_day(spark, sf_dir):
         )
         .orderBy("event_type", "h")
     )
+
+
+@register(
+    "events_slo_multiwindow_burn",
+    oracle="""
+    WITH m AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS m5,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err,
+             CAST(count(*) AS BIGINT) AS n_tot
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT m5, n_err, n_tot,
+             CAST(sum(n_err) OVER h AS BIGINT) AS err_1h,
+             CAST(sum(n_tot) OVER h AS BIGINT) AS tot_1h
+      FROM m
+      WINDOW h AS (ORDER BY epoch_us(m5)
+                   RANGE BETWEEN 3300000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT m5 AS window_start, n_err, n_tot, err_1h, tot_1h,
+           floor(CAST(n_err AS DOUBLE) / n_tot / 0.02 * 1e6 + 0.5) / 1e6
+             AS burn_5m,
+           floor(CAST(err_1h AS DOUBLE) / tot_1h / 0.02 * 1e6 + 0.5) / 1e6
+             AS burn_1h
+    FROM w
+    WHERE CAST(n_err AS DOUBLE) / n_tot / 0.02 > 2.0
+      AND CAST(err_1h AS DOUBLE) / tot_1h / 0.02 > 2.0
+    ORDER BY m5
+    """,
+    doc="Multi-window multi-burn-rate SLO alert (the Google SRE workbook "
+    "form, upgrading events_error_budget_burn's single window): page "
+    "only when BOTH the fast 5-minute burn rate and the slow 1-hour "
+    "burn rate exceed the threshold against a 2% error budget — the "
+    "long window keeps one noisy bucket from paging, the short window "
+    "ends the alert promptly once the incident stops. The 1-hour burn "
+    "is a trailing RANGE window over the 5-minute partials (3,300 s "
+    "lookback = 11 prior buckets + current), so one sorted pass "
+    "produces both rates; counts exact, ratios floor-micro'd from "
+    "identical integers.",
+    tags=("monitoring", "sre", "alerting", "timeseries", "window"),
+)
+def events_slo_multiwindow_burn(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy(F.window("ts", "5 minutes").start.alias("m5")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+        F.count("*").cast("long").alias("n_tot"),
+    )
+    h = (
+        W.orderBy(F.unix_micros("m5"))
+        .rangeBetween(-3_300_000_000, 0)
+    )
+    w = m.select(
+        "m5",
+        "n_err",
+        "n_tot",
+        F.sum("n_err").over(h).cast("long").alias("err_1h"),
+        F.sum("n_tot").over(h).cast("long").alias("tot_1h"),
+    )
+    burn_5m_raw = F.col("n_err").cast("double") / F.col("n_tot") / 0.02
+    burn_1h_raw = F.col("err_1h").cast("double") / F.col("tot_1h") / 0.02
+    return (
+        w.filter((burn_5m_raw > 2.0) & (burn_1h_raw > 2.0))
+        .select(
+            F.col("m5").alias("window_start"),
+            "n_err",
+            "n_tot",
+            "err_1h",
+            "tot_1h",
+            (F.floor(burn_5m_raw * 1e6 + 0.5) / 1e6).alias("burn_5m"),
+            (F.floor(burn_1h_raw * 1e6 + 0.5) / 1e6).alias("burn_1h"),
+        )
+        .orderBy("window_start")
+    )
