@@ -2837,3 +2837,50 @@ def graph_triangle_count(spark, sf_dir):
         .orderBy(F.desc("n_triangles"), "part_key")
         .limit(10)
     )
+
+
+@register(
+    "json_variant_shred",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Semi-structured shredding through Spark 4's VARIANT type: "
+    "parse_json(props) produces a binary-encoded variant (parsed ONCE, "
+    "not per path access like repeated get_json_object calls — the "
+    "reason VARIANT exists), variant_get(.., '$.k', 'long') extracts a "
+    "TYPED field, and the usual aggregate pipeline runs over it. The "
+    "shape every telemetry property-bag query takes once payloads stop "
+    "having a fixed schema; at 100 TB the parse cost amortizes across "
+    "every path touched and the typed extraction keeps codegen "
+    "JVM-side. Oracle states the same shred via DuckDB's JSON "
+    "extraction.",
+    tags=("scalar", "json", "variant"),
+)
+def json_variant_shred(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
