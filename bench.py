@@ -90,6 +90,10 @@ HEADLINE = [
     "events_chain_recursive_cte",
     "events_kaplan_meier_churn",
     "join_interval_bin_equi",
+    "doc_curation_v2",
+    "graph_triangle_count",
+    "emb_ivf_nprobe_sweep",
+    "sketch_kmv_set_ops",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
