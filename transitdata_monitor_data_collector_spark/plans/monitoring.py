@@ -5167,3 +5167,88 @@ def events_slo_multiwindow_burn(spark, sf_dir):
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "events_conformance_check",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, ts, event_type,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+      )
+    ),
+    flags AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id, session_no) AS first_view_ts
+      FROM sess
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN first_view_ts IS NULL
+                         OR first_view_ts >= ts THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nonconformant
+    FROM flags
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Process-mining conformance check: within each 30-minute-gap "
+    "session, a purchase CONFORMS to the expected journey only if a "
+    "view precedes it in the same session; the daily non-conformance "
+    "count is the data-integrity / instrumentation-drift alarm (a "
+    "broken view-tracking deploy shows up here before it shows up in "
+    "revenue). Sessionization is the gaps-and-islands prefix sum, "
+    "conformance one per-(user, session) window min — both ride a "
+    "single (user_id, ts) sort, then a tiny daily aggregate.",
+    tags=("monitoring", "events", "window"),
+)
+def events_conformance_check(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        )
+        .over(wu.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_no"),
+    )
+    flags = sess.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        )
+        .over(W.partitionBy("user_id", "session_no"))
+        .alias("first_view_ts"),
+    )
+    return (
+        flags.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(
+                (
+                    F.col("first_view_ts").isNull()
+                    | (F.col("first_view_ts") >= F.col("ts"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_nonconformant"),
+        )
+        .orderBy("day")
+    )
