@@ -2884,3 +2884,75 @@ def json_variant_shred(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_conditional_family",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (value > 500) AS BIGINT) AS n_big,
+           CAST(count(*) FILTER (value IS NULL) AS BIGINT) AS n_null,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 990) AS any_extreme
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="The conditional-aggregate family in one row per group: count_if "
+    "(Spark) / FILTER clause (ANSI), every()/bool_and, any()/bool_or — "
+    "the predicates-as-aggregates surface dashboards lean on for "
+    "'all healthy' / 'any alarm' tiles. All partial-aggregable "
+    "booleans/counts: map-side collapse, one tiny shuffle.",
+    tags=("agg", "sql"),
+)
+def agg_conditional_family(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 500).cast("long").alias("n_big"),
+            F.count_if(F.col("value").isNull()).cast("long").alias("n_null"),
+            F.every(F.col("value") >= 0).alias("all_nonneg"),
+            F.some(F.col("value") > 990).alias("any_extreme"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN CAST(floor(value) AS BIGINT) % 7 = 0 THEN NULL
+                ELSE floor(value / nullif(CAST(floor(value) AS BIGINT) % 7, 0)
+                           * 1e4 + 0.5) / 1e4 END AS safe_ratio,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(event_type AS BIGINT) AS never_num
+    FROM events ORDER BY event_id
+    """,
+    doc="Error-safe scalar arithmetic: try_divide turns the "
+    "division-by-zero that would abort an ANSI pipeline into NULL, and "
+    "try_cast absorbs unparseable strings — the difference between a "
+    "malformed 0.001% of a 100 TB feed poisoning the job and it "
+    "flowing through as NULLs a downstream gate can count. The oracle "
+    "states the same semantics via nullif guards and TRY_CAST.",
+    tags=("scalar", "sql"),
+)
+def scalar_try_arithmetic(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    denom = F.floor("value").cast("long") % 7
+    return ev.select(
+        "event_id",
+        F.floor(F.try_divide(F.col("value"), denom) * 1e4 + 0.5)
+        .cast("double")
+        .alias("safe_ratio_raw"),
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999999999")
+        )
+        .cast("long")
+        .alias("k_num"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("never_num"),
+    ).select(
+        "event_id",
+        (F.col("safe_ratio_raw") / 1e4).alias("safe_ratio"),
+        "k_num",
+        "never_num",
+    ).orderBy("event_id")
