@@ -248,3 +248,85 @@ def test_merge_upsert_time_travel_and_retry(spark, sf_dir, tmp_path):
     assert P.table_version(path) == 1
     with pytest.raises(FileNotFoundError):
         P.read_table(spark, path, version=0)
+
+
+def test_manifest_reconciles_with_directory(spark, sf_dir, tmp_path):
+    """A stale manifest must never change RESULTS: files appended after
+    the manifest are read unconditionally, and entries whose file was
+    compacted away don't crash the read."""
+    import os
+
+    from transitdata_monitor_data_collector_spark.sinks.parquet import (
+        read_manifest_pruned,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "mstore2")
+    ev = table(spark, sf_dir, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    (
+        half_a.repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    write_stats_manifest(spark, path, ["user_id"])
+    # append AFTER the manifest: these rows must still be returned
+    half_b.coalesce(1).write.mode("append").parquet(path)
+    lo, hi = 3, 5
+    pruned = read_manifest_pruned(spark, path, "user_id", lo=lo, hi=hi)
+    full = spark.read.parquet(path).filter(F.col("user_id").between(lo, hi))
+    assert pruned.count() == full.count() > 0
+
+    # delete a manifest-listed file: the read must not raise
+    listed = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    os.remove(os.path.join(path, listed[0]))
+    pruned2 = read_manifest_pruned(spark, path, "user_id", lo=lo, hi=hi)
+    full2 = spark.read.parquet(path).filter(F.col("user_id").between(lo, hi))
+    assert pruned2.count() == full2.count()
+
+
+def test_merge_upsert_rejects_ambiguous_updates(spark, tmp_path):
+    from transitdata_monitor_data_collector_spark.sinks import parquet as P
+
+    path = str(tmp_path / "merge_guard")
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "user_id long, note string"
+    )
+    with pytest.raises(ValueError, match="unique, non-null"):
+        P.merge_upsert(spark, path, dup, ["user_id"])
+    nullkey = spark.createDataFrame(
+        [(None, "a")], "user_id long, note string"
+    )
+    with pytest.raises(ValueError, match="unique, non-null"):
+        P.merge_upsert(spark, path, nullkey, ["user_id"])
+    # nothing committed by rejected merges
+    assert P.table_version(path) is None
+
+
+def test_compaction_tmp_is_invisible(spark, sf_dir, tmp_path):
+    """The compaction temp dir must be hidden from partition discovery —
+    a visible sibling dir would read as a bogus dt value and double rows."""
+    import os
+
+    from transitdata_monitor_data_collector_spark.sinks.parquet import (
+        compact_store,
+        write_time_partitioned,
+    )
+
+    path = str(tmp_path / "cstore")
+    ev = table(spark, sf_dir, "events").limit(500)
+    write_time_partitioned(ev, path, ts_col="ts", mode="append")
+    write_time_partitioned(ev, path, ts_col="ts", mode="append")
+    dt = sorted(
+        d for d in os.listdir(path) if d.startswith("dt=")
+    )[0].split("=", 1)[1]
+    before = spark.read.parquet(path).count()
+    compact_store(spark, path, dt)
+    # same rows, and no dt=<date>._compact_tmp partition appeared
+    assert spark.read.parquet(path).count() == before
+    assert not any("._compact_tmp" in d for d in os.listdir(path))

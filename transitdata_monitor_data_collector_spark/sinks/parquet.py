@@ -58,7 +58,10 @@ def write_time_partitioned(
 
 def _spread16(x):
     """Spread a 16-bit int's bits to every 2nd position (Morton encode
-    half) — the classic mask-shift cascade, pure Column bit ops."""
+    half) — the classic mask-shift cascade, pure Column bit ops. Works
+    on LONG: in 32-bit int the final shiftleft(.., 1) would set the
+    sign bit for ranks >= 32768 and break the curve's ordering."""
+    x = x.cast("long")
     x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
     x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
     x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
@@ -115,6 +118,12 @@ def write_zordered(
     ranks = []
     for c in cluster_cols:
         lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"z-order column {c!r} has no numeric min/max (all-null, "
+                "non-numeric, or empty input) — cluster on numeric, "
+                "populated columns"
+            )
         span = (hi - lo) or 1.0
         ranks.append(
             F.least(
@@ -162,6 +171,8 @@ def stream_to_store(
     checkpoint: str,
     ts_col: str = "ts",
     hourly: bool = False,
+    sort_cols: Sequence[str] = (),
+    files_per_partition: int = 1,
     trigger_seconds: int | None = None,
     available_now: bool = False,
 ):
@@ -188,7 +199,13 @@ def stream_to_store(
 
     def _append(batch_df: DataFrame, _batch_id: int) -> None:
         write_time_partitioned(
-            batch_df, path, ts_col=ts_col, hourly=hourly, mode="append"
+            batch_df,
+            path,
+            ts_col=ts_col,
+            hourly=hourly,
+            sort_cols=sort_cols,
+            files_per_partition=files_per_partition,
+            mode="append",
         )
 
     writer = (
@@ -227,7 +244,10 @@ def compact_store(
 
     part_dir = f"{path}/dt={dt}" + (f"/hour={hour}" if hour is not None else "")
     df = spark.read.parquet(part_dir)
-    tmp = part_dir + "._compact_tmp"
+    # dot-prefixed INSIDE the partition: hidden from partition discovery
+    # (a sibling "dt=<date>._compact_tmp" dir would be read as a bogus
+    # partition value by scans of the store root)
+    tmp = part_dir + "/._compact_tmp"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     data_files = [
         f for f in os.listdir(tmp) if not f.startswith(("_", "."))
@@ -329,7 +349,11 @@ def read_manifest_pruned(
     is unindexed. The residual filter is still applied — manifest
     pruning is an IO optimization for files we read; files are only
     SKIPPED on exact fixed-width stats (strings are never indexed —
-    parquet footers may store truncated string bounds)."""
+    parquet footers may store truncated string bounds). The manifest is
+    reconciled against the directory before use: files appended AFTER
+    the manifest was written are read unconditionally (no stats -> no
+    skipping, never missing rows), and manifest entries whose file was
+    since compacted away are dropped (no FileNotFound)."""
     import json
     import os
 
@@ -345,8 +369,19 @@ def read_manifest_pruned(
         return df.filter(residual) if residual is not None else df
     with open(mf) as f:
         manifest = json.load(f)
-    keep = []
+    on_disk = set()
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                on_disk.add(
+                    os.path.relpath(os.path.join(root, name), path)
+                )
+    known = {e["file"] for e in manifest["files"]}
+    # appended since the manifest: no stats, must read
+    keep = sorted(on_disk - known)
     for e in manifest["files"]:
+        if e["file"] not in on_disk:  # compacted/vacuumed away
+            continue
         st = e["stats"].get(col)
         if st is None:
             keep.append(e["file"])  # unindexed file: must read
@@ -423,6 +458,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     batch_id: str | None = None,
+    validate_keys: bool = True,
 ) -> int:
     """MERGE (SCD1 last-write-wins upsert) into the versioned table:
     current rows whose key collides with an update are replaced, new keys
@@ -435,10 +471,32 @@ def merge_upsert(
     version — the foreachBatch re-delivery contract. Commit order is
     crash-safe: data lands in a dot-temp dir, renames to ``v=<n>``, and
     the ``_COMMIT`` marker (with the batch id) lands last; readers never
-    see a partial version."""
+    see a partial version. A crash between the rename and the marker
+    leaves an UNCOMMITTED ``v=<n>`` dir that readers ignore and the next
+    merge clobbers before renaming — progress is never wedged.
+
+    ``updates`` must carry at most one row per key and no null keys
+    (last-write-wins is undefined within one batch otherwise) —
+    validated with one small aggregate unless ``validate_keys=False``."""
     import json as _json
     import os
     import shutil
+
+    if validate_keys:
+        from pyspark.sql import functions as _F
+
+        null_any = _F.lit(False)
+        for k in keys:
+            null_any = null_any | _F.col(k).isNull()
+        bad = updates.groupBy(*keys).count().filter(
+            (_F.col("count") > 1) | null_any
+        )
+        offender = bad.limit(1).collect()
+        if offender:
+            raise ValueError(
+                "merge_upsert updates must have unique, non-null keys; "
+                f"offending key: {offender[0].asDict()}"
+            )
 
     cur_v = table_version(path)
     if batch_id is not None and cur_v is not None:
@@ -460,6 +518,10 @@ def merge_upsert(
     tmp = os.path.join(path, f".v={new_v}.tmp")
     merged.write.mode("overwrite").parquet(tmp)
     final = os.path.join(path, f"v={new_v}")
+    if os.path.exists(final):
+        # uncommitted leftover from a crash between rename and _COMMIT
+        # (it has no marker, else table_version would have returned it)
+        shutil.rmtree(final)
     os.rename(tmp, final)
     with open(os.path.join(final, "_COMMIT"), "w") as f:
         _json.dump({"batch_id": batch_id, "version": new_v}, f)
