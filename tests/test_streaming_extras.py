@@ -271,3 +271,17 @@ def test_stream_merge_counter_job(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == exp
+
+    # an INDEPENDENT second run (fresh ephemeral checkpoint, epochs start
+    # at 0 again) must not be mistaken for a replay of the first run's
+    # epoch 0 — its merges must land as new versions
+    v_before = P.table_version(path)
+    jobs.stream_merge_counter_job(
+        spark, _message_stream(spark, sf_dir), path, DASHBOARD_FILTERS
+    )
+    assert P.table_version(path) > v_before
+    got2 = {
+        (r["broker"], r["topic_filter"]): r["messages_received_total"]
+        for r in P.read_table(spark, path).collect()
+    }
+    assert got2 == exp  # same source replayed -> same totals

@@ -208,10 +208,7 @@ def run_to_memory(
     tests. processAllAvailable keeps triggering until the source stops
     advancing, giving real multi-batch watermark semantics."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    # replay/test path only: tmpfs checkpoints skip per-micro-batch fsync
-    # latency. Production jobs pass their own durable checkpointLocation.
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_", dir=ckpt_base)
+    checkpoint = _tmp_checkpoint("ckpt_")
     # State-store shards should track STATE SIZE (key cardinality), not
     # batch CPU parallelism: every micro-batch pays per-shard commit
     # overhead, and these jobs keep a handful of (broker, filter, window)
@@ -497,45 +494,69 @@ def cms_cells_job(events: DataFrame, d: int = 4, w: int = 512) -> DataFrame:
     )
 
 
+def _tmp_checkpoint(prefix: str) -> str:
+    """Ephemeral checkpoint dir for replay/test drives (tmpfs-backed when
+    available to skip per-micro-batch fsync latency). Production jobs
+    pass their own durable checkpointLocation."""
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=ckpt_base)
+
+
+def _drain(q) -> None:
+    """Drive a started query to source exhaustion, then stop it."""
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+
 def stream_merge_counter_job(
     spark: SparkSession,
     messages: DataFrame,
     table_path: str,
     filters: Sequence[str],
+    checkpoint: str | None = None,
 ) -> None:
     """Maintain the per-(broker, topic_filter) counter table as a VERSIONED
-    MERGE TABLE via foreachBatch: each micro-batch's deltas upsert into
-    sinks.parquet.merge_upsert with batch_id = the epoch id, so a retried
-    batch is exactly-once (the merge no-ops on a replayed id) and every
-    batch leaves a time-travelable version. Complete-mode aggregation
-    keeps the running totals in state; the merge replaces changed keys —
-    at 100 TB the update set per batch is the ACTIVE keys only, not the
-    whole table."""
+    MERGE TABLE via foreachBatch: update-mode aggregation emits only the
+    keys a micro-batch actually changed, and each delta set upserts into
+    sinks.parquet.merge_upsert — every batch leaves a time-travelable
+    version, and untouched keys carry over in the merge, so at 100 TB
+    the per-epoch write is the ACTIVE keys only, never the whole table.
+
+    Exactly-once: pass a DURABLE ``checkpoint`` and the merge's batch-id
+    ledger makes a replayed epoch (restart re-delivering the last
+    uncommitted batch) a no-op. With no checkpoint (replay/test runs) a
+    fresh per-run token is mixed into the ledger id instead — two
+    independent runs both start at epoch 0, and a bare batch_id would
+    make the second run's first merge look like a replay of the first's
+    and silently drop it."""
     from transitdata_monitor_data_collector_spark.sinks.parquet import (
         merge_upsert,
     )
 
-    totals = cumulative_counter_job(messages, filters)
+    totals = cumulative_counter_job(
+        messages.withWatermark("ts", "2 minutes"), filters
+    )
+    run_token = "" if checkpoint is not None else uuid.uuid4().hex[:12] + ":"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if batch_df.isEmpty():  # cheap: update mode emits only deltas
             return
         merge_upsert(
             spark,
             table_path,
             batch_df,
             ["broker", "topic_filter"],
-            batch_id=str(batch_id),
+            batch_id=f"{run_token}{batch_id}",
         )
 
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_merge_", dir=ckpt_base)
     q = (
         totals.writeStream.foreachBatch(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            checkpoint or _tmp_checkpoint("ckpt_merge_"),
+        )
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+    _drain(q)
