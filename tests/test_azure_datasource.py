@@ -83,3 +83,51 @@ def test_stream_write_commits_per_epoch(spark, tmp_path):
 
 def test_source_name():
     assert AzureMonitorDataSource.name() == "azure_monitor"
+
+
+def test_batch_writes_get_distinct_epochs(spark, tmp_path):
+    """Repeated batch saves must not mix files under one marker: each
+    save publishes the NEXT epoch; overwrite clears history first."""
+    register(spark)
+    envelope_df = spark.createDataFrame(
+        [(json.dumps({"metric": "m", "v": i}),) for i in range(5)],
+        "envelope_json string",
+    ).repartition(2)
+    spool = str(tmp_path / "spool_epochs")
+    for _ in range(2):
+        envelope_df.write.format("azure_monitor").option(
+            "spool_dir", spool
+        ).mode("append").save()
+    epochs = sorted(
+        d for d in os.listdir(spool) if d.startswith("epoch=")
+    )
+    assert epochs == ["epoch=0", "epoch=1"]
+    n_rows = envelope_df.count()
+    for e in epochs:
+        with open(os.path.join(spool, e, "_COMMIT")) as f:
+            meta = json.load(f)
+        n_lines = sum(
+            sum(1 for _ in open(os.path.join(spool, e, p)))
+            for p in os.listdir(os.path.join(spool, e))
+            if p.endswith(".jsonl")
+        )
+        assert meta["envelopes"] == n_lines == n_rows
+
+    # overwrite drops the history and restarts at epoch 0
+    envelope_df.write.format("azure_monitor").option(
+        "spool_dir", spool
+    ).mode("overwrite").save()
+    assert sorted(
+        d for d in os.listdir(spool) if d.startswith("epoch=")
+    ) == ["epoch=0"]
+
+
+def test_missing_required_option_fails_on_driver(spark):
+    import pytest
+
+    register(spark)
+    envelope_df = spark.createDataFrame(
+        [("{}",)], "envelope_json string"
+    )
+    with pytest.raises(Exception, match="spool_dir"):
+        envelope_df.write.format("azure_monitor").mode("append").save()

@@ -11,12 +11,18 @@ with the engine's commit protocol doing the bookkeeping:
 
 - ``write(iterator)`` posts each envelope via the configured transport
   and returns a commit message carrying (partition, n_posted);
-- ``commit(messages, batch_id)`` records a batch marker — at-least-once
-  across retries, same contract as the reference's retry bursts;
-- ``abort`` leaves the spool untouched (failed tasks simply re-run).
+- ``commit(messages, batch_id)`` publishes the batch's pending files
+  under an epoch dir and drops a ``_COMMIT`` marker LAST — readers
+  treat a marker-less epoch dir as in-flight, a replayed epoch whose
+  marker already exists is discarded (exactly-once publish), and
+  orphaned files from a crashed earlier attempt are cleared before the
+  re-publish so the marker's count always equals the dir's rows;
+- ``abort`` DISCARDS the failed attempt's pending files (the retried
+  task spools fresh ones — nothing to inspect is nothing to double-post).
 
 Transports: ``spool`` (default — append-only JSONL per partition under
-``spool_dir``; offline/test) or ``https`` (urllib POST to ``url``).
+``spool_dir``; offline/test) or ``https`` (urllib POST to ``url`` with
+optional bearer auth and the reference's bounded retry burst).
 """
 
 from __future__ import annotations
@@ -65,29 +71,69 @@ def _post_rows(options: dict, rows: Iterator) -> _Posted:
                 f.write(row["envelope_json"].rstrip("\n") + "\n")
                 n += 1
         return _Posted(path, n)
-    # pragma: no cover - needs network
-    import urllib.request
+    import time  # pragma: no cover - https transport needs network
+    import urllib.request  # pragma: no cover
 
-    url = options["url"]
-    for row in rows:
+    url = options["url"]  # pragma: no cover
+    headers = {"Content-Type": "application/json"}  # pragma: no cover
+    token = options.get("bearer_token")  # pragma: no cover
+    token_file = options.get("token_file")  # pragma: no cover
+    if token is None and token_file:  # pragma: no cover
+        with open(token_file) as f:
+            token = f.read().strip()
+    if token:  # pragma: no cover
+        headers["Authorization"] = f"Bearer {token}"
+    attempts = int(options.get("retries", "3"))  # pragma: no cover
+    for row in rows:  # pragma: no cover
         req = urllib.request.Request(
-            url,
-            data=row["envelope_json"].encode(),
-            headers={"Content-Type": "application/json"},
+            url, data=row["envelope_json"].encode(), headers=headers
         )
-        urllib.request.urlopen(req, timeout=10)
+        # the reference's bounded retry burst (mqtt_data_collector.py
+        # retries the POST with backoff before giving the row up to the
+        # engine's task retry)
+        for attempt in range(attempts):
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                break
+            except Exception:
+                if attempt == attempts - 1:
+                    raise
+                time.sleep(2**attempt)
         n += 1
-    return _Posted(None, n)
+    return _Posted(None, n)  # pragma: no cover
+
+
+def _epochs(spool: str) -> list[int]:
+    if not os.path.isdir(spool):
+        return []
+    out = []
+    for name in os.listdir(spool):
+        if name.startswith("epoch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def _publish(options: dict, epoch: int, messages) -> None:
     """Driver-side commit: move each task's pending file under the epoch
-    dir, then drop the _COMMIT marker — readers treat an epoch dir
-    without a marker as in-flight."""
+    dir, then drop the _COMMIT marker LAST. Idempotent under replay:
+    an already-committed epoch discards the redelivered files, and a
+    marker-less dir left by a crashed attempt is cleared before the
+    re-publish (its orphans were never committed)."""
     if options.get("transport", "spool") != "spool":
         return
     spool = options["spool_dir"]
     out = os.path.join(spool, f"epoch={epoch}")
+    marker = os.path.join(out, "_COMMIT")
+    if os.path.exists(marker):
+        # replayed, already-committed epoch: exactly-once publish
+        _discard(options, messages)
+        return
+    if os.path.isdir(out):
+        for name in os.listdir(out):  # orphans of a crashed attempt
+            os.remove(os.path.join(out, name))
     os.makedirs(out, exist_ok=True)
     total = 0
     for m in messages:
@@ -99,7 +145,7 @@ def _publish(options: dict, epoch: int, messages) -> None:
                 m.pending_path,
                 os.path.join(out, os.path.basename(m.pending_path)),
             )
-    with open(os.path.join(out, "_COMMIT"), "w") as f:
+    with open(marker, "w") as f:
         json.dump({"epoch": epoch, "envelopes": total}, f)
 
 
@@ -111,15 +157,58 @@ def _discard(options: dict, messages) -> None:
             os.remove(m.pending_path)
 
 
+def _validate(options: dict) -> None:
+    """Driver-side option validation — a missing required option must
+    fail the write before any task launches, not as a KeyError inside
+    executor retries."""
+    transport = options.get("transport", "spool")
+    if transport == "spool":
+        if not options.get("spool_dir"):
+            raise ValueError(
+                "azure_monitor: option 'spool_dir' is required for the "
+                "spool transport"
+            )
+    elif transport == "https":
+        if not options.get("url"):
+            raise ValueError(
+                "azure_monitor: option 'url' is required for the https "
+                "transport"
+            )
+    else:
+        raise ValueError(
+            f"azure_monitor: unknown transport {transport!r} "
+            "(expected 'spool' or 'https')"
+        )
+
+
 class _BatchWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool):
         self.options = dict(options)
+        self.overwrite = overwrite
 
     def write(self, iterator: Iterator) -> WriterCommitMessage:
         return _post_rows(self.options, iterator)
 
     def commit(self, messages) -> None:
-        _publish(self.options, 0, messages)
+        # batch writes are epoch-numbered too: each save() publishes the
+        # NEXT epoch (overwrite clears the spool's history first), so
+        # repeated batch writes never mix files under one marker
+        if self.options.get("transport", "spool") == "spool":
+            import shutil
+
+            spool = self.options["spool_dir"]
+            existing = _epochs(spool)
+            if self.overwrite:
+                for e in existing:
+                    shutil.rmtree(
+                        os.path.join(spool, f"epoch={e}"),
+                        ignore_errors=True,
+                    )
+                existing = []
+            epoch = (existing[-1] + 1) if existing else 0
+        else:
+            epoch = 0
+        _publish(self.options, epoch, messages)
 
     def abort(self, messages) -> None:
         _discard(self.options, messages)
@@ -141,17 +230,20 @@ class _StreamWriter(DataSourceStreamWriter):
 
 class AzureMonitorDataSource(DataSource):
     """format("azure_monitor") — options: ``transport`` (spool|https),
-    ``spool_dir`` (spool), ``url`` (https). Input rows must carry an
-    ``envelope_json`` string column (build_envelope_df output)."""
+    ``spool_dir`` (spool), ``url``/``bearer_token``/``token_file``/
+    ``retries`` (https). Input rows must carry an ``envelope_json``
+    string column (build_envelope_df output)."""
 
     @classmethod
     def name(cls) -> str:
         return "azure_monitor"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return _BatchWriter(self.options)
+        _validate(self.options)
+        return _BatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        _validate(self.options)
         return _StreamWriter(self.options)
 
 
