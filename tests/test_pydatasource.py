@@ -104,3 +104,67 @@ def test_stream_offsets_are_poll_rounds(spark, payload_dir):
 
 def test_source_name_registered():
     assert GtfsRtScrapeDataSource.name() == "gtfsrt_scrape"
+
+
+def test_stream_restart_continues_from_state_dir(spark, tmp_path, payload_dir):
+    """With state_dir set, a restarted query continues from the committed
+    poll round instead of re-polling from 0."""
+    import time
+
+    from transitdata_monitor_data_collector_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+    url = "https://feeds.example/tu"
+    opts = {
+        "urls": url,
+        "payload_dir": payload_dir,
+        "now_epoch": "1700000300",
+        "max_polls": "2",
+        "state_dir": str(tmp_path / "poll_state"),
+    }
+
+    def run(name):
+        reader = spark.readStream.format("gtfsrt_scrape")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.sql(f"select poll_id from {name}").collect()
+            if len({r["poll_id"] for r in rows}) >= 2:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+        return {r["poll_id"] for r in spark.sql(f"select poll_id from {name}").collect()}
+
+    first = run("restart_a")
+    assert first == {0, 1}
+    # second run: fresh checkpoint, but the state_dir counter carries the
+    # last COMMITTED round forward (stop() may race the final commit, so
+    # the exact resume point is >= 1, never back to round 0)
+    opts["max_polls"] = "4"
+    second = run("restart_b")
+    assert 0 not in second, f"restart re-polled from round 0: {second}"
+
+
+def test_missing_urls_fails_at_plan_time(spark, payload_dir):
+    import pytest
+
+    from transitdata_monitor_data_collector_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+    with pytest.raises(Exception, match="urls"):
+        spark.read.format("gtfsrt_scrape").option(
+            "payload_dir", payload_dir
+        ).load().collect()
