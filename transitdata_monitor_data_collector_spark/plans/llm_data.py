@@ -6981,3 +6981,75 @@ def multimodal_audio_zcr(spark, sf_dir):
     return audio_zero_crossings(synthesize_audio_payloads(docs)).orderBy(
         "doc_id", "frame_index"
     )
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DD_TOKENS_LOWER}) AS t FROM documents
+    ),
+    counts AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rn
+      FROM counts
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size
+            FROM counts)
+    SELECT k,
+           CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+           tot.total_tokens, tot.vocab_size,
+           CAST(sum(cnt) * 1000 // tot.total_tokens AS BIGINT)
+             AS coverage_permille
+    FROM ranked, (SELECT unnest([10, 100, 1000]) AS k), tot
+    WHERE rn <= k
+    GROUP BY k, tot.total_tokens, tot.vocab_size
+    ORDER BY k
+    """,
+    doc="Vocabulary coverage curve: the fraction of all corpus token "
+    "OCCURRENCES covered by the top-k most frequent types, at k in "
+    "{10, 100, 1000} — the number that sizes a tokenizer vocabulary or "
+    "a stopword list (Zipfian corpora saturate fast; the marginal "
+    "coverage of each added type is the vocab-size/UNK-rate tradeoff "
+    "that text_zipf_profile's slope summarizes analytically). One "
+    "vocab aggregate, one rank window over types (vocabulary-sized, "
+    "not corpus-sized), and the three curve points fold into a single "
+    "grouped aggregate via a literal k explode. Exact integers "
+    "throughout; coverage reported as integer permille.",
+    tags=("llm", "text", "agg"),
+)
+def text_vocab_coverage_curve(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    tok = d.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count("*").cast("long").alias("cnt"))
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(W.orderBy(F.desc("cnt"), "t")).alias("rn"),
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    ks = F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("k")
+    return (
+        ranked.select("cnt", "rn", ks)
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("covered_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            F.expr(
+                "CAST(covered_tokens * 1000 DIV total_tokens AS BIGINT)"
+            ).alias("coverage_permille"),
+        )
+        .orderBy("k")
+    )
