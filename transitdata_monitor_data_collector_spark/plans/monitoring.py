@@ -5252,3 +5252,78 @@ def events_conformance_check(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_bounce_rate",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, ts,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+      )
+    ),
+    per_sess AS (
+      SELECT user_id, session_no,
+             CAST(min(ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS bounce_permille
+    FROM per_sess GROUP BY day ORDER BY day
+    """,
+    doc="Daily bounce rate: single-event sessions over total sessions "
+    "(sessions = 30-minute-gap islands, attributed to their start day) "
+    "— the engagement-health headline beside DAU/stickiness. Rides the "
+    "same gaps-and-islands prefix sum as events_conformance_check "
+    "(one (user_id, ts) sort), then two tiny aggregates; the rate is "
+    "exact integer permille.",
+    tags=("monitoring", "events", "agg"),
+)
+def events_bounce_rate(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        )
+        .over(wu.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_no"),
+    )
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    bounces = F.sum((F.col("n_events") == 1).cast("long")).cast("long")
+    return (
+        per_sess.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            bounces.alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            F.expr("CAST(n_bounces * 1000 DIV n_sessions AS BIGINT)").alias(
+                "bounce_permille"
+            ),
+        )
+        .orderBy("day")
+    )
