@@ -64,22 +64,37 @@ def shingle_sets(
     ).withColumn("set_size", F.size("shingles"))
 
 
+#: Default document-frequency cap for the inverted-index candidate join.
+#: A shingle shared by k docs contributes O(k²) candidate rows; capping df
+#: bounds the per-shingle blowup while exact verification (below) keeps
+#: every emitted pair's Jaccard exact. A pair is missed only if EVERY one
+#: of its common shingles is hotter than the cap — i.e. the docs overlap
+#: solely in corpus-wide boilerplate, which is the pair class a near-dup
+#: pass deliberately ignores (same trade-off as MinHash banding).
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs via inverted-index join.
+    """Exact n-gram Jaccard near-duplicate pairs, candidate + verify.
 
-    plan: explode shingles -> self-join on shingle (equi-join, shuffle on
-    shingle) -> count common -> join set sizes -> |A∩B| / (|A|+|B|-|A∩B|).
-    ``max_shingle_freq`` drops shingles appearing in more than that many
-    docs (skew guard; sound only when paired with LSH or when such shingles
-    can't push a pair over the threshold on their own — used by callers
-    that verify exactly afterwards).
+    plan: explode shingles -> drop shingles with df > ``max_shingle_freq``
+    (candidate generation ONLY — the skew/blowup guard) -> self-join on
+    shingle (equi-join, shuffle on shingle) -> DISTINCT candidate pairs ->
+    exact verify by joining each candidate back to both full shingle sets
+    and computing |A∩B| with ``array_intersect`` -> |A∩B|/(|A|+|B|-|A∩B|).
+
+    Because verification uses the FULL uncapped sets, the cap never alters
+    a reported jaccard value; it can only skip pairs whose every common
+    shingle exceeds the cap (boilerplate-only overlap). Pass
+    ``max_shingle_freq=None`` to disable the guard (exhaustive mode for
+    small corpora / oracle comparison).
     """
     sets = shingle_sets(spread_small_input(df, id_col), text_col, id_col, n).cache()
     exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -92,24 +107,33 @@ def ngram_jaccard_pairs(
         )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    common = (
+    candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("n_common"))
+        .distinct()
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    jac = F.col("n_common") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (
+        F.col("size_a") + F.col("size_b") - n_common
     ).cast("double")
     return (
-        common.join(sa, "doc_a")
+        candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)

@@ -70,13 +70,7 @@ def register(
 # exists. PRUNE an entry once a post-fix CORRECTNESS row lands (cost of
 # forgetting: a wasted window slot, not starvation).
 RE_GATE: list[str] = [
-    "multimodal_feature_neardup",  # full oracle landed after its r02 rows-only row
-    "events_dau_wau_stickiness",  # WAU anchored on distinct days (round-4 fix)
-    "join_bucketed_colocated",  # floor-micro rounding migration (round 4)
-    "emb_ann_recall_report",  # picounit ranking fix (round 4)
-    "emb_quantize_int8",  # floor-micro rounding migration (round 4)
-    "q9_product_type_profit",  # floor-micro rounding migration (round 4)
-    "q11_important_stock",  # identical-threshold expression fix (round 4)
+    # (round-4 re-gates all landed green in CORRECTNESS_r04 — pruned.)
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era

@@ -109,7 +109,10 @@ def doc_exact_dedup(spark, sf_dir):
     "doc_ngram_jaccard_pairs",
     oracle=_JACCARD_ORACLE_BODY.format(thr=0.5),
     doc="Exact word-3-gram Jaccard near-dup pairs via inverted-index "
-    "self-join (no cross join).",
+    "self-join (no cross join). Candidate generation is df-capped "
+    "(DEFAULT_MAX_SHINGLE_FREQ) so a corpus-wide boilerplate shingle "
+    "can't emit O(k^2) rows; verification re-computes |A∩B| on the full "
+    "uncapped sets, so every reported jaccard is exact.",
     tags=("llm", "dedup"),
 )
 def doc_ngram_jaccard_pairs(spark, sf_dir):
