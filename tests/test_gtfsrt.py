@@ -222,3 +222,136 @@ def test_gtfsrt_metric_envelopes_match_reference_shape(spark):
     }
     ta = _json.loads(envs["Timestamp Age"].collect()[0]["envelope_json"])
     assert ta["data"]["baseData"]["series"][0]["sum"] == 7
+
+
+# ---------------------------------------------------------------------------
+# Full entity decode (round-5: per-entity analytics surface)
+# ---------------------------------------------------------------------------
+
+
+def _full_decode_imports():
+    from transitdata_monitor_data_collector_spark.sources.gtfsrt import (
+        FeedParseError,
+        decode_feed_entities,
+        encode_feed_message,
+        encode_trip_update_entity,
+        encode_vehicle_entity,
+        parse_feed_entities,
+    )
+
+    return (
+        FeedParseError,
+        decode_feed_entities,
+        encode_feed_message,
+        encode_trip_update_entity,
+        encode_vehicle_entity,
+        parse_feed_entities,
+    )
+
+
+def test_vehicle_position_roundtrip():
+    _, _, enc_msg, _, enc_vp, parse = _full_decode_imports()
+    body = enc_msg(
+        timestamp=1700000000,
+        entities=[
+            enc_vp(
+                "veh-1",
+                trip_id="trip-9",
+                route_id="550",
+                start_date="20240501",
+                direction_id=1,
+                vehicle_id="bus-42",
+                latitude=60.25,       # exactly representable in float32
+                longitude=24.9375,
+                bearing=90.0,
+                speed=13.5,
+                stop_id="HSL:1234",
+                current_stop_sequence=7,
+                timestamp=1700000005,
+            )
+        ],
+    )
+    ents = parse(body)
+    assert len(ents) == 1
+    e = ents[0]
+    assert e["entity_id"] == "veh-1" and e["kind"] == "vehicle"
+    assert e["trip_id"] == "trip-9" and e["route_id"] == "550"
+    assert e["start_date"] == "20240501" and e["direction_id"] == 1
+    assert e["vehicle_id"] == "bus-42"
+    assert e["latitude"] == 60.25 and e["longitude"] == 24.9375
+    assert e["bearing"] == 90.0 and e["speed"] == 13.5
+    assert e["stop_id"] == "HSL:1234" and e["current_stop_sequence"] == 7
+    assert e["vp_timestamp"] == 1700000005
+    assert e["tu_delay"] is None  # the other family stays None
+
+
+def test_trip_update_roundtrip_negative_delay():
+    _, _, enc_msg, enc_tu, _, parse = _full_decode_imports()
+    body = enc_msg(
+        entities=[
+            enc_tu(
+                "tu-1",
+                trip_id="trip-3",
+                route_id="M1",
+                delay=-45,  # early: int32 negatives are 10-byte varints
+                timestamp=1700000100,
+                vehicle_id="train-7",
+                stop_time_updates=[
+                    (1, "STOP-A", -30, None),
+                    (2, "STOP-B", 15, 20),
+                ],
+            )
+        ]
+    )
+    e = parse(body)[0]
+    assert e["kind"] == "trip_update" and e["tu_delay"] == -45
+    assert e["tu_timestamp"] == 1700000100 and e["vehicle_id"] == "train-7"
+    assert e["stop_time_updates"] == [
+        {"stop_sequence": 1, "stop_id": "STOP-A", "arrival_delay": -30, "departure_delay": None},
+        {"stop_sequence": 2, "stop_id": "STOP-B", "arrival_delay": 15, "departure_delay": 20},
+    ]
+    assert e["latitude"] is None
+
+
+def test_entity_decode_edge_cases():
+    FeedParseError, _, enc_msg, enc_tu, enc_vp, parse = _full_decode_imports()
+    import pytest as _pytest
+
+    # id-only entities (the reference's count-only shape) decode as unknown kind
+    body = enc_msg(entity_ids=["a", "b"])
+    ents = parse(body)
+    assert [e["entity_id"] for e in ents] == ["a", "b"]
+    assert all(e["kind"] == "unknown" for e in ents)
+    # header-only feed: zero entities, no error
+    assert parse(enc_msg(timestamp=5)) == []
+    # garbage raises
+    with _pytest.raises(FeedParseError):
+        parse(b"this is not protobuf at all \xff\xff")
+    # truncated entity raises
+    good = enc_msg(entities=[enc_vp("x", latitude=1.0)])
+    with _pytest.raises(FeedParseError):
+        parse(good[:-3])
+    # unknown fields inside an entity are skipped, known ones survive
+    ent = enc_vp("y", latitude=2.5)
+    ent += b"\xaa\x06\x03abc"  # field 101, wire 2 — unknown, skipped
+    e = parse(enc_msg(entities=[ent]))[0]
+    assert e["entity_id"] == "y" and e["latitude"] == 2.5
+
+
+def test_decode_feed_entities_spark(spark):
+    _, decode, enc_msg, enc_tu, enc_vp, _ = _full_decode_imports()
+    bodies = [
+        ("http://a", enc_msg(entities=[
+            enc_vp("v1", route_id="550", latitude=60.5, longitude=24.75),
+            enc_tu("t1", route_id="550", delay=-10),
+        ])),
+        ("http://b", b"garbage \xff"),  # parse failure -> zero rows
+        ("http://c", enc_msg(entity_ids=["plain"])),
+    ]
+    df = spark.createDataFrame(bodies, "url string, body binary")
+    rows = {(r["url"], r["entity_id"]): r for r in decode(df).collect()}
+    assert set(rows) == {("http://a", "v1"), ("http://a", "t1"), ("http://c", "plain")}
+    assert rows[("http://a", "v1")]["kind"] == "vehicle"
+    assert rows[("http://a", "v1")]["latitude"] == 60.5
+    assert rows[("http://a", "t1")]["tu_delay"] == -10
+    assert rows[("http://c", "plain")]["kind"] == "unknown"

@@ -549,6 +549,111 @@ def scrape_outcome_counts(spark, sf_dir):
     )
 
 
+@register(
+    "gtfsrt_delay_by_route",
+    oracle="""
+    WITH base AS (
+      SELECT concat('R', CAST(user_id % 7 AS STRING)) AS route_id,
+             event_id % 2 = 0 AS is_vehicle,
+             CAST(event_id % 1200 AS INT) - 300 AS delay,
+             (event_id % 80) / 4.0 AS speed,
+             60.0 + (user_id % 64) / 64.0 AS lat,
+             24.0 + (event_id % 128) / 128.0 AS lon
+      FROM events
+    )
+    SELECT route_id,
+           CAST(sum(CASE WHEN is_vehicle THEN 1 ELSE 0 END) AS BIGINT) AS n_vehicle,
+           CAST(sum(CASE WHEN NOT is_vehicle THEN 1 ELSE 0 END) AS BIGINT) AS n_trip_update,
+           round(avg(CASE WHEN NOT is_vehicle THEN delay END), 6) AS avg_delay,
+           min(CASE WHEN NOT is_vehicle THEN delay END) AS min_delay,
+           max(CASE WHEN NOT is_vehicle THEN delay END) AS max_delay,
+           round(avg(CASE WHEN is_vehicle THEN speed END), 6) AS avg_speed,
+           min(CASE WHEN is_vehicle THEN lat END) AS min_lat,
+           max(CASE WHEN is_vehicle THEN lat END) AS max_lat,
+           min(CASE WHEN is_vehicle THEN lon END) AS min_lon,
+           max(CASE WHEN is_vehicle THEN lon END) AS max_lon
+    FROM base GROUP BY route_id ORDER BY route_id
+    """,
+    doc="Full GTFS-RT FeedEntity decode, end-to-end: events rows are "
+    "rendered into REAL protobuf FeedMessage bodies (one feed per URL, "
+    "applyInPandas encode), decoded back with the wire-format parser "
+    "(decode_feed_entities), then aggregated per route — delay "
+    "distribution from TripUpdates, speed + lat/lon bounding box from "
+    "VehiclePositions. The oracle computes the same stats directly from "
+    "events, so the driver hash proves the encoder+decoder round-trip "
+    "bit-exactly (floats chosen float32-exact: speed quarters, lat 1/64, "
+    "lon 1/128 steps). Extends the reference's header-only read "
+    "(GtfsRtMetricsExporter.java:60-63) to entity granularity; fixture "
+    "shape mirrors GtfsRtMetricsExporterTest.java:327-337.",
+    tags=("monitoring", "gtfsrt", "decode"),
+)
+def gtfsrt_delay_by_route(spark, sf_dir):
+    import pandas as pd
+
+    from transitdata_monitor_data_collector_spark.sources.gtfsrt import (
+        decode_feed_entities,
+        encode_feed_message,
+        encode_trip_update_entity,
+        encode_vehicle_entity,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.concat(F.lit("https://feed"), (F.col("user_id") % 4).cast("string")).alias(
+            "url"
+        ),
+    )
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ents = []
+        for eid, uid in zip(pdf["event_id"], pdf["user_id"]):
+            eid, uid = int(eid), int(uid)
+            route = f"R{uid % 7}"
+            if eid % 2 == 0:
+                ents.append(
+                    encode_vehicle_entity(
+                        f"v-{eid}",
+                        route_id=route,
+                        vehicle_id=f"bus-{uid}",
+                        speed=(eid % 80) / 4.0,
+                        latitude=60.0 + (uid % 64) / 64.0,
+                        longitude=24.0 + (eid % 128) / 128.0,
+                    )
+                )
+            else:
+                ents.append(
+                    encode_trip_update_entity(
+                        f"t-{eid}",
+                        route_id=route,
+                        trip_id=f"trip-{eid}",
+                        delay=eid % 1200 - 300,
+                    )
+                )
+        body = encode_feed_message(timestamp=1700000000, entities=ents)
+        return pd.DataFrame({"url": [pdf["url"].iloc[0]], "body": [body]})
+
+    feeds = ev.groupBy("url").applyInPandas(encode_group, "url string, body binary")
+    entities = decode_feed_entities(feeds)
+    is_vp = F.col("kind") == "vehicle"
+    return (
+        entities.groupBy("route_id")
+        .agg(
+            F.sum(is_vp.cast("int")).alias("n_vehicle"),
+            F.sum((~is_vp).cast("int")).alias("n_trip_update"),
+            F.round(F.avg(F.when(~is_vp, F.col("tu_delay"))), 6).alias("avg_delay"),
+            F.min(F.when(~is_vp, F.col("tu_delay"))).alias("min_delay"),
+            F.max(F.when(~is_vp, F.col("tu_delay"))).alias("max_delay"),
+            F.round(F.avg(F.when(is_vp, F.col("speed"))), 6).alias("avg_speed"),
+            F.min(F.when(is_vp, F.col("latitude"))).alias("min_lat"),
+            F.max(F.when(is_vp, F.col("latitude"))).alias("max_lat"),
+            F.min(F.when(is_vp, F.col("longitude"))).alias("min_lon"),
+            F.max(F.when(is_vp, F.col("longitude"))).alias("max_lon"),
+        )
+        .orderBy("route_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # T2 / T7 — sliding windows and session windows.
 # ---------------------------------------------------------------------------
