@@ -149,6 +149,16 @@ def main() -> None:
         # inflation vs a clean re-run of the identical build)
         timings[name] = round(min(run_once(name), run_once(name)), 3)
 
+    # Streaming ingest budget (BASELINE.md row 1: >= 10,000 msg/s): replay
+    # 200k synthetic messages through the mqtt-replay DataSource +
+    # windowed_rate_job (fan-out, watermark, stateful window agg, update
+    # sink) and record SUSTAINED throughput + micro-batch latency.
+    from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
+        measure_ingest_budget,
+    )
+
+    ingest = measure_ingest_budget(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -164,6 +174,7 @@ def main() -> None:
                 "round1_set_sec": round(
                     sum(timings[q] for q in ROUND1_SET if q in timings), 3
                 ),
+                "streaming_ingest": ingest,
                 "sf": sf_val,
             }
         )

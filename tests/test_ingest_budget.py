@@ -35,3 +35,52 @@ def test_streaming_replay_meets_ingest_budget(spark, oracle_sf_dir):
         f"streaming replay ingested {n_events} events in {elapsed:.2f}s = "
         f"{throughput:,.0f} msg/s — below the 10,000 msg/s budget"
     )
+
+
+def test_measure_ingest_budget_harness(spark):
+    """The bench's ingest measurement end-to-end at toy scale: real
+    mqtt-replay DataSource, real windowed_rate_job, update-mode sink.
+    Asserts structure + watermark progression, not the 10k budget (that
+    is bench.py's job at full size)."""
+    from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
+        measure_ingest_budget,
+    )
+
+    r = measure_ingest_budget(
+        spark, n_msgs=4_000, rows_per_batch=1_000, read_partitions=4, warmup=False
+    )
+    assert r["n_msgs"] == 4_000
+    assert r["n_batches"] >= 3  # genuinely multi-batch
+    assert r["n_out_rows"] > 0  # update mode emits every batch
+    assert r["msgs_per_sec"] > 0 and r["max_batch_ms"] > 0
+    # 4000 msgs at 10 kHz event rate = 0.4 s span; watermark = tail - 2 min
+    assert r["final_watermark"].startswith("2024-04-30T23:58:0")
+
+
+def test_replay_read_partitions_split(spark):
+    """readPartitions splits a micro-batch's row range into parallel read
+    tasks without changing the delivered rows."""
+    import json as _json
+    import tempfile
+
+    from transitdata_monitor_data_collector_spark.sources.mqtt import (
+        _ReplayPartition,
+        _ReplayReader,
+    )
+
+    with tempfile.NamedTemporaryFile("w", suffix=".jsonl", delete=False) as f:
+        for i in range(10):
+            f.write(
+                _json.dumps(
+                    {"broker": "b", "topic": f"t/{i}", "payload": "x",
+                     "ts": f"2024-05-01T00:00:0{i}"}
+                )
+                + "\n"
+            )
+        path = f.name
+    rdr = _ReplayReader({"path": path, "rowsPerBatch": "10", "readPartitions": "4"})
+    parts = rdr.partitions({"row": 0}, {"row": 10})
+    assert len(parts) == 4  # ceil(10/ceil(10/4)) = 4 chunks of <=3
+    rows = [row for p in parts for row in rdr.read(p)]
+    assert len(rows) == 10
+    assert [r[1] for r in rows] == [f"t/{i}" for i in range(10)]

@@ -251,6 +251,10 @@ class _ReplayReader(DataSourceStreamReader):
         if not self._path:
             raise ValueError("option 'path' is required")
         self._rows_per_batch = int(options.get("rowsPerBatch", "1000"))
+        # split each micro-batch's row range into this many read tasks:
+        # the Python-side JSON parse then runs in parallel across cores
+        # (a single 20k-row partition is otherwise a serial read head)
+        self._read_partitions = max(1, int(options.get("readPartitions", "1")))
         with open(self._path) as f:
             self._total = sum(1 for line in f if line.strip())
         self._offered = 0
@@ -269,10 +273,13 @@ class _ReplayReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["row"], end["row"]
+        chunk = max(
+            1, -(-self._rows_per_batch // self._read_partitions)
+        )  # ceil div
         out = []
         pos = lo
         while pos < hi:
-            nxt = min(pos + self._rows_per_batch, hi)
+            nxt = min(pos + chunk, hi)
             out.append(_ReplayPartition(self._path, pos, nxt))
             pos = nxt
         return out or [_ReplayPartition(self._path, lo, lo)]

@@ -243,6 +243,12 @@ def run_to_memory(
 _LAST_PROGRESS: list[dict] = []
 
 
+def last_progress() -> list[dict]:
+    """Every StreamingQueryProgress (as dicts) from the last
+    :func:`run_to_memory` run — batch durations, watermarks, input rates."""
+    return list(_LAST_PROGRESS)
+
+
 def last_observed(observation: str = "ingest") -> dict | None:
     """The most recent non-empty named observation recorded by the last
     :func:`run_to_memory` run (df.observe metrics ride each micro-batch's
