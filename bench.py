@@ -94,6 +94,11 @@ HEADLINE = [
     "graph_triangle_count",
     "emb_ivf_nprobe_sweep",
     "sketch_kmv_set_ops",
+    # round-5: the at-rest store path — dt-partitioned parquet store with
+    # directory pruning (PartitionFilters live in PLAN_AUDIT.md) + the new
+    # full GTFS-RT entity decode round-trip
+    "rate_over_store",
+    "gtfsrt_delay_by_route",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # write timestamps as annotated INT64 micros, not legacy INT96:
+        # INT96 carries NO footer min/max stats, which silently disables
+        # row-group/file skipping on event time — the one column a 100 TB
+        # time-partitioned store prunes on most
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
