@@ -27,36 +27,65 @@ from transitdata_monitor_data_collector_spark.plans import register, table
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           floor(CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(28,2)))
+                 AS DOUBLE) * 1e2 + 0.5) / 1e2                     AS sum_qty,
+           floor(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(28,2)))
+                 AS DOUBLE) * 1e2 + 0.5) / 1e2                     AS sum_base_price,
+           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(28,4))) AS DOUBLE) * 1e2 + 0.5)
+             / 1e2                                                 AS sum_disc_price,
+           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * (1 + l_tax), 6) AS DECIMAL(28,6)))
+                 AS DOUBLE) * 1e2 + 0.5) / 1e2                     AS sum_charge,
+           floor(CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(28,2)))
+                 AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6          AS avg_qty,
+           floor(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(28,2)))
+                 AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6          AS avg_price,
+           floor(CAST(sum(CAST(round(l_discount, 2) AS DECIMAL(28,2)))
+                 AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6          AS avg_disc,
+           count(*)                                                AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 analog; SURVEY §2.4 A4/A6/A8 (count/sum/avg per key).",
+    doc="TPC-H Q1 analog; SURVEY §2.4 A4/A6/A8 (count/sum/avg per key). "
+    "Money sums use per-row round + EXACT decimal accumulation (the q9/q11 "
+    "discipline): double sums over the whole fact table are order-dependent "
+    "across Spark's partial/final aggregation vs DuckDB's sequential sum, "
+    "and at 5x sf0.1 the noise crossed a half-cent rounding boundary "
+    "(caught by tools/stress_parity.py). Per-row round scale == the "
+    "expression's true decimal places (qty/price 2, disc_price 4, charge "
+    "6), so the round is exact-value, never boundary-ambiguous.",
     tags=("agg",),
 )
 def q1_pricing_summary(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def dec_sum(col, scale: int):
+        # exact decimal accumulation — order-independent, engine-agnostic
+        return F.sum(F.round(col, scale).cast(f"decimal(28,{scale})")).cast(
+            "double"
+        )
+
+    def cents(col, scale: int):
+        return F.floor(dec_sum(col, scale) * 1e2 + 0.5) / 1e2
+
+    def micro_avg(col, scale: int):
+        return F.floor(dec_sum(col, scale) / F.count("*") * 1e6 + 0.5) / 1e6
+
     return (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            cents(F.col("l_quantity"), 2).alias("sum_qty"),
+            cents(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            cents(disc_price, 4).alias("sum_disc_price"),
+            cents(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            micro_avg(F.col("l_quantity"), 2).alias("avg_qty"),
+            micro_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            micro_avg(F.col("l_discount"), 2).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
