@@ -17,7 +17,9 @@ The replication is itself a stress design:
   ids: k-fold exact duplicates and exact score TIES, the worst case for
   dedup/top-k tie-breaking (the r3 ulp-tiebreak bug class).
 
-Usage:  python tools/stress_parity.py [k] [query ...]
+Usage:  python tools/stress_parity.py [k] [query ... | --all]
+``--all`` sweeps EVERY oracle-backed registry query (minus a small skip
+list of quadratic-oracle entries whose DuckDB side is too slow at k=5).
 Writes parquet under spark-warehouse/stress_sf/ (gitignored cache; rebuilt
 when k changes) and prints one result line per query + a summary.
 """
@@ -160,8 +162,32 @@ def run(k: int, queries: list[str]) -> int:
     return failures
 
 
+#: oracle side is super-linear in duplicated corpora (recursive closure /
+#: all-pairs CTEs) — cost, not correctness; covered by their operator tests
+SWEEP_SKIP = {
+    "doc_dedup_clusters",
+    "doc_curation",
+    "doc_curation_v2",
+    "doc_exact_substring_dedup",
+}
+
+
+def all_oracle_queries() -> list[str]:
+    from transitdata_monitor_data_collector_spark.plans import load_all
+
+    return [
+        n
+        for n, q in load_all().items()
+        if q.oracle is not None and n not in SWEEP_SKIP
+    ]
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     k = int(args[0]) if args and args[0].isdigit() else 5
-    qs = [a for a in args if not a.isdigit()] or DEFAULT_QUERIES
+    rest = [a for a in args if not a.isdigit()]
+    if rest == ["--all"]:
+        qs = all_oracle_queries()
+    else:
+        qs = rest or DEFAULT_QUERIES
     sys.exit(1 if run(k, qs) else 0)

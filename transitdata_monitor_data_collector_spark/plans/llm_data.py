@@ -7056,3 +7056,153 @@ def text_vocab_coverage_curve(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@register(
+    "doc_segment_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    seg AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ') AS segment
+      FROM w, unnest(generate_series(0,
+             CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, segment,
+             row_number() OVER (PARTITION BY md5(segment)
+                                ORDER BY doc_id, pos) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN segment END,
+                               ' ' ORDER BY pos), '') AS clean_text
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="C4-style segment-level dedup with document reconstruction "
+    "(Raffel et al. 2020 §2.2 discard repeated three-sentence spans; "
+    "CCNet's line-level variant): documents split into non-overlapping "
+    "10-word segments, exactly ONE global occurrence of each segment "
+    "survives (first by (doc_id, pos)), and every document is rebuilt "
+    "from its surviving segments in order. Scale shape: the only "
+    "shuffle keys on md5(segment) (uniform, bytes-bounded — the hash, "
+    "not the text, is the exchange key), then one groupBy doc_id; both "
+    "are plain hash partitions at any corpus size. The rebuilt text is "
+    "part of the hashed output, so the reconstruction path is "
+    "oracle-proven, not just the drop counters.",
+    tags=("llm", "dedup", "text"),
+)
+def doc_segment_dedup(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+    )
+    ex = d.select("doc_id", F.posexplode(segs).alias("pos", "segment"))
+    ranked = ex.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy(F.md5("segment")).orderBy("doc_id", "pos")
+        ),
+    )
+    kept_struct = F.when(F.col("rn") == 1, F.struct("pos", "segment"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum((F.col("rn") > 1).cast("int")).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.segment,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# PII patterns — deliberately dialect-neutral (character classes, bounded
+# repetition, \b word boundaries only): identical semantics in Java regex
+# (Spark) and RE2 (DuckDB).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,3}-\d{1,3}-\d{3,6}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "doc_pii_redaction",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@mail.example.com or +358-40-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' ip 10.', CAST(doc_id % 256 AS VARCHAR), '.0.',
+                    CAST(doc_id % 100 AS VARCHAR)) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT)    AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS redacted
+    FROM pii ORDER BY doc_id
+    """,
+    doc="PII detection + redaction (the privacy pass every released "
+    "training corpus runs; cf. BigScience ROOTS / Dolma PII filters): "
+    "emails, international phone numbers, and IPv4 addresses are "
+    "counted and replaced with typed placeholders. Deterministic "
+    "synthetic PII is injected per row so BOTH the detector counts and "
+    "the full redacted text round-trip through the oracle hash. "
+    "Patterns restrict to the Java-regex/RE2 common subset (classes, "
+    "bounded repetition, word boundaries — no lookaround), so the same "
+    "pattern text runs in both engines. Pure projection: no shuffle at "
+    "all except the output sort; codegen'd JVM regex on the hot path.",
+    tags=("llm", "text"),
+)
+def doc_pii_redaction(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +358-40-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    pii = d.select("doc_id", t.alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return pii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        red.alias("redacted"),
+    ).orderBy("doc_id")
