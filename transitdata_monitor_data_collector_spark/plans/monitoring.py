@@ -654,6 +654,97 @@ def gtfsrt_delay_by_route(spark, sf_dir):
     )
 
 
+@register(
+    "gtfsrt_stop_delay_profile",
+    oracle="""
+    WITH stops AS (
+      SELECT concat('S', CAST(event_id % 40 AS STRING)) AS stop_id,
+             CAST(event_id % 600 AS INT) - 120 AS arrival_delay,
+             CAST(event_id % 600 AS INT) - 120 + 15 AS departure_delay,
+             CAST(1 + event_id % 3 AS INT) AS stop_sequence
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT stop_id,
+           CAST(count(*) AS BIGINT) AS n_updates,
+           CAST(sum(arrival_delay) AS BIGINT) AS sum_arrival_delay,
+           max(arrival_delay) AS max_arrival_delay,
+           CAST(sum(departure_delay - arrival_delay) AS BIGINT) AS sum_dwell_change,
+           max(stop_sequence) AS max_seq
+    FROM stops GROUP BY stop_id ORDER BY stop_id
+    """,
+    doc="Nested StopTimeUpdate decode path, end-to-end: odd events become "
+    "TripUpdates carrying ONE stop-time update each (signed arrival + "
+    "departure delays, stop sequence), rendered to real protobuf, decoded "
+    "back (decode_feed_entities), the nested array EXPLODED, and per-stop "
+    "delay stats aggregated — hash-equal to the oracle computing directly "
+    "from events. Verifies the repeated-message + nested StopTimeEvent "
+    "arm of the wire parser (gtfs-realtime.proto StopTimeUpdate{1,2,3,4}) "
+    "that gtfsrt_delay_by_route's top-level fields do not touch.",
+    tags=("monitoring", "gtfsrt", "decode"),
+)
+def gtfsrt_stop_delay_profile(spark, sf_dir):
+    import pandas as pd
+
+    from transitdata_monitor_data_collector_spark.sources.gtfsrt import (
+        decode_feed_entities,
+        encode_feed_message,
+        encode_trip_update_entity,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            F.concat(
+                F.lit("https://feed"), (F.col("user_id") % 4).cast("string")
+            ).alias("url"),
+        )
+    )
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ents = []
+        for eid in pdf["event_id"]:
+            eid = int(eid)
+            delay = eid % 600 - 120
+            ents.append(
+                encode_trip_update_entity(
+                    f"t-{eid}",
+                    trip_id=f"trip-{eid}",
+                    stop_time_updates=[
+                        (1 + eid % 3, f"S{eid % 40}", delay, delay + 15)
+                    ],
+                )
+            )
+        return pd.DataFrame(
+            {"url": [pdf["url"].iloc[0]], "body": [encode_feed_message(entities=ents)]}
+        )
+
+    feeds = ev.groupBy("url").applyInPandas(encode_group, "url string, body binary")
+    stu = decode_feed_entities(feeds).select(
+        F.explode("stop_time_updates").alias("s")
+    )
+    return (
+        stu.select(
+            F.col("s.stop_id").alias("stop_id"),
+            F.col("s.arrival_delay").alias("arrival_delay"),
+            F.col("s.departure_delay").alias("departure_delay"),
+            F.col("s.stop_sequence").alias("stop_sequence"),
+        )
+        .groupBy("stop_id")
+        .agg(
+            F.count("*").alias("n_updates"),
+            F.sum("arrival_delay").alias("sum_arrival_delay"),
+            F.max("arrival_delay").alias("max_arrival_delay"),
+            F.sum(F.col("departure_delay") - F.col("arrival_delay")).alias(
+                "sum_dwell_change"
+            ),
+            F.max("stop_sequence").alias("max_seq"),
+        )
+        .orderBy("stop_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # T2 / T7 — sliding windows and session windows.
 # ---------------------------------------------------------------------------
