@@ -118,7 +118,13 @@ def run(k: int, queries: list[str]) -> int:
     from transitdata_monitor_data_collector_spark.session import get_spark
 
     sf_dir = build_stress_dir(k)
-    spark = get_spark(master="local[16]", shuffle_partitions=16)
+    spark = get_spark(
+        master="local[16]",
+        shuffle_partitions=16,
+        # 5x sf0.1 with window/collect-heavy plans needs real heap — the
+        # 1g local default OOMs (observed on the full sweep)
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     registry = load_all()
     con = duckdb.connect()
     for t in list(FACTS) + DIMS:
