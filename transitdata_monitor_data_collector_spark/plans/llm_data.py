@@ -7206,3 +7206,143 @@ def doc_pii_redaction(spark, sf_dir):
         .alias("n_ips"),
         red.alias("redacted"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Engine-deterministic classifier training (hard-sigmoid logistic regression)
+# ---------------------------------------------------------------------------
+
+_LOGREG_ROUNDS = 3
+
+_LOGREG_FEAT_SQL = """
+feat AS (
+  SELECT CAST(1000 AS BIGINT) AS x0,
+         CAST(least(n_chars, 1000) AS BIGINT) AS x1,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
+         CAST(len(list_distinct(string_split(text, ' '))) * 1000 AS BIGINT)
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS x3,
+         CASE WHEN lang = 'en' THEN CAST(1000000000 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS y9
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat)
+"""
+
+
+def _logreg_oracle_sql() -> str:
+    """Replay the exact integer GD in DuckDB CTEs (``//`` == Spark DIV:
+    both truncate toward zero; ``%`` matches too — verified)."""
+    parts = [_LOGREG_FEAT_SQL.strip().rstrip()]
+    prev_w = None  # None = all-zero initial weights
+    selects = []
+    for r in range(1, _LOGREG_ROUNDS + 1):
+        if prev_w is None:
+            z = "CAST(0 AS BIGINT)"
+            src = "feat"
+        else:
+            z = (
+                f"(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+            )
+            src = f"feat CROSS JOIN {prev_w} w"
+        p = (
+            f"least(greatest(CAST(500000000 AS BIGINT) + ({z}) // 4000, "
+            "CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT))"
+        )
+        parts.append(
+            f"""g{r} AS (
+  SELECT sum(err * x0) AS s0, sum(err * x1) AS s1,
+         sum(err * x2) AS s2, sum(err * x3) AS s3,
+         sum(abs(err)) AS sa
+  FROM (SELECT ({p}) - y9 AS err, x0, x1, x2, x3 FROM {src})
+)"""
+        )
+        base = (
+            "CAST(0 AS BIGINT)"
+            if prev_w is None
+            else "w.w{k}"
+        )
+        wcols = ", ".join(
+            (
+                f"{base.format(k=k)} - ((s{k} // (n * 1000)) // 4) AS w{k}"
+            )
+            for k in range(4)
+        )
+        from_w = "" if prev_w is None else f", {prev_w} w"
+        parts.append(
+            f"w{r} AS (SELECT {wcols}, sa // (n * 1000000) AS loss "
+            f"FROM g{r}, nn{from_w})"
+        )
+        selects.append(
+            f"SELECT {r} AS step, w0, w1, w2, w3, "
+            f"loss AS mean_abs_err_permille FROM w{r}"
+        )
+        prev_w = f"w{r}"
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + " UNION ALL ".join(selects)
+        + " ORDER BY step"
+    )
+
+
+@register(
+    "doc_quality_logreg",
+    oracle=_logreg_oracle_sql(),
+    doc="In-engine classifier training, engine-deterministic end to end: "
+    f"{_LOGREG_ROUNDS} rounds of batch gradient descent for a hard-sigmoid "
+    "logistic regression predicting lang='en' from document stats (bias, "
+    "capped length, token count, distinct-token permille). The hard "
+    "sigmoid (clamped linear, the quantized-NN activation) replaces exp "
+    "so the entire training loop is EXACT BIGINT arithmetic — features "
+    "permille-scaled, weights in nano units, truncating integer division "
+    "(Spark DIV == DuckDB //, verified incl. negatives) — and the DuckDB "
+    "oracle replays the identical 3-round trajectory CTE by CTE. Scale "
+    "shape: each round is ONE distributed partial+final aggregate over "
+    "the corpus; only 5 scalars reach the driver per round (the KMeans/"
+    "power-iteration pattern), so rounds scale with corpus partitions, "
+    "never rows-to-driver. Output: per-round weights + mean |error|.",
+    tags=("llm", "text", "ml"),
+)
+def doc_quality_logreg(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    feat = d.selectExpr(
+        "CAST(1000 AS BIGINT) AS x0",
+        "CAST(least(n_chars, 1000) AS BIGINT) AS x1",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS x2",
+        "CAST(size(array_distinct(split(text, ' '))) * 1000 AS BIGINT) "
+        "DIV CAST(size(split(text, ' ')) AS BIGINT) AS x3",
+        "CASE WHEN lang = 'en' THEN CAST(1000000000 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS y9",
+    ).cache()
+    n = feat.count()
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate-toward-zero division (Python // floors on negatives;
+        # the engines truncate — match the engines)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    w = [0, 0, 0, 0]
+    rows = []
+    for r in range(1, _LOGREG_ROUNDS + 1):
+        z = f"({w[0]} * x0 + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3)"
+        p = (
+            f"least(greatest(CAST(500000000 AS BIGINT) + {z} DIV 4000, "
+            "CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT))"
+        )
+        err = f"(({p}) - y9)"
+        s = feat.selectExpr(
+            f"sum({err} * x0) AS s0",
+            f"sum({err} * x1) AS s1",
+            f"sum({err} * x2) AS s2",
+            f"sum({err} * x3) AS s3",
+            f"sum(abs({err})) AS sa",
+        ).collect()[0]
+        loss = tdiv(s["sa"], n * 1000000)
+        for k in range(4):
+            w[k] = w[k] - tdiv(tdiv(s[f"s{k}"], n * 1000), 4)
+        rows.append((r, w[0], w[1], w[2], w[3], loss))
+    return spark.createDataFrame(
+        rows,
+        "step int, w0 long, w1 long, w2 long, w3 long, "
+        "mean_abs_err_permille long",
+    ).orderBy("step")
