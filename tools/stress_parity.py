@@ -137,15 +137,26 @@ def run(k: int, queries: list[str]) -> int:
         if q.oracle is None:
             print(f"{name}: SKIP (no oracle)")
             continue
+        import datetime as _dt
+
+        def norm(v):
+            # DATE vs TIMESTAMP-at-midnight is a type nuance the driver's
+            # hash normalizes (string-cast); mirror it here
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                return _dt.datetime(v.year, v.month, v.day)
+            return v
+
         sdf = q.build(spark, sf_dir)
         scols = sorted(sdf.columns)
-        srows = sorted(tuple(r[c] for c in scols) for r in sdf.collect())
+        srows = sorted(
+            tuple(norm(r[c]) for c in scols) for r in sdf.collect()
+        )
         ores = con.execute(q.oracle)
         ocols = sorted(d[0] for d in ores.description)
         all_rows = ores.fetchall()
         names = [d[0] for d in ores.description]
         idx = [names.index(c) for c in ocols]
-        orows = sorted(tuple(r[i] for i in idx) for r in all_rows)
+        orows = sorted(tuple(norm(r[i]) for i in idx) for r in all_rows)
         ok_schema = scols == ocols
         ok = ok_schema and len(srows) == len(orows) and srows == orows
         if ok:

@@ -72,6 +72,7 @@ def register(
 RE_GATE: list[str] = [
     # (round-4 re-gates all landed green in CORRECTNESS_r04 — pruned.)
     "q1_pricing_summary",  # exact-decimal money sums (round-5 stress fix)
+    "events_concurrent_sessions",  # total-order cum-sum window (round-5 stress fix)
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era

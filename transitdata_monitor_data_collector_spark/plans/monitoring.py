@@ -4143,7 +4143,7 @@ def events_gini_concentration(spark, sf_dir):
     "events_concurrent_sessions",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
@@ -4151,8 +4151,12 @@ def events_gini_concentration(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     islands AS (
+      -- cum-sum must follow the SAME total order as the lag step:
+      -- ts alone is not a total order once timestamps collide (duplicate
+      -- events), and a ROWS frame over ties is engine-nondeterministic
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) AS sid
       FROM flagged
@@ -4198,6 +4202,7 @@ def events_concurrent_sessions(spark, sf_dir):
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w_lag).isNull()
             | (
@@ -4209,9 +4214,12 @@ def events_concurrent_sessions(spark, sf_dir):
         .otherwise(0)
         .alias("new_session"),
     )
+    # same total order as the lag step — ts alone ties under duplicate
+    # timestamps and a ROWS cum-sum over ties is engine-nondeterministic
+    # (caught by the k=5 stress sweep, where every event is replicated)
     w_cum = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     islands = flagged.select(
