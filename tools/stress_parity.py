@@ -146,17 +146,26 @@ def run(k: int, queries: list[str]) -> int:
                 return _dt.datetime(v.year, v.month, v.day)
             return v
 
+        def skey(row):
+            # None-safe, type-stable ordering (rows may contain NULLs and
+            # mixed types; we only need the SAME order on both sides —
+            # equality is still checked on the raw tuples)
+            return tuple((v is None, str(v)) for v in row)
+
         sdf = q.build(spark, sf_dir)
         scols = sorted(sdf.columns)
         srows = sorted(
-            tuple(norm(r[c]) for c in scols) for r in sdf.collect()
+            (tuple(norm(r[c]) for c in scols) for r in sdf.collect()),
+            key=skey,
         )
         ores = con.execute(q.oracle)
         ocols = sorted(d[0] for d in ores.description)
         all_rows = ores.fetchall()
         names = [d[0] for d in ores.description]
         idx = [names.index(c) for c in ocols]
-        orows = sorted(tuple(norm(r[i]) for i in idx) for r in all_rows)
+        orows = sorted(
+            (tuple(norm(r[i]) for i in idx) for r in all_rows), key=skey
+        )
         ok_schema = scols == ocols
         ok = ok_schema and len(srows) == len(orows) and srows == orows
         if ok:
