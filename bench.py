@@ -99,6 +99,13 @@ HEADLINE = [
     # full GTFS-RT entity decode round-trip
     "rate_over_store",
     "gtfsrt_delay_by_route",
+    "gtfsrt_stop_delay_profile",
+    # round-5 LLM-pipeline additions: C4-style span dedup with
+    # reconstruction, the regex PII pass, and the exact-integer
+    # hard-sigmoid logreg trainer (3 distributed GD rounds)
+    "doc_segment_dedup",
+    "doc_pii_redaction",
+    "doc_quality_logreg",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

@@ -7130,9 +7130,9 @@ def doc_segment_dedup(spark, sf_dir):
 # PII patterns — deliberately dialect-neutral (character classes, bounded
 # repetition, \b word boundaries only): identical semantics in Java regex
 # (Spark) and RE2 (DuckDB).
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\+\d{1,3}-\d{1,3}-\d{3,6}"
-_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_RX_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_RX_PHONE = r"\+\d{1,3}-\d{1,3}-\d{3,6}"
+_PII_RX_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
 @register(
@@ -7148,14 +7148,14 @@ _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
       FROM documents
     )
     SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
-           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT)    AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PII_RX_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_RX_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_RX_IP}')) AS BIGINT)    AS n_ips,
            regexp_replace(
              regexp_replace(
-               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-               '{_PII_PHONE}', '<PHONE>', 'g'),
-             '{_PII_IP}', '<IP>', 'g') AS redacted
+               regexp_replace(t, '{_PII_RX_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_RX_PHONE}', '<PHONE>', 'g'),
+             '{_PII_RX_IP}', '<IP>', 'g') AS redacted
     FROM pii ORDER BY doc_id
     """,
     doc="PII detection + redaction (the privacy pass every released "
@@ -7186,22 +7186,22 @@ def doc_pii_redaction(spark, sf_dir):
     pii = d.select("doc_id", t.alias("t"))
     red = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
+            F.regexp_replace(F.col("t"), _PII_RX_EMAIL, "<EMAIL>"),
+            _PII_RX_PHONE,
             "<PHONE>",
         ),
-        _PII_IP,
+        _PII_RX_IP,
         "<IP>",
     )
     return pii.select(
         "doc_id",
-        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0)))
+        F.size(F.regexp_extract_all("t", F.lit(_PII_RX_EMAIL), F.lit(0)))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0)))
+        F.size(F.regexp_extract_all("t", F.lit(_PII_RX_PHONE), F.lit(0)))
         .cast("long")
         .alias("n_phones"),
-        F.size(F.regexp_extract_all("t", F.lit(_PII_IP), F.lit(0)))
+        F.size(F.regexp_extract_all("t", F.lit(_PII_RX_IP), F.lit(0)))
         .cast("long")
         .alias("n_ips"),
         red.alias("redacted"),
