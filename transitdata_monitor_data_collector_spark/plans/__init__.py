@@ -73,6 +73,15 @@ RE_GATE: list[str] = [
     # (round-4 re-gates all landed green in CORRECTNESS_r04 — pruned.)
     "q1_pricing_summary",  # exact-decimal money sums (round-5 stress fix)
     "events_concurrent_sessions",  # total-order cum-sum window (round-5 stress fix)
+    # exact centi-integer counter synthesis (round-5 stress fix: running
+    # double window-sums are not engine-reproducible)
+    "promql_rate_lag",
+    "promql_rate_window",
+    "promql_increase_windowed",
+    "rate_over_store",
+    # session-island oracles moved to a (ts, event_id) total order
+    "session_windows",
+    "streaming_session_windows",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era

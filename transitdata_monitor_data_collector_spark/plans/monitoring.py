@@ -346,11 +346,19 @@ def legend_mean_max(spark, sf_dir):
 # FIXTURES.md §7 counter_samples shape.
 # ---------------------------------------------------------------------------
 
+# Counter synthesis must be EXACT: a running DOUBLE window-sum is not
+# engine-reproducible (window aggregation order/algorithm is an
+# implementation detail; at 5x data the ulp drift crossed round()'s
+# half-boundary — caught by the k=5 stress sweep). values carry exactly
+# 2 decimals, so accumulate centi-units in BIGINT (exact, algorithm-
+# independent), wrap at 100000 centi = the same 1000.0 counter range,
+# and divide once — bit-identical doubles on both engines.
 _COUNTER_CTE = """counter_samples AS (
   SELECT event_type, ts, event_id,
-         sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 1000.0
-           AS counter
+         CAST(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              % 100000 AS DOUBLE) / 100.0 AS counter
   FROM events
 )"""
 
@@ -386,7 +394,7 @@ def promql_rate_lag(spark, sf_dir):
         "event_type",
         "ts",
         "event_id",
-        (F.sum("value").over(wc) % 1000.0).alias("counter"),
+        ((F.sum(F.round(F.col("value") * 100).cast("long")).over(wc) % 100000).cast("double") / 100.0).alias("counter"),
     ).filter(F.col("event_type").isin("click", "error"))
     w = W.partitionBy("event_type").orderBy("ts", "event_id")
     delta = F.col("counter") - F.lag("counter").over(w)
@@ -431,7 +439,7 @@ def promql_rate_window(spark, sf_dir):
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     samples = ev.select(
-        "event_type", "ts", (F.sum("value").over(wc) % 1000.0).alias("counter")
+        "event_type", "ts", ((F.sum(F.round(F.col("value") * 100).cast("long")).over(wc) % 100000).cast("double") / 100.0).alias("counter")
     )
     return (
         samples.groupBy(
@@ -784,7 +792,7 @@ def sliding_window_rate(spark, sf_dir):
     "session_windows",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              -- >= : Spark session windows are [start, last+gap), so an event
              -- at exactly last+gap starts a NEW session
              CASE WHEN lag(ts) OVER w IS NULL
@@ -795,7 +803,11 @@ def sliding_window_rate(spark, sf_dir):
     ),
     islands AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- total order (ts, event_id): under duplicate timestamps a
+             -- ts-only ROWS cum-sum can split a tie group across session
+             -- boundaries (tie order is engine-nondeterministic), while
+             -- Spark's native session_window merges same-ts events always
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM flagged
@@ -1116,7 +1128,7 @@ def promql_increase_windowed(spark, sf_dir):
     )
     samples = (
         ev.select(
-            "event_type", "ts", (F.sum("value").over(wc) % 1000.0).alias("counter")
+            "event_type", "ts", ((F.sum(F.round(F.col("value") * 100).cast("long")).over(wc) % 100000).cast("double") / 100.0).alias("counter")
         )
         .groupBy("event_type", "ts")
         .agg(F.max("counter").alias("counter"))
@@ -1180,14 +1192,18 @@ def rate_over_store_panel(spark, sf_dir):
     )
     uniq = (
         ev.select(
-            "event_type", "ts", (F.sum("value").over(wc) % 1000.0).alias("counter")
+            "event_type", "ts", ((F.sum(F.round(F.col("value") * 100).cast("long")).over(wc) % 100000).cast("double") / 100.0).alias("counter")
         )
         .groupBy("event_type", "ts")
         .agg(F.max("counter").alias("counter"))
     )
+    # v2 = exact centi-integer counter synthesis (round-5): versioning the
+    # cache key makes a definition change invalidate stale stores instead
+    # of silently serving old counters
     store = os.path.join(
         tempfile.gettempdir(),
-        "tmdc_rate_store_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "tmdc_rate_store_"
+        + hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:12],
     )
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_time_partitioned(

@@ -139,7 +139,7 @@ def streaming_stream_join(spark, sf_dir):
     "streaming_session_windows",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
@@ -147,8 +147,11 @@ def streaming_stream_join(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     islands AS (
+      -- total order (ts, event_id): ts-only tie order is engine-
+      -- nondeterministic and can split a same-ts tie group across
+      -- session boundaries; Spark's session_window always merges them
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) AS session_id
       FROM flagged
