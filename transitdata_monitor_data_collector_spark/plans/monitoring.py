@@ -605,12 +605,19 @@ def gtfsrt_delay_by_route(spark, sf_dir):
         encode_vehicle_entity,
     )
 
+    # Each (url, poll) group becomes ONE FeedMessage body — modeling
+    # successive poll rounds of the same feed URL. Sharding the encode on
+    # a poll key (instead of 4 whole-URL groups) keeps every pandas group
+    # and every encoded body small and bounded regardless of fact size:
+    # at 100 TB this is the difference between 4 OOM-ing tasks and an
+    # embarrassingly parallel encode.
     ev = table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         F.concat(F.lit("https://feed"), (F.col("user_id") % 4).cast("string")).alias(
             "url"
         ),
+        (F.col("event_id") % 64).alias("poll"),
     )
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -641,7 +648,9 @@ def gtfsrt_delay_by_route(spark, sf_dir):
         body = encode_feed_message(timestamp=1700000000, entities=ents)
         return pd.DataFrame({"url": [pdf["url"].iloc[0]], "body": [body]})
 
-    feeds = ev.groupBy("url").applyInPandas(encode_group, "url string, body binary")
+    feeds = ev.groupBy("url", "poll").applyInPandas(
+        encode_group, "url string, body binary"
+    )
     entities = decode_feed_entities(feeds)
     is_vp = F.col("kind") == "vehicle"
     return (
@@ -707,6 +716,8 @@ def gtfsrt_stop_delay_profile(spark, sf_dir):
             F.concat(
                 F.lit("https://feed"), (F.col("user_id") % 4).cast("string")
             ).alias("url"),
+            # poll-round shard: bounded groups/bodies (see gtfsrt_delay_by_route)
+            (F.col("event_id") % 64).alias("poll"),
         )
     )
 
@@ -728,7 +739,9 @@ def gtfsrt_stop_delay_profile(spark, sf_dir):
             {"url": [pdf["url"].iloc[0]], "body": [encode_feed_message(entities=ents)]}
         )
 
-    feeds = ev.groupBy("url").applyInPandas(encode_group, "url string, body binary")
+    feeds = ev.groupBy("url", "poll").applyInPandas(
+        encode_group, "url string, body binary"
+    )
     stu = decode_feed_entities(feeds).select(
         F.explode("stop_time_updates").alias("s")
     )
