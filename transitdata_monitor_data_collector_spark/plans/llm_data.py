@@ -7346,3 +7346,171 @@ def doc_quality_logreg(spark, sf_dir):
         "step int, w0 long, w1 long, w2 long, w3 long, "
         "mean_abs_err_permille long",
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (late): training-export mechanics — deterministic output sharding
+# and a dedup-consistent train/validation split. Both are pure hash-and-
+# aggregate plans (one shuffle each), the shapes a 100 TB export job needs.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+# cross-engine 60-bit hash bucket (same idiom as simhash_md5):
+#   DuckDB ('0x'||substr(md5(x),1,15))::BIGINT == Spark conv(substr(md5(x),1,15),16,10)
+def _md5_bucket_sql(expr: str, mod: int) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {mod})"
+
+
+def _md5_bucket_col(col, mod: int):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % mod
+
+
+@register(
+    "doc_shard_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT {_md5_bucket_sql("CAST(doc_id AS VARCHAR)", "_NSH_")} AS shard,
+             len(str_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM assigned GROUP BY shard
+    )
+    SELECT shard, n_docs, sum_tokens,
+           round(sum_tokens / (sum(sum_tokens) OVER () / CAST(_NSH_ AS DOUBLE)), 6)
+             AS balance_ratio
+    FROM per_shard ORDER BY shard
+    """.replace("_NSH_", str(_N_SHARDS)),
+    doc="Deterministic hash sharding for training-data export: every doc "
+    "lands in shard md5(doc_id) % 8, so the assignment is reproducible "
+    "across runs and engines (no RNG, no order dependence), and shards "
+    "balance by the law of large numbers. The report surfaces per-shard "
+    "doc/token totals and each shard's token mass relative to the ideal "
+    "1/N share (balance_ratio ~ 1.0), making imbalance observable instead "
+    "of assumed. Scale: one shuffle on the shard key; the window over the "
+    "8-row aggregate is driver-trivial. This is the export-side sibling "
+    "of doc_token_budget_trim (selection) and doc_chunking (layout).",
+    tags=("llm", "text", "export", "sharding"),
+)
+def doc_shard_assignment(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    assigned = d.select(
+        _md5_bucket_col(F.col("doc_id").cast("string"), _N_SHARDS).alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )
+    total = per_shard.agg(F.sum("sum_tokens").alias("_total"))
+    return (
+        per_shard.crossJoin(F.broadcast(total))
+        .withColumn(
+            "balance_ratio",
+            F.round(
+                F.col("sum_tokens") / (F.col("_total") / float(_N_SHARDS)), 6
+            ),
+        )
+        .select("shard", "n_docs", "sum_tokens", "balance_ratio")
+        .orderBy("shard")
+    )
+
+
+@register(
+    "doc_leakage_free_split",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5,
+             len(str_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    assigned AS (
+      SELECT 'content_hash' AS scheme,
+             CASE WHEN {_md5_bucket_sql("content_md5", 10)} < 9
+                  THEN 'train' ELSE 'val' END AS split,
+             content_md5, n_tokens
+      FROM g
+      UNION ALL
+      SELECT 'doc_id' AS scheme,
+             CASE WHEN {_md5_bucket_sql("CAST(doc_id AS VARCHAR)", 10)} < 9
+                  THEN 'train' ELSE 'val' END AS split,
+             content_md5, n_tokens
+      FROM g
+    ),
+    leaky AS (
+      SELECT scheme,
+             CAST(count(*) FILTER (WHERE n_splits > 1) AS BIGINT)
+               AS n_leaky_groups
+      FROM (
+        SELECT scheme, content_md5, count(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY scheme, content_md5
+      ) GROUP BY scheme
+    )
+    SELECT a.scheme, a.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT a.content_md5) AS BIGINT) AS n_groups,
+           CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens,
+           max(l.n_leaky_groups) AS n_leaky_groups
+    FROM assigned a JOIN leaky l ON l.scheme = a.scheme
+    GROUP BY a.scheme, a.split
+    ORDER BY a.scheme, a.split
+    """,
+    doc="Dedup-consistent train/validation split: hashing the NORMALIZED-"
+    "CONTENT group key sends every copy of a duplicated document to the "
+    "same split (n_leaky_groups = 0 by construction), while the naive "
+    "doc_id hash demonstrably scatters duplicate groups across splits — "
+    "the train/test contamination mechanism SemDeDup/decontamination "
+    "papers warn about, here measured side-by-side in one plan. 90/10 "
+    "split via the same cross-engine md5 bucket as doc_shard_assignment. "
+    "Scale: one shuffle per scheme on (scheme, content_md5); the leaky "
+    "count broadcasts a 2-row aggregate back onto the split rows.",
+    tags=("llm", "text", "dedup", "split"),
+)
+def doc_leakage_free_split(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        TX.content_fingerprint(F.col("text")).alias("content_md5"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    by_content = g.select(
+        F.lit("content_hash").alias("scheme"),
+        F.when(_md5_bucket_col(F.col("content_md5"), 10) < 9, "train")
+        .otherwise("val")
+        .alias("split"),
+        "content_md5",
+        "n_tokens",
+    )
+    by_id = g.select(
+        F.lit("doc_id").alias("scheme"),
+        F.when(_md5_bucket_col(F.col("doc_id").cast("string"), 10) < 9, "train")
+        .otherwise("val")
+        .alias("split"),
+        "content_md5",
+        "n_tokens",
+    )
+    assigned = by_content.unionByName(by_id)
+    leaky = (
+        assigned.groupBy("scheme", "content_md5")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .groupBy("scheme")
+        .agg(
+            F.sum((F.col("n_splits") > 1).cast("long")).alias("n_leaky_groups")
+        )
+    )
+    return (
+        assigned.groupBy("scheme", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("content_md5").alias("n_groups"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .join(F.broadcast(leaky), "scheme")
+        .select(
+            "scheme", "split", "n_docs", "n_groups", "n_tokens", "n_leaky_groups"
+        )
+        .orderBy("scheme", "split")
+    )
