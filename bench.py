@@ -106,6 +106,10 @@ HEADLINE = [
     "doc_segment_dedup",
     "doc_pii_redaction",
     "doc_quality_logreg",
+    # round-5 (late): training-export mechanics — hash sharding balance
+    # report and the dedup-consistent train/val split
+    "doc_shard_assignment",
+    "doc_leakage_free_split",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
