@@ -110,6 +110,7 @@ HEADLINE = [
     # report and the dedup-consistent train/val split
     "doc_shard_assignment",
     "doc_leakage_free_split",
+    "doc_sequence_packing",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

@@ -7514,3 +7514,79 @@ def doc_leakage_free_split(spark, sf_dir):
         )
         .orderBy("scheme", "split")
     )
+
+
+_PACK_CTX = 512
+
+
+@register(
+    "doc_sequence_packing",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             {_md5_bucket_sql("CAST(doc_id AS VARCHAR)", "_NSH_")} AS shard,
+             len(str_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM docs
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + {_PACK_CTX} - 1) // {_PACK_CTX} AS BIGINT)
+             AS n_seqs,
+           CAST((sum(n_tokens) + {_PACK_CTX} - 1) // {_PACK_CTX} * {_PACK_CTX}
+                - sum(n_tokens) AS BIGINT) AS pad_tokens,
+           CAST(sum(CASE WHEN (cum - n_tokens) // {_PACK_CTX}
+                              <> (cum - 1) // {_PACK_CTX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+    FROM placed GROUP BY shard ORDER BY shard
+    """.replace("_NSH_", str(_N_SHARDS)),
+    doc="Concatenate-and-chunk sequence packing (the layout step between "
+    "curation and the trainer): per hash shard, documents are laid out "
+    "in deterministic doc_id order, the token stream is chopped into "
+    "512-token training sequences, and the report gives sequence count, "
+    "padding waste (only the final partial sequence pads), and how many "
+    "documents straddle a sequence boundary (the attention-mask / "
+    "document-leakage consideration in packed pretraining). Exact "
+    "integer cumsum WINDOWED PER SHARD — the sort parallelizes across "
+    "shards, never a global single-partition cumsum; at 100 TB the unit "
+    "of sequential work stays one shard of one partition.",
+    tags=("llm", "text", "export", "window"),
+)
+def doc_sequence_packing(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        _md5_bucket_col(F.col("doc_id").cast("string"), _N_SHARDS).alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ctx = _PACK_CTX
+    placed = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    n_seqs = F.floor((F.sum("n_tokens") + ctx - 1) / ctx).cast("long")
+    straddles = (
+        F.floor((F.col("cum") - F.col("n_tokens")) / ctx)
+        != F.floor((F.col("cum") - 1) / ctx)
+    ).cast("long")
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            n_seqs.alias("n_seqs"),
+            (n_seqs * ctx - F.sum("n_tokens")).alias("pad_tokens"),
+            F.sum(straddles).alias("n_boundary_docs"),
+        )
+        .orderBy("shard")
+    )
