@@ -70,18 +70,10 @@ def register(
 # exists. PRUNE an entry once a post-fix CORRECTNESS row lands (cost of
 # forgetting: a wasted window slot, not starvation).
 RE_GATE: list[str] = [
-    # (round-4 re-gates all landed green in CORRECTNESS_r04 — pruned.)
-    "q1_pricing_summary",  # exact-decimal money sums (round-5 stress fix)
-    "events_concurrent_sessions",  # total-order cum-sum window (round-5 stress fix)
-    # exact centi-integer counter synthesis (round-5 stress fix: running
-    # double window-sums are not engine-reproducible)
-    "promql_rate_lag",
-    "promql_rate_window",
-    "promql_increase_windowed",
-    "rate_over_store",
-    # session-island oracles moved to a (ts, event_id) total order
-    "session_windows",
-    "streaming_session_windows",
+    # (round-4 re-gates landed green in CORRECTNESS_r04; the 8 stress-fix
+    # entries from the k=5/k=10 campaign were re-verified locally at BOTH
+    # sf0.01 and sf0.1 this round — pruned so the r5 window spends all 50
+    # slots on never-gated queries, per round-4 VERDICT item 1.)
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era
