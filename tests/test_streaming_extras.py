@@ -8,6 +8,7 @@ import json
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from transitdata_monitor_data_collector_spark.functions.mqtt_match import (
     make_matching_filters_udtf,
@@ -98,20 +99,12 @@ def test_scheduled_scrape_ticks(spark):
     assert all(r[1] == "success" for r in q._scrape_results)
 
 
-def _tws_runner_available() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except Exception:
-        return False
-
-
-@pytest.mark.skipif(
-    not _tws_runner_available(),
-    reason="transformWithStateInPandas python runner needs google.protobuf "
-    "(not shipped in this container); job verified on provisioned clusters",
-)
 def test_tws_meter_matches_batch(spark, sf_dir):
+    """UD4 on the transformWithStateInPandas runner — runs everywhere:
+    with the real google.protobuf when installed, else on the vendored
+    minimal runtime (vendor/pbshim), which tws_meter_job activates and
+    ships to workers itself. The JVM state server parsing the shim's
+    bytes with protobuf-java is the end-to-end differential check."""
     from transitdata_monitor_data_collector_spark.plans.monitoring import (
         DASHBOARD_FILTERS,
     )
@@ -134,13 +127,45 @@ def test_tws_meter_matches_batch(spark, sf_dir):
     try:
         meters = tws_meter_job(_message_stream(spark, sf_dir), DASHBOARD_FILTERS)
         mem = jobs.run_to_memory(spark, meters, output_mode="update")
-        got = (
-            mem.groupBy("broker", "topic_filter")
-            .agg(F.max("messages_received_total").alias("n"))
-            .orderBy("broker", "topic_filter")
+        got = {
+            (r.broker, r.topic_filter): (r.n, r.first_us, r.last_us)
+            for r in mem.groupBy("broker", "topic_filter")
+            .agg(
+                F.max("messages_received_total").alias("n"),
+                F.min("first_us").alias("first_us"),
+                F.max("last_us").alias("last_us"),
+            )
             .collect()
-        )
+        }
         assert got
+        # batch oracle: every maintained quantity is commutative, so the
+        # final TWS state must equal the batch fan-out aggregate exactly
+        from transitdata_monitor_data_collector_spark.functions.mqtt_match import (
+            with_topic_filter_fanout,
+        )
+        from transitdata_monitor_data_collector_spark.plans import table
+        from transitdata_monitor_data_collector_spark.plans.streaming_queries import (
+            BROKER_SQL,
+            TOPIC_SQL,
+        )
+
+        msgs = table(spark, sf_dir, "events").select(
+            F.expr(BROKER_SQL).alias("broker"),
+            F.expr(TOPIC_SQL).alias("topic"),
+            "ts",
+        )
+        want = {
+            (r.broker, r.topic_filter): (r.n, r.first_us, r.last_us)
+            for r in with_topic_filter_fanout(msgs, DASHBOARD_FILTERS)
+            .groupBy("broker", "topic_filter")
+            .agg(
+                F.count("*").alias("n"),
+                F.min(F.unix_micros("ts")).alias("first_us"),
+                F.max(F.unix_micros("ts")).alias("last_us"),
+            )
+            .collect()
+        }
+        assert got == want
     finally:
         if prev is not None:
             spark.conf.set(

@@ -80,6 +80,10 @@ RE_GATE: list[str] = [
 # additions that predate the newest CORRECTNESS file). Names here that
 # HAVE earned a row are skipped automatically — a stale hint is harmless.
 GATE_ORDER_HINT: list[str] = [
+    # round 5: UD4 on transformWithStateInPandas, unlocked by the vendored
+    # protobuf wire-format runtime (vendor/pbshim) — gate first: it is the
+    # round's flagship capability close (VERDICT r4 item 5)
+    "streaming_tws_counter",
     # never gated as of r03: monitoring/events analytics (round 3)
     "events_anomaly_zscore",
     "events_user_profile",

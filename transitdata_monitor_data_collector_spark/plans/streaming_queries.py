@@ -206,6 +206,60 @@ def streaming_stateful_counter(spark, sf_dir):
 
 
 @register(
+    "streaming_tws_counter",
+    oracle=f"""
+    WITH {_MSGS_CTE},
+    {_FANOUT_CTE}
+    SELECT broker, topic_filter,
+           count(*) AS messages_received_total,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS first_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
+    FROM fanned GROUP BY 1, 2 ORDER BY broker, topic_filter
+    """,
+    doc="UD4 on Spark 4's transformWithStateInPandas (successor arbitrary-"
+    "state API): per-(broker, topic_filter) meter — count + first/last "
+    "event-time micros in one ValueState, RocksDB state store "
+    "(streaming/jobs.py:tws_meter_job). Every maintained quantity is "
+    "commutative, so the final state equals the batch fan-out aggregate "
+    "regardless of micro-batch boundaries. When google.protobuf is not "
+    "installed, the job activates the vendored pure-Python wire-format "
+    "runtime (vendor/pbshim) and ships it to workers — the JVM state "
+    "server parsing those bytes with protobuf-java is the differential "
+    "check on the shim.",
+    tags=("streaming", "stateful", "tws"),
+)
+def streaming_tws_counter(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        meters = jobs.tws_meter_job(
+            _message_stream(spark, sf_dir), DASHBOARD_FILTERS
+        )
+        mem = jobs.run_to_memory(spark, meters, output_mode="update")
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # update mode re-emits a key's meter each micro-batch; keep the final
+    return (
+        mem.groupBy("broker", "topic_filter")
+        .agg(
+            F.max("messages_received_total").alias("messages_received_total"),
+            F.min("first_us").alias("first_us"),
+            F.max("last_us").alias("last_us"),
+        )
+        .orderBy("broker", "topic_filter")
+    )
+
+
+@register(
     "streaming_gauge_last",
     oracle=f"""
     WITH {_MSGS_CTE}

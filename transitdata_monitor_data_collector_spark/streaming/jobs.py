@@ -386,12 +386,28 @@ def tws_meter_job(messages: DataFrame, filters: Sequence[str]) -> DataFrame:
     handles (value/list/map), timers, and TTL come from the
     StatefulProcessorHandle instead of one opaque tuple.
 
+    When the real google.protobuf runtime is absent, the vendored minimal
+    runtime (vendor/pbshim, pure-Python wire codec over the public spec)
+    is activated and shipped to python workers via addPyFile — the JVM
+    state server parsing those bytes with protobuf-java is the
+    differential check on the shim's encoder.
+
     Every maintained quantity is COMMUTATIVE (count, min, max), so the
     final state is independent of micro-batch boundaries and row order —
     which is what makes the streaming run oracle-checkable against the
     batch aggregate. State: 3 int64s per key; key space = the filter
     registry (tiny at any scale)."""
     import pandas as pd
+
+    from transitdata_monitor_data_collector_spark.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(messages.sparkSession):
+        raise RuntimeError(
+            "google.protobuf unavailable and the vendored shim failed to "
+            "load — transformWithStateInPandas cannot run"
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
