@@ -7590,3 +7590,180 @@ def doc_sequence_packing(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (late): distributed BPE tokenizer TRAINING — the full multi-round
+# merge loop, engine-deterministic and oracle-replayed (the logreg/Lloyd
+# discipline applied to the tokenizer-training workload).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_w0_sql() -> str:
+    """Round-0 vocab CTE: distinct lowercased whitespace words (len >= 2;
+    single-char words can never join a pair in any round), as a space-
+    delimited symbol string, with corpus frequency. Vocab-level training
+    makes the whole loop duplication-invariant: 10x-replicated corpora
+    (the stress sweep) change freq, never the trajectory-relevant ratios."""
+    return f"""
+    w0 AS (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym_str,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_DD_TOKENS_LOWER}) AS w FROM documents)
+      WHERE length(w) >= 2
+      GROUP BY 1
+    )"""
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One replayed merge round: pair counts over w{r-1}, deterministic
+    argmax (count DESC, pair ASC), and the merged vocab w{r} via the same
+    left-to-right non-overlapping fold the Spark side applies (list_reduce
+    with a space-delimited string accumulator; append-b IS the merge
+    because the merged symbol is the concatenation a || b)."""
+    prev, cur = f"w{r - 1}", f"w{r}"
+    return f"""
+    p{r} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(CASE WHEN len(s) >= 2
+                 THEN [s[i] || ' ' || s[i + 1]
+                       for i in generate_series(1, len(s) - 1)]
+                 ELSE [] END) AS pair, freq
+        FROM (SELECT str_split(sym_str, ' ') AS s, freq FROM {prev})
+      ) GROUP BY pair
+    ),
+    b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+    {cur} AS (
+      -- 1-row cross join: DuckDB lambdas cannot hold subqueries, but
+      -- they can capture columns of the enclosing row
+      SELECT list_reduce(str_split(sym_str, ' '),
+               (acc, s) -> CASE WHEN (acc = ba{r}
+                                      OR ends_with(acc, ' ' || ba{r}))
+                                 AND s = bb{r}
+                           THEN acc || bb{r}
+                           ELSE acc || ' ' || s END) AS sym_str,
+             freq
+      FROM {prev},
+           (SELECT split_part(pair, ' ', 1) AS ba{r},
+                   split_part(pair, ' ', 2) AS bb{r} FROM b{r})
+    )"""
+
+
+def _bpe_oracle_sql() -> str:
+    stages = ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    steps = " UNION ALL ".join(
+        f"SELECT {r} AS step, split_part(pair, ' ', 1) AS sym_a, "
+        f"split_part(pair, ' ', 2) AS sym_b, "
+        f"replace(pair, ' ', '') AS merged, n FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"WITH {_bpe_w0_sql()},{stages} {steps} ORDER BY step"
+
+
+def _bpe_adjacent_pairs(sym_str):
+    syms = F.split(sym_str, " ")
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _bpe_apply_merge(sym_str, sym_a: str, sym_b: str):
+    """Left-to-right non-overlapping merge of adjacent (sym_a, sym_b) as a
+    fold over the symbol string — appending sym_b to a trailing sym_a IS
+    the merge (merged symbol = concatenation), and the freshly merged
+    tail can never re-trigger (a||b = a is impossible for nonempty b), so
+    the fold equals the canonical single-pass BPE merge. Literals go
+    through F.lit (no SQL-string injection from corpus-derived symbols)."""
+    syms = F.split(sym_str, " ")
+    rest = F.slice(syms, 2, F.size(syms) - 1)
+    la, lb = F.lit(sym_a), F.lit(sym_b)
+    return F.aggregate(
+        rest,
+        F.element_at(syms, 1),
+        lambda acc, s: F.when(
+            (s == lb)
+            & ((acc == la) | acc.endswith(F.concat(F.lit(" "), la))),
+            F.concat(acc, lb),
+        ).otherwise(F.concat(acc, F.lit(" "), s)),
+    )
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle_sql(),
+    doc=f"Distributed BPE tokenizer TRAINING, the full loop: {_BPE_ROUNDS} "
+    "merge rounds over the corpus vocabulary, engine-deterministic end to "
+    "end and replayed stage-by-stage by the DuckDB oracle (the "
+    "doc_quality_logreg discipline applied to tokenizer training). Scale "
+    "shape: train on the (word, freq) vocab table — one corpus-sized "
+    "shuffle up front, then every round is ONE vocab-sized partial+final "
+    "pair-count aggregate; only the argmax row (1 pair) reaches the "
+    "driver per round, never the vocab. Merge application is a JVM-side "
+    "fold (F.aggregate) over each word's symbol string — no Python in "
+    "the loop, no collect of word lists. Ties break (count DESC, pair "
+    "ASC): binary-deterministic on both engines. Vocab-level training is "
+    "also duplication-invariant, so the k-replicated stress corpora "
+    "exercise identical trajectories at scaled counts. Output: the merge "
+    "table (step, pair, merged symbol, count) — the artifact a tokenizer "
+    "ships. Reference analog: none (the collector does no NLP); this is "
+    "the LLM-pipeline extension surface, cf. Sennrich et al. 2016.",
+    tags=("llm", "text", "ml"),
+)
+def text_bpe_train_merges(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    words = (
+        d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym_str"),
+            "freq",
+        )
+        .cache()
+    )
+    words.count()  # materialize round-0 vocab once
+    rows = []
+    try:
+        for r in range(1, _BPE_ROUNDS + 1):
+            best = (
+                words.select(
+                    F.explode(_bpe_adjacent_pairs(F.col("sym_str"))).alias(
+                        "pair"
+                    ),
+                    "freq",
+                )
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.desc("n"), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not best:  # fully merged vocab (never at corpus scale)
+                break
+            pair, n = best[0]["pair"], int(best[0]["n"])
+            sym_a, sym_b = pair.split(" ", 1)
+            rows.append((r, sym_a, sym_b, sym_a + sym_b, n))
+            merged = words.select(
+                _bpe_apply_merge(F.col("sym_str"), sym_a, sym_b).alias(
+                    "sym_str"
+                ),
+                "freq",
+            ).cache()
+            merged.count()  # materialize; keep per-round lineage flat
+            words.unpersist()
+            words = merged
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        rows, "step int, sym_a string, sym_b string, merged string, n long"
+    ).orderBy("step")
