@@ -7767,3 +7767,71 @@ def text_bpe_train_merges(spark, sf_dir):
     return spark.createDataFrame(
         rows, "step int, sym_a string, sym_b string, merged string, n long"
     ).orderBy("step")
+
+
+_EPOCH_BUDGET_X = 3  # train-token budget as a multiple of the corpus total
+
+
+@register(
+    "doc_epoch_schedule",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_DD_TOKENS})) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(avail_tokens) AS BIGINT) AS corpus_tokens,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM per_source
+    )
+    SELECT source, n_docs, avail_tokens,
+           (corpus_tokens * {_EPOCH_BUDGET_X}) // n_sources AS target_tokens,
+           ((corpus_tokens * {_EPOCH_BUDGET_X}) // n_sources * 1000)
+             // avail_tokens AS epochs_milli,
+           CAST(((corpus_tokens * {_EPOCH_BUDGET_X}) // n_sources * 1000)
+             // avail_tokens > 4000 AS BIGINT) AS over_4_epochs
+    FROM per_source, tot
+    ORDER BY source
+    """,
+    doc="Epoch budgeting for a mixture-balanced training run (the "
+    "Chinchilla-style data-recipe accounting step): per source, available "
+    f"tokens vs an equal share of a {_EPOCH_BUDGET_X}x-corpus token "
+    "budget, and the implied repeat factor in exact milli-epochs "
+    "(integer DIV end to end — no floats, hash-stable). Sources whose "
+    "share demands > 4 epochs are flagged: past ~4 repeats, extra epochs "
+    "of the same data stop helping (Muennighoff et al. 2023, 'Scaling "
+    "Data-Constrained Language Models'). Scale shape: one partial+final "
+    "aggregate over the corpus + a 1-row broadcast of the totals — the "
+    "per-source plan is source-cardinality-sized, never corpus-sized.",
+    tags=("llm", "text", "sampling"),
+)
+def doc_epoch_schedule(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias(
+            "avail_tokens"
+        ),
+    )
+    tot = per_source.agg(
+        F.sum("avail_tokens").alias("corpus_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    target = F.expr(
+        f"corpus_tokens * {_EPOCH_BUDGET_X} DIV n_sources"
+    ).alias("target_tokens")
+    epochs = F.expr(
+        f"(corpus_tokens * {_EPOCH_BUDGET_X} DIV n_sources) * 1000 "
+        "DIV avail_tokens"
+    ).alias("epochs_milli")
+    over = F.expr(
+        f"CAST(((corpus_tokens * {_EPOCH_BUDGET_X} DIV n_sources) * 1000 "
+        "DIV avail_tokens) > 4000 AS BIGINT)"
+    ).alias("over_4_epochs")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select("source", "n_docs", "avail_tokens", target, epochs, over)
+        .orderBy("source")
+    )
