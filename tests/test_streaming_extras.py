@@ -310,3 +310,206 @@ def test_stream_merge_counter_job(spark, sf_dir, tmp_path):
         for r in P.read_table(spark, path).collect()
     }
     assert got2 == exp  # same source replayed -> same totals
+
+
+def test_tws_full_state_protocol_roundtrip(spark, sf_dir, tmp_path):
+    """Exercise EVERY state-server message family through the protobuf
+    shim in one transformWithStateInPandas job: ValueState (get/update/
+    exists), ListState (appendValue/appendList/put/get — including the
+    Arrow list transport), MapState with TTL (updateValue/getValue/
+    containsKey/keys/iterator/removeKey), processing-time timers
+    (register/list/delete), and deleteIfExists. Assertions are
+    commutative aggregates, so the result is micro-batch-invariant; the
+    JVM parsing every request type is the protocol-wide differential
+    check on the vendored codec."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from transitdata_monitor_data_collector_spark.plans import table
+    from transitdata_monitor_data_collector_spark.protobuf_compat import (
+        ensure_protobuf,
+    )
+    from transitdata_monitor_data_collector_spark.streaming import jobs
+
+    assert ensure_protobuf(spark)
+
+    class ProtocolProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._n = handle.getValueState("n", "n BIGINT")
+            self._seen = handle.getListState("seen", "v BIGINT")
+            self._per_type = handle.getMapState(
+                "per_type", "k STRING", "c BIGINT", ttlDurationMs=3_600_000
+            )
+            handle.getValueState("scratch", "x BIGINT")
+            handle.deleteIfExists("scratch")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            batch_ids = []
+            type_counts: dict = {}
+            for pdf in rows:
+                n += len(pdf)
+                batch_ids.extend(int(v) for v in pdf["event_id"])
+                for t, c in pdf["event_type"].value_counts().items():
+                    type_counts[t] = type_counts.get(t, 0) + int(c)
+            self._n.update((n,))
+            # list transport: one appendValue, the rest via appendList
+            self._seen.appendValue((batch_ids[0],))
+            if len(batch_ids) > 1:
+                self._seen.appendList([(b,) for b in batch_ids[1:]])
+            for t, c in type_counts.items():
+                prev = (
+                    self._per_type.getValue((t,))[0]
+                    if self._per_type.containsKey((t,))
+                    else 0
+                )
+                self._per_type.updateValue((t,), (prev + c,))
+            # timer surface: register two, delete one, count the rest.
+            # The surviving timer expires almost immediately and deletes
+            # itself in handleExpiredTimer — a PENDING processing-time
+            # timer keeps the query triggering forever ("no new data but
+            # cleaning up state"), which would hang processAllAvailable.
+            now = timerValues.getCurrentProcessingTimeInMs()
+            self._handle.registerTimer(now + 200)
+            self._handle.registerTimer(now + 7_200_000)
+            self._handle.deleteTimer(now + 7_200_000)
+            n_timers = sum(1 for _ in self._handle.listTimers())
+            list_sum = sum(v[0] for v in self._seen.get())
+            map_total = sum(
+                self._per_type.getValue((k[0],))[0]
+                for k in self._per_type.keys()
+            )
+            n_types = sum(1 for _ in self._per_type.iterator())
+            # removeKey path: drop and re-add one key, totals unchanged
+            some_t = next(iter(type_counts))
+            kept = self._per_type.getValue((some_t,))[0]
+            self._per_type.removeKey((some_t,))
+            assert not self._per_type.containsKey((some_t,))
+            self._per_type.updateValue((some_t,), (kept,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "list_sum": [list_sum],
+                    "map_total": [map_total],
+                    "n_types": [n_types],
+                    "n_timers": [n_timers],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # expiry path: delete the fired timer so the query can idle
+            self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            yield from ()
+
+        def close(self) -> None:
+            pass
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path / "src")
+    ev.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .filter(F.col("user_id") < 8)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            ProtocolProcessor(),
+            outputStructType="user_id long, n long, list_sum long, "
+            "map_total long, n_types long, n_timers long",
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+        # ProcessingTime mode + state TTL keeps housekeeping triggers
+        # alive forever ("no new data but cleaning up state"), so
+        # processAllAvailable would never return: poll the sink for the
+        # expected totals instead, then stop the query.
+        want_n = dict(
+            table(spark, sf_dir, "events")
+            .filter(F.col("user_id") < 8)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_protocol")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            mem = spark.table("tws_protocol")
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                got_n = {
+                    r["user_id"]: r["n"]
+                    for r in mem.groupBy("user_id")
+                    .agg(F.max("n").alias("n"))
+                    .collect()
+                }
+                if got_n == want_n:
+                    break
+                time.sleep(1)
+            else:
+                raise AssertionError(
+                    f"sink never reached batch totals: {got_n} != {want_n}"
+                )
+            mem = mem.cache()  # freeze the asserted snapshot
+            mem.count()
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    final = {
+        r["user_id"]: r
+        for r in mem.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("list_sum").alias("list_sum"),
+            F.max("map_total").alias("map_total"),
+            F.max("n_types").alias("n_types"),
+            F.min("n_timers").alias("n_timers"),
+        )
+        .collect()
+    }
+    want = {
+        r["user_id"]: r
+        for r in ev.filter(F.col("user_id") < 8)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("list_sum"),
+            F.count("*").alias("map_total"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want) and final
+    for uid, w in want.items():
+        g = final[uid]
+        assert g["n"] == w["n"]
+        assert g["list_sum"] == w["list_sum"]
+        assert g["map_total"] == w["map_total"]
+        assert g["n_types"] == w["n_types"]
+        assert g["n_timers"] >= 1  # register-2-delete-1 leaves >= 1 live

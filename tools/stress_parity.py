@@ -152,12 +152,18 @@ def run(k: int, queries: list[str]) -> int:
             # equality is still checked on the raw tuples)
             return tuple((v is None, str(v)) for v in row)
 
-        sdf = q.build(spark, sf_dir)
-        scols = sorted(sdf.columns)
-        srows = sorted(
-            (tuple(norm(r[c]) for c in scols) for r in sdf.collect()),
-            key=skey,
-        )
+        try:
+            sdf = q.build(spark, sf_dir)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                (tuple(norm(r[c]) for c in scols) for r in sdf.collect()),
+                key=skey,
+            )
+        except Exception as exc:  # survive and report; keep sweeping
+            failures += 1
+            msg = str(exc).splitlines()[0][:200]
+            print(f"{name}: ERROR (spark side: {msg})")
+            continue
         ores = con.execute(q.oracle)
         ocols = sorted(d[0] for d in ores.description)
         all_rows = ores.fetchall()

@@ -4870,11 +4870,21 @@ def promql_absent_alert(spark, sf_dir):
     "gaps-and-islands form (events_sessionization / session_windows) "
     "remains the 100 TB scale path — one sort instead of "
     "depth-many joins; the recursion IS the spec, and at test scale "
-    "both formulations are cross-checked by the shared oracle.",
+    "both formulations are cross-checked by the shared oracle. "
+    "Every event lands in exactly one chain row, so cumulative "
+    "recursion rows = corpus rows: the build sizes "
+    "spark.sql.cteRecursionRowLimit to the fact count (the 1e6 default "
+    "aborted the k=10 stress sweep — found by tools/stress_parity.py).",
     tags=("monitoring", "events", "recursive"),
 )
 def events_chain_recursive_cte(spark, sf_dir):
-    table(spark, sf_dir, "events").createOrReplaceTempView("v_events_rc")
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("v_events_rc")
+    # cumulative rows across all recursion steps equal the event count
+    # (unique successor per step); size the guard-rail accordingly with
+    # slack rather than disabling it
+    limit = max(1_000_000, ev.count() * 2)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(limit))
     return spark.sql(
         """
         WITH RECURSIVE base AS (
