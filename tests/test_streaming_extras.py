@@ -513,3 +513,106 @@ def test_tws_full_state_protocol_roundtrip(spark, sf_dir, tmp_path):
         assert g["map_total"] == w["map_total"]
         assert g["n_types"] == w["n_types"]
         assert g["n_timers"] >= 1  # register-2-delete-1 leaves >= 1 live
+
+
+def test_tws_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """T4 on the transformWithStateInPandas runner: run the TWS meter to
+    exhaustion, STOP, append new source files, restart from the same
+    checkpoint. The restart must restore RocksDB state (final counts =
+    full batch counts) — and it re-runs the driver-worker pre-init state
+    schema validation, so recovery also re-exercises the vendored
+    protobuf codec across a cold start."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from transitdata_monitor_data_collector_spark.plans import table
+    from transitdata_monitor_data_collector_spark.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    assert ensure_protobuf(spark)
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"event_type": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    h1.write.mode("append").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    sink = str(tmp_path / "out")
+
+    def run(name):
+        # memory sink cannot recover a checkpoint in update mode — use a
+        # real file sink, as a restartable production job would
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = stream.groupBy("event_type").transformWithStateInPandas(
+            CountProcessor(),
+            outputStructType="event_type string, n long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            r["event_type"]: r["n"]
+            for r in spark.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(F.max("n").alias("n"))
+            .collect()
+        }
+
+    try:
+        first = run("tws_rec_1")
+        h2.write.mode("append").parquet(src)
+        second = run("tws_rec_2")
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    want_first = {
+        r["event_type"]: r["n"]
+        for r in h1.groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    want_total = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert first == want_first
+    # restored state + only-new-files: totals equal the full batch answer
+    assert second == want_total
