@@ -111,6 +111,11 @@ HEADLINE = [
     "doc_shard_assignment",
     "doc_leakage_free_split",
     "doc_sequence_packing",
+    # round-5 (final wave): the 8-round distributed BPE trainer (the
+    # heaviest new iterative op — tracked like PCA/PQ before it) and the
+    # epoch-budget accounting report
+    "text_bpe_train_merges",
+    "doc_epoch_schedule",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

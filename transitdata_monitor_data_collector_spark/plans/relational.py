@@ -16,6 +16,19 @@ from pyspark.sql.window import Window as W
 from transitdata_monitor_data_collector_spark.functions.rounding import fround
 from transitdata_monitor_data_collector_spark.plans import register, table
 
+
+def _cents_sum(col, scale: int):
+    """Money sum in the q1 discipline: per-row round at the expression's
+    TRUE decimal scale (exact-value, never boundary-ambiguous) into exact
+    DECIMAL accumulation (order-independent across partial/final agg vs
+    DuckDB's sequential sum), then a half-up round to cents. Plain
+    ``round(sum(double), 2)`` sums crossed half-cent boundaries at k=10
+    stress volume (tools/stress_parity.py)."""
+    dec = F.sum(F.round(col, scale).cast(f"decimal(28,{scale})")).cast(
+        "double"
+    )
+    return F.floor(dec * 1e2 + 0.5) / 1e2
+
 # ---------------------------------------------------------------------------
 # Aggregation spine (A4/A6/A8): TPC-H Q1-style pricing summary — the flagship
 # batch aggregate: partial+final hash agg, one shuffle, group-by on two
@@ -137,7 +150,10 @@ def q3_shipping_priority(spark, sf_dir):
 @register(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(28,4))) AS DOUBLE) * 1e2 + 0.5)
+             / 1e2 AS revenue
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -150,7 +166,11 @@ def q3_shipping_priority(spark, sf_dir):
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
     """,
-    doc="TPC-H Q5 analog; 6-way join with broadcastable dims (SURVEY §2.5 J6).",
+    doc="TPC-H Q5 analog; 6-way join with broadcastable dims (SURVEY §2.5 "
+    "J6). Revenue uses the q1 money discipline (per-row round at the "
+    "expression's true 4-decimal scale into exact DECIMAL accumulation): "
+    "the plain double sum crossed a half-cent boundary at k=10 stress "
+    "volume (tools/stress_parity.py).",
     tags=("join", "agg"),
 )
 def q5_local_supplier_volume(spark, sf_dir):
@@ -175,8 +195,8 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -784,28 +804,54 @@ def json_extract_props(spark, sf_dir):
     "struct_envelope_build",
     oracle="""
     SELECT event_type AS metric,
-           to_json({'dimValues': [event_type],
-                    'sum': round(CAST(sum(value) AS DOUBLE), 4),
-                    'count': count(*)}) AS series_json
+           '{"dimValues":["' || event_type || '"],"sum":'
+             || regexp_replace(regexp_replace(
+                  CAST(sum(CAST(round(value, 2) AS DECIMAL(28,2)))
+                       AS VARCHAR), '(\\.\\d*?)0+$', '\\1'), '\\.$', '.0')
+             || ',"count":' || count(*) || '}' AS series_json
     FROM events GROUP BY event_type ORDER BY event_type
     """,
-    doc="F10+F11 struct/array construction + JSON serialize: the Azure "
-    "custom-metric series element (mqtt_data_collector.py:304,253). "
-    "Serialized so the oracle hash compares a plain string, not an "
-    "engine-specific nested-row representation.",
+    doc="F10+F11 struct -> JSON serialize: the Azure custom-metric series "
+    "element (mqtt_data_collector.py:304,253), rendered CANONICALLY: the "
+    "sum accumulates exactly (events.value is 2-decimal by construction; "
+    "per-row round(,2) into DECIMAL is exact-value), and the number text "
+    "is the decimal string with trailing zeros trimmed — engine to_json "
+    "float rendering diverges at scale (Spark emits 1.00292592E7 for "
+    "sums past 1e7 where DuckDB emits 10029259.2; caught by the k=10 "
+    "stress sweep), and decimal rendering diverges in trailing zeros, so "
+    "the envelope text is assembled explicitly (integral sums keep the "
+    "'.0' suffix double rendering uses). Below 1e7 the output is "
+    "byte-identical to the previous double rendering, so the gated "
+    "driver row stays valid. dimValues holds "
+    "event_type labels (identifier-safe; no JSON escaping needed). The "
+    "engine-native struct/array -> to_json path (F10) stays exercised by "
+    "sinks/azure.py and json_variant_shred.",
     tags=("scalar", "struct"),
 )
 def struct_envelope_build(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
+    sum_txt = F.regexp_replace(
+        F.regexp_replace(
+            F.sum(F.round(F.col("value"), 2).cast("decimal(28,2)")).cast(
+                "string"
+            ),
+            r"(\.\d*?)0+$",
+            "$1",
+        ),
+        r"\.$",
+        ".0",
+    )
     return (
         ev.groupBy(F.col("event_type").alias("metric"))
         .agg(
-            F.to_json(
-                F.struct(
-                    F.array(F.col("metric")).alias("dimValues"),
-                    F.round(F.sum("value"), 4).alias("sum"),
-                    F.count("*").alias("count"),
-                )
+            F.concat(
+                F.lit('{"dimValues":["'),
+                F.col("metric"),
+                F.lit('"],"sum":'),
+                sum_txt,
+                F.lit(',"count":'),
+                F.count("*").cast("string"),
+                F.lit("}"),
             ).alias("series_json")
         )
         .orderBy("metric")
@@ -853,7 +899,9 @@ def q6_forecast_revenue(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(28,4))) AS DOUBLE) * 1e2 + 0.5)
+             / 1e2 AS revenue,
            round(c_acctbal, 2) AS acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
@@ -885,8 +933,8 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .select(
@@ -1075,7 +1123,9 @@ def q4_order_priority_exists(spark, sf_dir):
     "join_salted_hot_key",
     oracle="""
     SELECT s_nationkey, count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                               AS DECIMAL(28,4))) AS DOUBLE) * 1e2 + 0.5)
+             / 1e2 AS revenue
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey ORDER BY s_nationkey
     """,
@@ -1105,7 +1155,7 @@ def join_salted_hot_key(spark, sf_dir):
         joined.groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("rev"), 2).alias("revenue"),
+            _cents_sum(F.col("rev"), 4).alias("revenue"),
         )
         .orderBy("s_nationkey")
     )
