@@ -1212,11 +1212,18 @@ def rate_over_store_panel(spark, sf_dir):
     )
     # v2 = exact centi-integer counter synthesis (round-5): versioning the
     # cache key makes a definition change invalidate stale stores instead
-    # of silently serving old counters
+    # of silently serving old counters. The key also fingerprints the
+    # SOURCE file (size + mtime): a path whose content changes — the
+    # stress tool rebuilds spark-warehouse/stress_sf in place for each k
+    # — must invalidate too (a stale k=10 store served k=20 data before
+    # this, caught by the k=20 sweep).
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fingerprint = f"{sf_dir}:v2:{st.st_size}:{st.st_mtime_ns}"
     store = os.path.join(
         tempfile.gettempdir(),
         "tmdc_rate_store_"
-        + hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:12],
+        + hashlib.md5(fingerprint.encode()).hexdigest()[:12],
     )
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_time_partitioned(
