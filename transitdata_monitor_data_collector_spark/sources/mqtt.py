@@ -21,10 +21,13 @@ Design points carried over from the reference:
 - **Multi-broker fan-in** (``Main.java:76-85``): one source per broker,
   ``unionByName`` the streams.
 
-The live path needs ``paho-mqtt`` (import-gated — not installed in CI, and
-the reference never integration-tests a live broker either, SURVEY §5).
-The *replay* source below exercises the identical DataSource machinery
-deterministically from a JSON-lines file and is the tested path.
+The live path uses ``paho-mqtt`` when installed and otherwise falls back
+to the vendored spec-subset client (``vendor/mqttshim`` — MQTT 3.1.1 wire
+protocol from the public OASIS spec). With the in-process loopback broker
+(``vendor/mqttshim/broker.py``) the live path IS integration-tested over
+real TCP (tests/test_mqtt_live.py) — connect event, SUBSCRIBE pushdown,
+QoS-1 delivery, and the connection-lost event on a broker crash. The
+*replay* source below remains the deterministic high-volume path.
 """
 
 from __future__ import annotations
@@ -143,6 +146,22 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
         self._seq = 0
         self._client = None
 
+    def __getstate__(self):
+        # Spark pickles the reader into the executor-side read function
+        # each micro-batch (plan_data_source_read). The live socket, its
+        # lock and buffer stay with the driver-side prefetch process —
+        # the executor copy only ever calls readBetweenOffsets(), which
+        # is empty by design (QoS-0 at-most-once).
+        state = self.__dict__.copy()
+        state["_client"] = None
+        state["_lock"] = None
+        state["_buffer"] = []
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+
     def initialOffset(self) -> dict:
         return {"seq": 0}
 
@@ -151,11 +170,14 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
             return
         try:
             import paho.mqtt.client as mqtt  # type: ignore[import-not-found]
-        except ImportError as e:  # pragma: no cover - live path
-            raise ImportError(
-                "paho-mqtt is required for the live MQTT source; use the "
-                "'mqtt-replay' source for deterministic testing"
-            ) from e
+        except ImportError:
+            # No paho wheel in this environment — fall back to the
+            # vendored MQTT 3.1.1 wire-protocol client (vendor/mqttshim,
+            # paho-compatible surface), which is also what the loopback
+            # integration tests exercise end to end.
+            from transitdata_monitor_data_collector_spark.vendor import (
+                mqttshim as mqtt,
+            )
 
         host, port = self._host_port()
         client = mqtt.Client()
@@ -167,7 +189,7 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
             with self._lock:
                 self._buffer.append((self._broker, topic, payload, _now()))
 
-        def on_connect(c, userdata, flags, rc):  # pragma: no cover - live path
+        def on_connect(c, userdata, flags, rc):
             # connection-state event first (mqtt_connected gauge input,
             # MqttTopicMonitorListener.java:61-64), then (re)subscribe as
             # in connectComplete (:104-116)
@@ -175,7 +197,7 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
             for f in self._filters:
                 c.subscribe(f, qos=self._qos)
 
-        def on_disconnect(c, userdata, rc):  # pragma: no cover - live path
+        def on_disconnect(c, userdata, rc):
             # rc != 0 is an UNEXPECTED drop — the reference's connectionLost
             # callback, which increments mqtt_connection_lost (:119-122);
             # rc == 0 is a clean close() disconnect, gauge-only
@@ -184,7 +206,7 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
                 b"connection_lost" if rc != 0 else b"disconnect",
             )
 
-        def on_message(c, userdata, msg):  # pragma: no cover - live path
+        def on_message(c, userdata, msg):
             _emit(msg.topic, bytes(msg.payload))
 
         client.on_connect = on_connect
@@ -199,7 +221,7 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
         host, _, port = addr.partition(":")
         return host, int(port or 1883)
 
-    def read(self, start: dict):  # pragma: no cover - live path
+    def read(self, start: dict):
         self._ensure_client()
         with self._lock:
             n = min(len(self._buffer), self._max_batch)
@@ -207,10 +229,10 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
         self._seq += n
         return iter(rows), {"seq": self._seq}
 
-    def readBetweenOffsets(self, start: dict, end: dict):  # pragma: no cover
+    def readBetweenOffsets(self, start: dict, end: dict):
         return iter(())  # QoS-0 history is gone; at-most-once by design
 
-    def stop(self):  # pragma: no cover - live path
+    def stop(self):
         if self._client is not None:
             self._client.loop_stop()
             self._client.disconnect()
