@@ -300,3 +300,69 @@ def test_spark_live_mqtt_source_end_to_end(spark, tmp_path):
     batch = spark.sql(f"SELECT * FROM {name}")
     n_data = batch.filter(~F.col("topic").startswith("$")).count()
     assert n_data == 6
+
+
+# ---------------------------------------------------------------------------
+# FrameReader buffering — pipelined frames must all be delivered
+# ---------------------------------------------------------------------------
+
+
+def test_frame_reader_pipelined_frames_one_recv():
+    """Many frames arriving in one TCP segment (fast publishers pipeline
+    PUBLISHes) must all parse from the reader's buffer — a one-shot
+    bulk-recv reader would deliver the first and drop the rest."""
+    import socket as _socket
+
+    a, b = _socket.socketpair()
+    try:
+        frames = b"".join(
+            wire.publish_frame(f"t/{i}", str(i).encode(), 0) for i in range(50)
+        )
+        a.sendall(frames)
+        a.close()
+        reader = wire.FrameReader(b)
+        got = []
+        while True:
+            frame = reader.read_frame()
+            if frame is None:
+                break
+            got.append(wire.parse_publish(frame[1], frame[2])[0])
+        assert got == [f"t/{i}" for i in range(50)]
+    finally:
+        b.close()
+
+
+def test_frame_reader_partial_frame_across_recvs():
+    """A frame split across TCP segments parses once complete; a timeout
+    mid-frame preserves the partial bytes (keepalive poll loops)."""
+    import socket as _socket
+
+    a, b = _socket.socketpair()
+    try:
+        frame = wire.publish_frame("x/y", b"payload-bytes", 0)
+        reader = wire.FrameReader(b)
+        b.settimeout(0.1)
+        a.sendall(frame[:5])
+        with pytest.raises(TimeoutError):
+            reader.read_frame()
+        a.sendall(frame[5:])
+        got = reader.read_frame()
+        assert got is not None
+        assert wire.parse_publish(got[1], got[2]) == ("x/y", 0, None, b"payload-bytes")
+    finally:
+        a.close()
+        b.close()
+
+
+def test_measure_live_ingest_toy_scale(spark):
+    """The live-TCP ingest bench end-to-end at toy scale: loopback
+    broker -> format('mqtt') source -> memory sink. Structure only; the
+    10k msg/s budget is bench.py's job at full size."""
+    from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
+        measure_live_ingest,
+    )
+
+    r = measure_live_ingest(spark, n_msgs=2_000, n_publishers=2, timeout_sec=90.0)
+    assert r["n_msgs"] == 2_000
+    assert r["delivered"] == 2_000  # QoS-0 over loopback: nothing dropped
+    assert r["msgs_per_sec"] > 0

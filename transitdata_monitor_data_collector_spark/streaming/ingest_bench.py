@@ -146,3 +146,94 @@ def measure_ingest_budget(
     finally:
         if owns_file:
             os.unlink(replay_path)
+
+
+def measure_live_ingest(
+    spark: SparkSession,
+    n_msgs: int = 30_000,
+    n_publishers: int = 4,
+    max_batch_size: int = 10_000,
+    timeout_sec: float = 120.0,
+) -> dict:
+    """Measure the LIVE TCP path: loopback broker -> vendored MQTT client
+    inside the ``format("mqtt")`` source -> memory sink.
+
+    Complements :func:`measure_ingest_budget` (which replays files through
+    the engine's stateful window job): here the system under test is the
+    network ingest itself — real MQTT framing over a socket, the
+    source's buffer/drain machinery, and micro-batch planning. The sink is
+    raw append (no aggregation) so the number isolates ingest; the replay
+    bench owns the agg-path number. ``msgs_per_sec`` counts from first
+    publish to the last row visible in the sink.
+    """
+    import threading
+
+    from transitdata_monitor_data_collector_spark.sources.mqtt import (
+        register_sources,
+    )
+    from transitdata_monitor_data_collector_spark.vendor.mqttshim import Client
+    from transitdata_monitor_data_collector_spark.vendor.mqttshim.broker import (
+        LoopbackBroker,
+    )
+
+    register_sources(spark)
+    name = "live_ingest_bench"
+    ckpt = tempfile.mkdtemp(prefix="live_ingest_ckpt_")
+    with LoopbackBroker() as broker:
+        stream = (
+            spark.readStream.format("mqtt")
+            .option("broker", f"tcp://127.0.0.1:{broker.port}")
+            .option("topicFilters", "bench/#")
+            .option("maxBatchSize", str(max_batch_size))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            if not broker.wait_for_subscription("bench/#", timeout=60.0):
+                raise TimeoutError("live source never subscribed")
+
+            per_pub = n_msgs // n_publishers
+
+            def publish(k: int) -> None:
+                c = Client()
+                c.connect("127.0.0.1", broker.port)
+                for i in range(per_pub):
+                    c.publish(f"bench/{k}/{i % 100}", b"x" * 64, qos=0)
+                c.disconnect()
+
+            t0 = time.perf_counter()
+            threads = [
+                threading.Thread(target=publish, args=(k,))
+                for k in range(n_publishers)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            t_pub = time.perf_counter() - t0
+
+            total = n_publishers * per_pub
+            deadline = time.monotonic() + timeout_sec
+            seen = 0
+            while time.monotonic() < deadline:
+                seen = spark.table(name).filter("topic LIKE 'bench/%'").count()
+                if seen >= total:
+                    break
+                time.sleep(0.1)
+            elapsed = time.perf_counter() - t0
+            return {
+                "n_msgs": total,
+                "delivered": seen,
+                "publish_sec": round(t_pub, 3),
+                "end_to_end_sec": round(elapsed, 3),
+                "msgs_per_sec": round(seen / elapsed, 1) if elapsed else None,
+            }
+        finally:
+            q.stop()
