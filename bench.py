@@ -177,9 +177,14 @@ def main() -> None:
     # sink) and record SUSTAINED throughput + micro-batch latency.
     from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
         measure_ingest_budget,
+        measure_live_ingest,
     )
 
     ingest = measure_ingest_budget(spark)
+
+    # Live TCP path (loopback broker -> vendored MQTT client -> source ->
+    # raw append sink): isolates network ingest from the agg path above.
+    live = measure_live_ingest(spark, n_msgs=60_000, n_publishers=4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -197,6 +202,7 @@ def main() -> None:
                     sum(timings[q] for q in ROUND1_SET if q in timings), 3
                 ),
                 "streaming_ingest": ingest,
+                "live_ingest": live,
                 "sf": sf_val,
             }
         )

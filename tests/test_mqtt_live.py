@@ -366,3 +366,28 @@ def test_measure_live_ingest_toy_scale(spark):
     assert r["n_msgs"] == 2_000
     assert r["delivered"] == 2_000  # QoS-0 over loopback: nothing dropped
     assert r["msgs_per_sec"] > 0
+
+
+def test_publish_many_coalesced_delivery():
+    """publish_many coalesces frames into chunked writes without losing
+    or reordering messages; QoS>0 is rejected (fast path is QoS-0)."""
+    with LoopbackBroker() as broker:
+        events: list = []
+        sub = _collecting_client(events)
+        sub.connect("127.0.0.1", broker.port)
+        sub.subscribe("bulk/#", qos=0)
+        sub.loop_start()
+        assert broker.wait_for_subscription("bulk/#")
+
+        pub = Client()
+        pub.connect("127.0.0.1", broker.port)
+        n = pub.publish_many(
+            ((f"bulk/{i}", str(i).encode()) for i in range(500)),
+            chunk_bytes=1024,  # force many chunks
+        )
+        assert n == 500
+        with pytest.raises(ValueError):
+            pub.publish_many([("bulk/x", b"y")], qos=1)
+        assert _wait(lambda: len(events) >= 500)
+        assert [t for t, _, _ in events] == [f"bulk/{i}" for i in range(500)]
+        sub.loop_stop(); sub.disconnect(); pub.disconnect()

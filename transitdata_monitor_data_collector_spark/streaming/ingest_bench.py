@@ -204,8 +204,9 @@ def measure_live_ingest(
             def publish(k: int) -> None:
                 c = Client()
                 c.connect("127.0.0.1", broker.port)
-                for i in range(per_pub):
-                    c.publish(f"bench/{k}/{i % 100}", b"x" * 64, qos=0)
+                c.publish_many(
+                    (f"bench/{k}/{i % 100}", b"x" * 64) for i in range(per_pub)
+                )
                 c.disconnect()
 
             t0 = time.perf_counter()
