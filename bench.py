@@ -165,6 +165,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        print(f"bench: {name}", file=sys.stderr, flush=True)
         run_once(name)  # untimed warm-up: JVM codegen compile amortizes
         # min of two timed runs: a single sample is hostage to ambient
         # load spikes on a shared machine (BENCH_r02 recorded ~2x uniform

@@ -18,15 +18,19 @@ from transitdata_monitor_data_collector_spark.plans import register, table
 
 
 def _cents_sum(col, scale: int):
-    """Money sum in the q1 discipline: per-row round at the expression's
-    TRUE decimal scale (exact-value, never boundary-ambiguous) into exact
-    DECIMAL accumulation (order-independent across partial/final agg vs
-    DuckDB's sequential sum), then a half-up round to cents. Plain
-    ``round(sum(double), 2)`` sums crossed half-cent boundaries at k=10
-    stress volume (tools/stress_parity.py)."""
-    dec = F.sum(F.round(col, scale).cast(f"decimal(28,{scale})")).cast(
-        "double"
-    )
+    """Money sum in the q1 discipline: per-row HALF_UP cast at the
+    expression's TRUE decimal scale (exact-value, never
+    boundary-ambiguous) into exact DECIMAL accumulation
+    (order-independent across partial/final agg vs DuckDB's sequential
+    sum), then a half-up round to cents. Plain ``round(sum(double), 2)``
+    sums crossed half-cent boundaries at k=10 stress volume
+    (tools/stress_parity.py). The double->decimal cast itself rounds
+    HALF_UP at the target scale on BOTH engines (Spark
+    Decimal.changePrecision; DuckDB shortest-repr conversion), and the
+    true values here are exact multiples of 10^-scale, so an explicit
+    round() first is bit-identical — and ~2x slower (double round goes
+    through BigDecimal boxing before the cast repeats the work)."""
+    dec = F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
     return F.floor(dec * 1e2 + 0.5) / 1e2
 
 # ---------------------------------------------------------------------------
@@ -40,21 +44,20 @@ def _cents_sum(col, scale: int):
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           floor(CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(28,2)))
+           floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
                  AS DOUBLE) * 1e2 + 0.5) / 1e2                     AS sum_qty,
-           floor(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(28,2)))
+           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
                  AS DOUBLE) * 1e2 + 0.5) / 1e2                     AS sum_base_price,
-           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
-                               AS DECIMAL(28,4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
              / 1e2                                                 AS sum_disc_price,
-           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                     * (1 + l_tax), 6) AS DECIMAL(28,6)))
+           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     * (1 + l_tax) AS DECIMAL(18,6)))
                  AS DOUBLE) * 1e2 + 0.5) / 1e2                     AS sum_charge,
-           floor(CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(28,2)))
+           floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
                  AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6          AS avg_qty,
-           floor(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(28,2)))
+           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
                  AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6          AS avg_price,
-           floor(CAST(sum(CAST(round(l_discount, 2) AS DECIMAL(28,2)))
+           floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2)))
                  AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6          AS avg_disc,
            count(*)                                                AS count_order
     FROM lineitem
@@ -63,13 +66,15 @@ def _cents_sum(col, scale: int):
     ORDER BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 analog; SURVEY §2.4 A4/A6/A8 (count/sum/avg per key). "
-    "Money sums use per-row round + EXACT decimal accumulation (the q9/q11 "
-    "discipline): double sums over the whole fact table are order-dependent "
-    "across Spark's partial/final aggregation vs DuckDB's sequential sum, "
-    "and at 5x sf0.1 the noise crossed a half-cent rounding boundary "
-    "(caught by tools/stress_parity.py). Per-row round scale == the "
-    "expression's true decimal places (qty/price 2, disc_price 4, charge "
-    "6), so the round is exact-value, never boundary-ambiguous.",
+    "Money sums use a per-row HALF_UP decimal cast + EXACT decimal "
+    "accumulation (the q9/q11 discipline): double sums over the whole fact "
+    "table are order-dependent across Spark's partial/final aggregation vs "
+    "DuckDB's sequential sum, and at 5x sf0.1 the noise crossed a "
+    "half-cent rounding boundary (caught by tools/stress_parity.py). Cast "
+    "scale == the expression's true decimal places (qty/price 2, "
+    "disc_price 4, charge 6), so the implied rounding is exact-value, "
+    "never boundary-ambiguous; decimal(18,s) per-row keeps Spark's "
+    "compact-long Decimal representation (sum still widens to 28,s).",
     tags=("agg",),
 )
 def q1_pricing_summary(spark, sf_dir):
@@ -77,10 +82,9 @@ def q1_pricing_summary(spark, sf_dir):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
     def dec_sum(col, scale: int):
-        # exact decimal accumulation — order-independent, engine-agnostic
-        return F.sum(F.round(col, scale).cast(f"decimal(28,{scale})")).cast(
-            "double"
-        )
+        # exact decimal accumulation — order-independent, engine-agnostic;
+        # the cast rounds HALF_UP at the scale (see _cents_sum note)
+        return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
     def cents(col, scale: int):
         return F.floor(dec_sum(col, scale) * 1e2 + 0.5) / 1e2
@@ -151,8 +155,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
-                               AS DECIMAL(28,4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
              / 1e2 AS revenue
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
@@ -899,8 +902,7 @@ def q6_forecast_revenue(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
-                               AS DECIMAL(28,4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
              / 1e2 AS revenue,
            round(c_acctbal, 2) AS acctbal, n_name
     FROM customer
@@ -1123,8 +1125,7 @@ def q4_order_priority_exists(spark, sf_dir):
     "join_salted_hot_key",
     oracle="""
     SELECT s_nationkey, count(*) AS n_items,
-           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
-                               AS DECIMAL(28,4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
              / 1e2 AS revenue
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey ORDER BY s_nationkey
@@ -1645,8 +1646,7 @@ def ensure_bucketed_tables(spark, sf_dir) -> tuple[str, str]:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
-                               AS DECIMAL(28, 4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
              / 1e2 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority

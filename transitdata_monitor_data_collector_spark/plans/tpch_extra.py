@@ -110,9 +110,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     "q9_product_type_profit",
     oracle="""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           floor(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                     - 0.1 * p_retailprice * l_quantity, 4)
-                               AS DECIMAL(28, 4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
              / 1e2 AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
@@ -135,13 +134,13 @@ def q9_product_type_profit(spark, sf_dir):
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     orders = table(spark, sf_dir, "orders")
-    # per-row round + exact decimal sum: order-independent across Spark's
-    # partial/final aggregation vs DuckDB's sequential sum (see q11 note)
-    profit = F.round(
+    # per-row HALF_UP decimal cast + exact decimal sum: order-independent
+    # across Spark's partial/final aggregation vs DuckDB's sequential sum
+    # (see q11 note; the cast itself rounds at scale 4 on both engines)
+    profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.1 * F.col("p_retailprice") * F.col("l_quantity"),
-        4,
-    ).cast("decimal(28,4)")
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -169,8 +168,7 @@ def q9_product_type_profit(spark, sf_dir):
     oracle="""
     WITH value_by_part AS (
         SELECT l_partkey AS partkey,
-               sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
-                        AS DECIMAL(28, 4))) AS val
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS val
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON n_nationkey = s_nationkey
@@ -199,10 +197,10 @@ def q11_important_stock(spark, sf_dir):
     )
     # exact decimal summation: a double sum is order-dependent in its last
     # ulp, which flips round(..., 2) when the true value sits on a .005
-    # boundary — per-row round to 4 decimals then sum as DECIMAL is
+    # boundary — per-row HALF_UP cast to 4 decimals then sum as DECIMAL is
     # order-independent and bit-identical to the oracle
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
-        "decimal(28,4)"
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
     )
     by_part = (
         li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))

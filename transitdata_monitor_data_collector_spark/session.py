@@ -32,9 +32,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Local mode runs every executor thread inside the driver JVM, whose
+    # default heap is a bare 1g — 32 concurrent tasks with Arrow batches
+    # exhaust that (observed: whole-bench OOM at the round-5 headline
+    # size). Ignored if a JVM already exists (getOrCreate reuses it).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
