@@ -18,19 +18,24 @@ from transitdata_monitor_data_collector_spark.plans import register, table
 
 
 def _cents_sum(col, scale: int):
-    """Money sum in the q1 discipline: per-row HALF_UP cast at the
-    expression's TRUE decimal scale (exact-value, never
-    boundary-ambiguous) into exact DECIMAL accumulation
-    (order-independent across partial/final agg vs DuckDB's sequential
-    sum), then a half-up round to cents. Plain ``round(sum(double), 2)``
-    sums crossed half-cent boundaries at k=10 stress volume
-    (tools/stress_parity.py). The double->decimal cast itself rounds
-    HALF_UP at the target scale on BOTH engines (Spark
-    Decimal.changePrecision; DuckDB shortest-repr conversion), and the
-    true values here are exact multiples of 10^-scale, so an explicit
-    round() first is bit-identical — and ~2x slower (double round goes
-    through BigDecimal boxing before the cast repeats the work)."""
-    dec = F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    """Money sum in the q1 discipline, JVM-codegen end to end. The money
+    expressions' TRUE values are exact multiples of 10^-scale, so
+    ``floor(x * 10^scale + 0.5)`` recovers the exact unscaled integer
+    from the double (arithmetic error orders of magnitude below the 0.5
+    threshold; identical IEEE ops on both engines), and the sum then
+    accumulates EXACTLY — order-independent across Spark's partial/final
+    aggregation vs DuckDB's sequential sum, which is the property plain
+    ``round(sum(double), 2)`` lacked (it crossed half-cent boundaries at
+    k=10 stress volume, tools/stress_parity.py). The per-row
+    decimal(20,0) stays in Spark's compact-long representation while the
+    sum widens to decimal(30,0) (overflow-checked at cluster scale,
+    where a raw BIGINT sum of scale-6 unscaled money would wrap);
+    DuckDB mirrors with sum(BIGINT) -> HUGEINT. Earlier forms that
+    rounded/cast the double to decimal per row paid a BigDecimal
+    conversion per row — 3-4x slower than this."""
+    m = float(10**scale)
+    unscaled = F.floor(col * F.lit(m) + F.lit(0.5)).cast("decimal(20,0)")
+    dec = F.sum(unscaled).cast("double") / m
     return F.floor(dec * 1e2 + 0.5) / 1e2
 
 # ---------------------------------------------------------------------------
@@ -44,21 +49,14 @@ def _cents_sum(col, scale: int):
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                 AS DOUBLE) * 1e2 + 0.5) / 1e2                     AS sum_qty,
-           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                 AS DOUBLE) * 1e2 + 0.5) / 1e2                     AS sum_base_price,
-           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(floor((l_quantity) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 * 1e2 + 0.5) / 1e2                     AS sum_qty,
+           floor(CAST(sum(CAST(floor((l_extendedprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 * 1e2 + 0.5) / 1e2                     AS sum_base_price,
+           floor(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 1e2 + 0.5)
              / 1e2                                                 AS sum_disc_price,
-           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                     * (1 + l_tax) AS DECIMAL(18,6)))
-                 AS DOUBLE) * 1e2 + 0.5) / 1e2                     AS sum_charge,
-           floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                 AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6          AS avg_qty,
-           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                 AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6          AS avg_price,
-           floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2)))
-                 AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6          AS avg_disc,
+           floor(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 * 1e2 + 0.5) / 1e2                     AS sum_charge,
+           floor(CAST(sum(CAST(floor((l_quantity) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 / count(*) * 1e6 + 0.5) / 1e6          AS avg_qty,
+           floor(CAST(sum(CAST(floor((l_extendedprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 / count(*) * 1e6 + 0.5) / 1e6          AS avg_price,
+           floor(CAST(sum(CAST(floor((l_discount) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 / count(*) * 1e6 + 0.5) / 1e6          AS avg_disc,
            count(*)                                                AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -82,9 +80,11 @@ def q1_pricing_summary(spark, sf_dir):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
     def dec_sum(col, scale: int):
-        # exact decimal accumulation — order-independent, engine-agnostic;
-        # the cast rounds HALF_UP at the scale (see _cents_sum note)
-        return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+        # exact accumulation of the scaled integer — order-independent,
+        # engine-agnostic, pure codegen per row (see _cents_sum note)
+        m = float(10**scale)
+        unscaled = F.floor(col * F.lit(m) + F.lit(0.5)).cast("decimal(20,0)")
+        return F.sum(unscaled).cast("double") / m
 
     def cents(col, scale: int):
         return F.floor(dec_sum(col, scale) * 1e2 + 0.5) / 1e2
@@ -155,7 +155,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 1e2 + 0.5)
              / 1e2 AS revenue
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
@@ -902,7 +902,7 @@ def q6_forecast_revenue(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 1e2 + 0.5)
              / 1e2 AS revenue,
            round(c_acctbal, 2) AS acctbal, n_name
     FROM customer
@@ -1125,7 +1125,7 @@ def q4_order_priority_exists(spark, sf_dir):
     "join_salted_hot_key",
     oracle="""
     SELECT s_nationkey, count(*) AS n_items,
-           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 1e2 + 0.5)
              / 1e2 AS revenue
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey ORDER BY s_nationkey
@@ -1646,7 +1646,7 @@ def ensure_bucketed_tables(spark, sf_dir) -> tuple[str, str]:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5)
+           floor(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 1e2 + 0.5)
              / 1e2 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -1666,15 +1666,14 @@ def ensure_bucketed_tables(spark, sf_dir) -> tuple[str, str]:
 def join_bucketed_colocated(spark, sf_dir):
     li_name, ord_name = ensure_bucketed_tables(spark, sf_dir)
     li, orders = spark.table(li_name), spark.table(ord_name)
-    rev = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-    ).cast("decimal(28,4)")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            fround(F.sum(rev), 2).alias("revenue"),
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
