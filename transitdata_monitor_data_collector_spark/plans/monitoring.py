@@ -2847,8 +2847,8 @@ _PR_EDGES_SQL = """
     "propagation. Rank mass is a nano-integer (1e9 total), every "
     "round's redistribution is floor'd integer arithmetic, so the "
     "DuckDB recursive-CTE oracle replays all 10 rounds bit-exactly. "
-    "Spark side: per-round equi-join + aggregate with localCheckpoint "
-    "lineage truncation every 4 rounds (the connected-components "
+    "Spark side: per-round equi-join + aggregate with eager localCheckpoint "
+    "lineage truncation every 2 rounds (the connected-components "
     "discipline, operators/components.py).",
     tags=("monitoring", "graph", "join", "agg"),
 )
@@ -2909,8 +2909,13 @@ def graph_pagerank_transitions(spark, sf_dir):
                 F.col("base_n") + F.coalesce(F.col("in_n"), F.lit(0))
             ).alias("rank_n"),
         )
-        if (i + 1) % 4 == 0:
-            rank = rank.localCheckpoint(eager=False)
+        if (i + 1) % 2 == 0 and i + 1 < _PR_ROUNDS:
+            # EAGER checkpoint: truncating the unrolled lineage while it
+            # is still shallow keeps Catalyst's per-round optimization
+            # cost linear (a lazy checkpoint only truncates at the final
+            # action, after the full 10-round plan has been analyzed —
+            # measured 3.4s vs 2.6s at sf0.1)
+            rank = rank.localCheckpoint(eager=True)
     return rank.select(
         "node",
         "rank_n",
