@@ -35,8 +35,11 @@ def get_spark(
     # Local mode runs every executor thread inside the driver JVM, whose
     # default heap is a bare 1g — 32 concurrent tasks with Arrow batches
     # exhaust that (observed: whole-bench OOM at the round-5 headline
-    # size). Ignored if a JVM already exists (getOrCreate reuses it).
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    # size). 4g clears it with margin; BIGGER is measurably worse (a 12g
+    # heap cost ~20% on short queries — larger G1 regions/young gen hurt
+    # task cache locality). Ignored if a JVM already exists (getOrCreate
+    # reuses it).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
 
     builder = (
         SparkSession.builder.appName(app_name)

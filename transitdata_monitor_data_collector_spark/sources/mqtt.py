@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -78,6 +79,22 @@ MQTT_SCHEMA = StructType(
         StructField("ts", TimestampType(), False),
     ]
 )
+
+
+def _arrow_schema():
+    """Arrow twin of MQTT_SCHEMA for the live reader's vectorized drain
+    (must match what the JVM expects from the python runner:
+    pyspark.sql.pandas.types.to_arrow_schema(MQTT_SCHEMA))."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("broker", pa.string(), nullable=False),
+            pa.field("topic", pa.string(), nullable=False),
+            pa.field("payload", pa.binary(), nullable=True),
+            pa.field("ts", pa.timestamp("us", tz="UTC"), nullable=False),
+        ]
+    )
 
 
 def _validate_qos(qos: int) -> int:
@@ -183,7 +200,10 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
         client = mqtt.Client()
 
         def _now():
-            return datetime.now(timezone.utc).replace(tzinfo=None)
+            # epoch micros (UTC by definition) — goes straight into the
+            # arrow timestamp[us, tz=UTC] column at drain time with no
+            # per-row datetime object
+            return time.time_ns() // 1_000
 
         def _emit(topic: str, payload: bytes) -> None:
             with self._lock:
@@ -209,9 +229,21 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
         def on_message(c, userdata, msg):
             _emit(msg.topic, bytes(msg.payload))
 
+        def on_message_batch(c, userdata, msgs):
+            # mqttshim extension (ignored by paho, which calls
+            # on_message per row): messages that arrived in one TCP
+            # segment share one arrival timestamp and one buffer lock
+            # acquisition — the per-message Python overhead otherwise
+            # caps the live drain rate near the 10k msg/s budget
+            broker, ts = self._broker, _now()
+            rows = [(broker, m.topic, bytes(m.payload), ts) for m in msgs]
+            with self._lock:
+                self._buffer.extend(rows)
+
         client.on_connect = on_connect
         client.on_disconnect = on_disconnect
         client.on_message = on_message
+        client.on_message_batch = on_message_batch
         client.connect(host, port, keepalive=self._keep_alive)
         client.loop_start()
         self._client = client
@@ -227,7 +259,26 @@ class _MqttLiveReader(SimpleDataSourceStreamReader):
             n = min(len(self._buffer), self._max_batch)
             rows, self._buffer = self._buffer[:n], self._buffer[n:]
         self._seq += n
-        return iter(rows), {"seq": self._seq}
+        if not rows:
+            return iter(()), {"seq": self._seq}
+        # Vectorized drain: ship the batch as ONE pyarrow RecordBatch —
+        # the python runner passes RecordBatches through untouched
+        # (records_to_arrow_batches), skipping the per-row type-check +
+        # conversion that otherwise caps the live path around the
+        # 10k msg/s budget (measured ~50us/row on the tuple path).
+        import pyarrow as pa
+
+        schema = _arrow_schema()
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([r[1] for r in rows], pa.string()),
+                pa.array([r[2] for r in rows], pa.binary()),
+                pa.array([r[3] for r in rows], pa.timestamp("us", tz="UTC")),
+            ],
+            schema=schema,
+        )
+        return iter([batch]), {"seq": self._seq}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(())  # QoS-0 history is gone; at-most-once by design
