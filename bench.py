@@ -116,6 +116,7 @@ HEADLINE = [
     # epoch-budget accounting report
     "text_bpe_train_merges",
     "doc_epoch_schedule",
+    "retrieval_hybrid_rrf",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

@@ -7835,3 +7835,235 @@ def doc_epoch_schedule(spark, sf_dir):
         .select("source", "n_docs", "avail_tokens", target, epochs, over)
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + vector cosine fused with Reciprocal-Rank Fusion.
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60          # the standard RRF constant (Cormack et al. 2009)
+_RRF_LIST_K = 50     # per-modality candidate list depth
+_RRF_TOP = 10        # fused results per query
+_RRF_QMOD, _RRF_QREM = 83, 7  # deterministic query-doc selector
+_RRF_TERMS_PER_Q = 5          # query terms: 5 lexicographically-smallest
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id AS q_id, text FROM documents
+      WHERE doc_id % {_RRF_QMOD} = {_RRF_QREM}
+    ),
+    qt AS (
+      SELECT q_id, term FROM (
+        SELECT q_id, t.term,
+               row_number() OVER (PARTITION BY q_id ORDER BY t.term) AS rn
+        FROM q CROSS JOIN
+             unnest(list_distinct({_DD_TOKENS_LOWER})) AS t(term)
+        WHERE length(t.term) >= 4
+      ) WHERE rn <= {_RRF_TERMS_PER_Q}
+    ),
+    tok AS (
+      SELECT doc_id, unnest({_DD_TOKENS_LOWER}) AS term FROM documents
+    ),
+    tf0 AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    dl AS (
+      SELECT doc_id, len({_DD_TOKENS_LOWER}) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf0 GROUP BY term
+    ),
+    tscore AS (
+      SELECT q_id, tf0.doc_id,
+             CAST(sum(CAST(floor(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                     + {_BM25_B} * dl.dl / avgdl))
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS score_n
+      FROM tf0
+      JOIN qt USING (term)
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf0.doc_id
+      CROSS JOIN stats
+      WHERE tf0.doc_id <> q_id
+      GROUP BY q_id, tf0.doc_id
+    ),
+    trank AS (
+      SELECT q_id, doc_id, rank_t FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score_n DESC, doc_id) AS rank_t
+        FROM tscore
+      ) WHERE rank_t <= {_RRF_LIST_K}
+    ),
+    vq AS (
+      SELECT vec_id AS q_id, embedding FROM embeddings
+      WHERE vec_id % {_RRF_QMOD} = {_RRF_QREM}
+    ),
+    vscore AS (
+      SELECT a.q_id, b.vec_id AS doc_id,
+             CAST(floor({_COS_DD} * 1e6 + 0.5) AS BIGINT) AS cos_micro
+      FROM vq a CROSS JOIN embeddings b
+      WHERE b.vec_id <> a.q_id
+    ),
+    vrank AS (
+      SELECT q_id, doc_id, rank_v FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_micro DESC, doc_id) AS rank_v
+        FROM vscore
+      ) WHERE rank_v <= {_RRF_LIST_K}
+    ),
+    fused AS (
+      SELECT coalesce(t.q_id, v.q_id) AS q_id,
+             coalesce(t.doc_id, v.doc_id) AS doc_id,
+             CAST(coalesce(1000000000 // ({_RRF_C} + t.rank_t), 0)
+                  + coalesce(1000000000 // ({_RRF_C} + v.rank_v), 0)
+                  AS BIGINT) AS rrf_n,
+             t.rank_t AS text_rank, v.rank_v AS vec_rank
+      FROM trank t
+      FULL JOIN vrank v ON t.q_id = v.q_id AND t.doc_id = v.doc_id
+    )
+    SELECT q_id, doc_id, rrf_n, text_rank, vec_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_n DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= {_RRF_TOP}
+    ORDER BY q_id, rrf_n DESC, doc_id
+    """,
+    doc="Hybrid retrieval with Reciprocal-Rank Fusion (Cormack et al. "
+    "2009): per query document (deterministic id selector), a BM25 "
+    "candidate list from its 5 lexicographically-smallest distinct "
+    "terms (>= 4 chars) and a cosine candidate list from its "
+    "embedding (doc i's vector is vec i), each ranked with a TOTAL "
+    "order (nano/micro-quantized score desc, id asc), then fused as "
+    "sum of 1e9 DIV (60 + rank) — integer-exact, so the fused ordering "
+    "hashes cross-engine. This is the standard first-stage retrieval "
+    "pattern for RAG and for hybrid near-dup mining in curation "
+    "pipelines. Scale shape: query terms and query vectors are tiny "
+    "broadcasts; the text side is an inverted-index equi-join (tf0 "
+    "would be the pre-built index table at 100 TB); the vector side is "
+    "query-broadcast brute force, swappable for the IVF/LSH path; "
+    "fusion joins two (n_queries x k) lists — negligible.",
+    tags=("llm", "text", "similarity", "search"),
+)
+def retrieval_hybrid_rrf(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+
+    # query term sets: 5 smallest distinct >=4-char tokens per query doc
+    wq = W.partitionBy("q_id").orderBy("term")
+    qt = (
+        d.filter(F.col("doc_id") % _RRF_QMOD == _RRF_QREM)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(toks)).alias("term"),
+        )
+        .filter(F.length("term") >= 4)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _RRF_TERMS_PER_Q)
+        .drop("rn")
+    )
+
+    tf0 = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(toks).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    df_ = tf0.groupBy("term").agg(F.count("*").alias("df"))
+
+    score_nano = F.floor(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        * 1e9
+        + 0.5
+    ).cast("long")
+    tscore = (
+        tf0.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(df_), "term")
+        .join(dl.withColumnRenamed("doc_id", "_dld"), F.col("doc_id") == F.col("_dld"))
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", score_nano.alias("score_n"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("score_n").alias("score_n"))
+    )
+    wt = W.partitionBy("q_id").orderBy(F.desc("score_n"), "doc_id")
+    trank = (
+        tscore.withColumn("rank_t", F.row_number().over(wt))
+        .filter(F.col("rank_t") <= _RRF_LIST_K)
+        .select("q_id", "doc_id", "rank_t")
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    vq = emb.filter(F.col("vec_id") % _RRF_QMOD == _RRF_QREM).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    vscore = (
+        emb.crossJoin(F.broadcast(vq))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                cosine(F.col("embedding"), F.col("q_emb")) * 1e6 + 0.5
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    wv = W.partitionBy("q_id").orderBy(F.desc("cos_micro"), "doc_id")
+    vrank = (
+        vscore.withColumn("rank_v", F.row_number().over(wv))
+        .filter(F.col("rank_v") <= _RRF_LIST_K)
+        .select("q_id", "doc_id", "rank_v")
+    )
+
+    fused = (
+        trank.join(vrank, ["q_id", "doc_id"], "full_outer")
+        .select(
+            "q_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 div ({_RRF_C} + rank_t)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 div ({_RRF_C} + rank_v)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_n"),
+            F.col("rank_t").alias("text_rank"),
+            F.col("rank_v").alias("vec_rank"),
+        )
+    )
+    wf = W.partitionBy("q_id").orderBy(F.desc("rrf_n"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _RRF_TOP)
+        .drop("rn")
+        .orderBy("q_id", F.desc("rrf_n"), "doc_id")
+    )
