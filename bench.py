@@ -117,6 +117,7 @@ HEADLINE = [
     "text_bpe_train_merges",
     "doc_epoch_schedule",
     "retrieval_hybrid_rrf",
+    "retrieval_mmr_diversify",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

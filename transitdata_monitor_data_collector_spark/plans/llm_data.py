@@ -8067,3 +8067,209 @@ def retrieval_hybrid_rrf(spark, sf_dir):
         .drop("rn")
         .orderBy("q_id", F.desc("rrf_n"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified top-k: greedy re-ranking of the cosine candidate list.
+# ---------------------------------------------------------------------------
+
+_MMR_CAND_K = 20   # candidate list depth (relevance top-k)
+_MMR_PICKS = 8     # diversified results per query
+# lambda = 0.7 in integer tenths: mmr = 7*rel - 3*max_sim (micro units)
+_MMR_W_REL, _MMR_W_DIV = 7, 3
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy-trajectory oracle (the logreg/BPE replay pattern:
+    chained CTEs, one per pick — recursive CTEs cannot aggregate over
+    the recursive relation)."""
+    comb1 = (
+        f"CAST({_MMR_W_REL}*rel AS BIGINT)*1000000000 - doc_id"
+    )
+    steps = [
+        f"""
+    p1 AS (
+      SELECT q_id, arg_max(doc_id, {comb1}) AS pick, max({comb1}) AS comb
+      FROM cand GROUP BY q_id
+    ),
+    s1 AS (
+      SELECT q_id, CAST(1 AS BIGINT) AS step, pick AS doc_id,
+             CAST((comb + pick) // 1000000000 AS BIGINT) AS mmr_n
+      FROM p1
+    ),
+    acc1 AS MATERIALIZED (SELECT q_id, [pick] AS sel FROM p1)"""
+    ]
+    for i in range(2, _MMR_PICKS + 1):
+        comb = (
+            f"CAST({_MMR_W_REL}*c.rel - {_MMR_W_DIV}*coalesce(ms.mx, 0)"
+            f" AS BIGINT)*1000000000 - c.doc_id"
+        )
+        steps.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT c.q_id, arg_max(c.doc_id, {comb}) AS pick,
+             max({comb}) AS comb
+      FROM cand c
+      JOIN acc{i - 1} v ON v.q_id = c.q_id
+      LEFT JOIN (
+        SELECT s.q_id, s.a AS doc_id, max(s.sim) AS mx
+        FROM sims s
+        JOIN acc{i - 1} v2 ON v2.q_id = s.q_id
+             AND list_contains(v2.sel, s.b)
+        GROUP BY s.q_id, s.a
+      ) ms ON ms.q_id = c.q_id AND ms.doc_id = c.doc_id
+      WHERE NOT list_contains(v.sel, c.doc_id)
+      GROUP BY c.q_id
+    ),
+    s{i} AS (
+      SELECT q_id, CAST({i} AS BIGINT) AS step, pick AS doc_id,
+             CAST((comb + pick) // 1000000000 AS BIGINT) AS mmr_n
+      FROM p{i}
+    ),
+    acc{i} AS MATERIALIZED (
+      SELECT v.q_id, list_append(v.sel, p.pick) AS sel
+      FROM acc{i - 1} v JOIN p{i} p USING (q_id)
+    )""")
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM s{i}" for i in range(1, _MMR_PICKS + 1)
+    )
+    return f"""
+    WITH vq AS (
+      SELECT vec_id AS q_id, embedding FROM embeddings
+      WHERE vec_id % {_RRF_QMOD} = {_RRF_QREM}
+    ),
+    vscore AS (
+      SELECT a.q_id, b.vec_id AS doc_id,
+             CAST(floor({_COS_DD} * 1e6 + 0.5) AS BIGINT) AS rel
+      FROM vq a CROSS JOIN embeddings b
+      WHERE b.vec_id <> a.q_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT q_id, doc_id, rel FROM (
+        SELECT q_id, doc_id, rel,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rel DESC, doc_id) AS rn
+        FROM vscore
+      ) WHERE rn <= {_MMR_CAND_K}
+    ),
+    sims AS MATERIALIZED (
+      SELECT x.q_id, x.doc_id AS a, y.doc_id AS b,
+             CAST(floor(
+               list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(ea.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[]))))
+               * 1e6 + 0.5) AS BIGINT) AS sim
+      FROM cand x
+      JOIN cand y ON x.q_id = y.q_id AND x.doc_id <> y.doc_id
+      JOIN embeddings ea ON ea.vec_id = x.doc_id
+      JOIN embeddings eb ON eb.vec_id = y.doc_id
+    ),{",".join(steps)}
+    SELECT q_id, step, doc_id, mmr_n FROM (
+      {union}
+    ) ORDER BY q_id, step
+    """
+
+
+@register(
+    "retrieval_mmr_diversify",
+    oracle=_mmr_oracle(),
+    doc="Maximal-Marginal-Relevance diversified top-k (Carbonell & "
+    "Goldstein 1998, lambda=0.7): greedy re-rank of each query's "
+    "cosine top-20 — each pick maximizes 7*relevance - 3*max-"
+    "similarity-to-already-picked, all in micro-quantized integer "
+    "arithmetic with the doc-id tiebreak folded into one BIGINT "
+    "(mmr*1e9 - doc_id), so the greedy trajectory is bit-identical "
+    "cross-engine. Spark side: the inherently sequential per-query "
+    "greedy runs as applyInPandas over (candidate, pairwise-sim) "
+    "groups of k + k*(k-1) rows — the documented custom-operator path "
+    "for semantics built-ins cannot express; candidate generation and "
+    "the k x k sim table stay relational. The DuckDB oracle replays "
+    "the identical 8-pick trajectory as unrolled chained CTEs (the "
+    "logreg/BPE replay pattern). Diversified sampling of training "
+    "batches and dedup-aware retrieval both reduce to this operator.",
+    tags=("llm", "similarity", "search"),
+)
+def retrieval_mmr_diversify(spark, sf_dir):
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    vq = emb.filter(F.col("vec_id") % _RRF_QMOD == _RRF_QREM).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    vscore = (
+        emb.crossJoin(F.broadcast(vq))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            F.floor(cosine(F.col("embedding"), F.col("q_emb")) * 1e6 + 0.5)
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    wv = W.partitionBy("q_id").orderBy(F.desc("rel"), "doc_id")
+    cand = (
+        vscore.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= _MMR_CAND_K)
+        .drop("rn")
+    )
+    ca = cand.select("q_id", F.col("doc_id").alias("a"), "rel")
+    cb = cand.select(F.col("q_id").alias("q2"), F.col("doc_id").alias("b"))
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = (
+        ca.join(cb, (ca["q_id"] == cb["q2"]) & (ca["a"] != cb["b"]))
+        .join(F.broadcast(ea), "a")
+        .join(F.broadcast(eb), "b")
+        .select(
+            "q_id",
+            "a",
+            "rel",
+            "b",
+            F.floor(cosine(F.col("ea"), F.col("eb")) * 1e6 + 0.5)
+            .cast("long")
+            .alias("sim"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {
+            int(a): int(r)
+            for a, r in pdf[["a", "rel"]].drop_duplicates().itertuples(
+                index=False
+            )
+        }
+        sim = {
+            (int(a), int(b)): int(s)
+            for a, b, s in pdf[["a", "b", "sim"]].itertuples(index=False)
+        }
+        q_id = int(pdf["q_id"].iloc[0])
+        selected: list[int] = []
+        out = []
+        for step in range(1, _MMR_PICKS + 1):
+            best = None
+            for c in rel:
+                if c in selected:
+                    continue
+                ms = (
+                    max(sim.get((c, s), 0) for s in selected)
+                    if selected
+                    else 0
+                )
+                mmr = _MMR_W_REL * rel[c] - _MMR_W_DIV * ms
+                comb = mmr * 1_000_000_000 - c
+                if best is None or comb > best[0]:
+                    best = (comb, c, mmr)
+            selected.append(best[1])
+            out.append((q_id, step, best[1], best[2]))
+        return pd.DataFrame(
+            out, columns=["q_id", "step", "doc_id", "mmr_n"]
+        )
+
+    return (
+        pairs.groupBy("q_id")
+        .applyInPandas(greedy, "q_id long, step long, doc_id long, mmr_n long")
+        .orderBy("q_id", "step")
+    )
