@@ -8215,14 +8215,23 @@ def retrieval_mmr_diversify(spark, sf_dir):
         .filter(F.col("rn") <= _MMR_CAND_K)
         .drop("rn")
     )
-    ca = cand.select("q_id", F.col("doc_id").alias("a"), "rel")
-    cb = cand.select(F.col("q_id").alias("q2"), F.col("doc_id").alias("b"))
-    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    # fetch candidate embeddings by broadcasting the SMALL candidate set
+    # into the embeddings scan (broadcasting embeddings itself would not
+    # survive a 100 TB table); the enriched candidate list (n_q x k rows
+    # with vectors) is then tiny and self-joins broadcast-side
+    cand_emb = emb.join(
+        F.broadcast(cand), emb["vec_id"] == cand["doc_id"]
+    ).select("q_id", F.col("doc_id").alias("a"), "rel", F.col("embedding").alias("ea"))
+    cb = cand_emb.select(
+        F.col("q_id").alias("q2"),
+        F.col("a").alias("b"),
+        F.col("ea").alias("eb"),
+    )
     pairs = (
-        ca.join(cb, (ca["q_id"] == cb["q2"]) & (ca["a"] != cb["b"]))
-        .join(F.broadcast(ea), "a")
-        .join(F.broadcast(eb), "b")
+        cand_emb.join(
+            F.broadcast(cb),
+            (cand_emb["q_id"] == cb["q2"]) & (cand_emb["a"] != cb["b"]),
+        )
         .select(
             "q_id",
             "a",
