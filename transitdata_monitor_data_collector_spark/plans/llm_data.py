@@ -7845,6 +7845,10 @@ _RRF_C = 60          # the standard RRF constant (Cormack et al. 2009)
 _RRF_LIST_K = 50     # per-modality candidate list depth
 _RRF_TOP = 10        # fused results per query
 _RRF_QMOD, _RRF_QREM = 83, 7  # deterministic query-doc selector
+_RRF_QCAP = 500  # query ids bounded to the base-id range: the query SET
+                 # stays fixed-size as the corpus grows (O(q*n) brute
+                 # force, not O(n^2/83)); base ids < 500 exist at every
+                 # SF and survive the stress replicator's id offsets
 _RRF_TERMS_PER_Q = 5          # query terms: 5 lexicographically-smallest
 
 
@@ -7853,7 +7857,7 @@ _RRF_TERMS_PER_Q = 5          # query terms: 5 lexicographically-smallest
     oracle=f"""
     WITH q AS (
       SELECT doc_id AS q_id, text FROM documents
-      WHERE doc_id % {_RRF_QMOD} = {_RRF_QREM}
+      WHERE doc_id % {_RRF_QMOD} = {_RRF_QREM} AND doc_id < {_RRF_QCAP}
     ),
     qt AS (
       SELECT q_id, term FROM (
@@ -7908,7 +7912,7 @@ _RRF_TERMS_PER_Q = 5          # query terms: 5 lexicographically-smallest
     ),
     vq AS (
       SELECT vec_id AS q_id, embedding FROM embeddings
-      WHERE vec_id % {_RRF_QMOD} = {_RRF_QREM}
+      WHERE vec_id % {_RRF_QMOD} = {_RRF_QREM} AND vec_id < {_RRF_QCAP}
     ),
     vscore AS (
       SELECT a.q_id, b.vec_id AS doc_id,
@@ -7964,7 +7968,10 @@ def retrieval_hybrid_rrf(spark, sf_dir):
     # query term sets: 5 smallest distinct >=4-char tokens per query doc
     wq = W.partitionBy("q_id").orderBy("term")
     qt = (
-        d.filter(F.col("doc_id") % _RRF_QMOD == _RRF_QREM)
+        d.filter(
+            (F.col("doc_id") % _RRF_QMOD == _RRF_QREM)
+            & (F.col("doc_id") < _RRF_QCAP)
+        )
         .select(
             F.col("doc_id").alias("q_id"),
             F.explode(F.array_distinct(toks)).alias("term"),
@@ -8018,7 +8025,10 @@ def retrieval_hybrid_rrf(spark, sf_dir):
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    vq = emb.filter(F.col("vec_id") % _RRF_QMOD == _RRF_QREM).select(
+    vq = emb.filter(
+        (F.col("vec_id") % _RRF_QMOD == _RRF_QREM)
+        & (F.col("vec_id") < _RRF_QCAP)
+    ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     vscore = (
@@ -8135,7 +8145,7 @@ def _mmr_oracle() -> str:
     return f"""
     WITH vq AS (
       SELECT vec_id AS q_id, embedding FROM embeddings
-      WHERE vec_id % {_RRF_QMOD} = {_RRF_QREM}
+      WHERE vec_id % {_RRF_QMOD} = {_RRF_QREM} AND vec_id < {_RRF_QCAP}
     ),
     vscore AS (
       SELECT a.q_id, b.vec_id AS doc_id,
@@ -8195,7 +8205,10 @@ def retrieval_mmr_diversify(spark, sf_dir):
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings")
-    vq = emb.filter(F.col("vec_id") % _RRF_QMOD == _RRF_QREM).select(
+    vq = emb.filter(
+        (F.col("vec_id") % _RRF_QMOD == _RRF_QREM)
+        & (F.col("vec_id") < _RRF_QCAP)
+    ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     vscore = (
