@@ -118,6 +118,7 @@ HEADLINE = [
     "doc_epoch_schedule",
     "retrieval_hybrid_rrf",
     "retrieval_mmr_diversify",
+    "doc_mixture_temperature_sample",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

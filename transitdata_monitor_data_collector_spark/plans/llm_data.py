@@ -8295,3 +8295,164 @@ def retrieval_mmr_diversify(spark, sf_dir):
         .applyInPandas(greedy, "q_id long, step long, doc_id long, mmr_n long")
         .orderBy("q_id", "step")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling across sources (mT5/XLM-R style).
+# ---------------------------------------------------------------------------
+
+# 2^60: the md5 60-bit prefix is uniform on [0, 2^60); a doc is kept when
+# its prefix falls below floor(rate * 2^60 + 0.5)
+_MIX_HASH_SPAN = float(1 << 60)
+
+
+@register(
+    "doc_mixture_temperature_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id,
+             CAST(len(str_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS u
+      FROM documents
+    ),
+    stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1e9 + 0.5)
+                  AS BIGINT) AS w
+      FROM base GROUP BY source
+    ),
+    corpus_tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS big_w,
+             CAST(sum(tokens) AS BIGINT) // 2 AS budget
+      FROM stats
+    ),
+    rated AS (
+      SELECT source, n_docs, tokens, w, big_w, budget,
+             least(1.0, (CAST(budget AS DOUBLE) * CAST(w AS DOUBLE))
+                        / (CAST(big_w AS DOUBLE) * CAST(tokens AS DOUBLE)))
+               AS rate_d
+      FROM stats CROSS JOIN corpus_tot
+    ),
+    thr AS (
+      SELECT source, n_docs, tokens,
+             CAST(floor(rate_d * 1e6 + 0.5) AS BIGINT) AS rate_micro,
+             CAST(floor(CAST(w AS DOUBLE) / CAST(big_w AS DOUBLE) * 1e6
+                        + 0.5) AS BIGINT) AS target_share_micro,
+             CAST(floor(rate_d * {_MIX_HASH_SPAN!r} + 0.5) AS BIGINT)
+               AS cut
+      FROM rated
+    ),
+    sampled AS (
+      SELECT b.source,
+             CAST(count(*) FILTER (WHERE b.u < t.cut) AS BIGINT)
+               AS sampled_docs,
+             CAST(coalesce(sum(b.n_tokens) FILTER (WHERE b.u < t.cut), 0)
+                  AS BIGINT) AS sampled_tokens
+      FROM base b JOIN thr t USING (source)
+      GROUP BY b.source
+    )
+    SELECT t.source, t.n_docs, t.tokens, t.rate_micro,
+           t.target_share_micro, s.sampled_docs, s.sampled_tokens,
+           CAST(floor(CAST(s.sampled_tokens AS DOUBLE)
+                      / CAST(sum(s.sampled_tokens) OVER () AS DOUBLE)
+                      * 1e6 + 0.5) AS BIGINT) AS realized_share_micro
+    FROM thr t JOIN sampled s USING (source)
+    ORDER BY t.source
+    """,
+    doc="Temperature-based mixture sampling across sources (the "
+    "mT5/XLM-R multilingual recipe): per-source sampling mass "
+    "proportional to tokens^(1/T) with T=2 — chosen so the power is "
+    "sqrt, which IEEE-754 requires to be correctly rounded, hence "
+    "bit-identical cross-engine (ln/exp for arbitrary T are not). "
+    "Weights are nano-quantized to integers before the normalizing "
+    "sum, the token budget is half the corpus in exact integer DIV, "
+    "and each doc's keep/drop decision is its 60-bit md5 prefix "
+    "against floor(rate * 2^60) — deterministic, reproducible, no "
+    "RNG, so the realized mixture is auditable against the target "
+    "share (both reported micro-quantized). Scale: two aggregates "
+    "over the corpus plus a broadcast of the per-source rate table; "
+    "the sampling filter is one narrow hash compare per row.",
+    tags=("llm", "text", "export", "sampling"),
+)
+def doc_mixture_temperature_sample(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("u"),
+    )
+    stats = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    ).withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * 1e9 + 0.5).cast("long"),
+    )
+    glob = stats.agg(
+        F.sum("w").alias("big_w"),
+        F.expr("sum(tokens) div 2").alias("budget"),
+    )
+    rate_d = F.least(
+        F.lit(1.0),
+        (F.col("budget").cast("double") * F.col("w").cast("double"))
+        / (F.col("big_w").cast("double") * F.col("tokens").cast("double")),
+    )
+    thr = (
+        stats.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.floor(rate_d * 1e6 + 0.5).cast("long").alias("rate_micro"),
+            F.floor(
+                F.col("w").cast("double") / F.col("big_w").cast("double") * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("target_share_micro"),
+            F.floor(rate_d * F.lit(_MIX_HASH_SPAN) + 0.5)
+            .cast("long")
+            .alias("cut"),
+        )
+    )
+    kept = F.col("u") < F.col("cut")
+    sampled = (
+        base.join(F.broadcast(thr.select("source", "cut")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("sampled_docs"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+    )
+    tot = sampled.agg(F.sum("sampled_tokens").alias("_tot"))
+    return (
+        thr.drop("cut")
+        .join(sampled, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "rate_micro",
+            "target_share_micro",
+            "sampled_docs",
+            "sampled_tokens",
+            F.floor(
+                F.col("sampled_tokens").cast("double")
+                / F.col("_tot").cast("double")
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("realized_share_micro"),
+        )
+        .orderBy("source")
+    )
