@@ -119,6 +119,8 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "retrieval_mmr_diversify",
     "doc_mixture_temperature_sample",
+    "doc_range_shard_export",
+    "doc_nucleus_quality_cutoff",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

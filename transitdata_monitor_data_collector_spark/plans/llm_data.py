@@ -8456,3 +8456,197 @@ def doc_mixture_temperature_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-sharded export layout via distributed ranking (histogram CDF).
+# ---------------------------------------------------------------------------
+
+_RANGE_SHARDS = 8
+
+
+@register(
+    "doc_range_shard_export",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars FROM documents
+    ),
+    hist AS (
+      SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+      FROM keyed GROUP BY n_chars
+    ),
+    cdf AS (
+      SELECT n_chars, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before,
+             CAST(sum(cnt) OVER () AS BIGINT) AS total
+      FROM hist
+    ),
+    ranked AS (
+      SELECT k.doc_id, k.n_chars,
+             c.cum_before
+               + row_number() OVER (PARTITION BY k.n_chars
+                                    ORDER BY k.doc_id) AS rnk,
+             c.total
+      FROM keyed k JOIN cdf c USING (n_chars)
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars,
+             CAST((rnk - 1) * {_RANGE_SHARDS} // total AS BIGINT) AS shard
+      FROM ranked
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+    doc="Range-sharded export layout (sorted data layout for curriculum "
+    "order / scan locality), with the global rank computed the "
+    "SCALE-CORRECT way: no single-partition window over the corpus — "
+    "instead a histogram CDF over the DISTINCT key values (bounded "
+    "cardinality; the only unpartitioned window runs over that bounded "
+    "set, the KMV-sketch discipline) gives each key its preceding "
+    "count, and a per-key-partitioned row_number supplies the exact "
+    "tie-broken offset. shard = (rank-1)*N DIV total is exact integer "
+    "math, so shard sizes differ by at most 1 and boundaries are "
+    "reproducible — unlike Spark's sampled range partitioner. Report: "
+    "per-shard doc counts and key ranges (contiguous, non-overlapping "
+    "by construction).",
+    tags=("llm", "export", "sharding", "window"),
+)
+def doc_range_shard_export(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    keyed = d.select("doc_id", "n_chars")
+    hist = keyed.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    wc = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+    cdf = hist.select(
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    wt = W.partitionBy("n_chars").orderBy("doc_id")
+    ranked = keyed.join(F.broadcast(cdf), "n_chars").select(
+        "doc_id",
+        "n_chars",
+        (F.col("cum_before") + F.row_number().over(wt)).alias("rnk"),
+        "total",
+    )
+    assigned = ranked.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"(rnk - 1) * {_RANGE_SHARDS} div total").alias("shard"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus-style per-source quality cutoff (cumulative-mass selection).
+# ---------------------------------------------------------------------------
+
+_NUCLEUS_P_PCT = 80  # keep the top docs covering 80% of source token mass
+
+
+@register(
+    "doc_nucleus_quality_cutoff",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(str_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(n_chars AS BIGINT) AS quality
+      FROM documents
+    ),
+    mass AS (
+      SELECT source, doc_id, n_tokens, quality,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before,
+             CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+               AS src_total
+      FROM toks
+    ),
+    kept AS (
+      SELECT * FROM mass
+      WHERE cum_before * 100 < src_total * {_NUCLEUS_P_PCT}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(min(quality) AS BIGINT) AS quality_cutoff,
+           CAST(floor(CAST(sum(n_tokens) AS DOUBLE)
+                      / CAST(max(src_total) AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT) AS kept_share_micro
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    doc="Nucleus-style (top-p) per-source quality cutoff: within each "
+    "source, docs ordered by quality (n_chars proxy, doc_id tiebreak) "
+    "are kept while the cumulative token mass BEFORE them is under "
+    "p=80% of the source total — the doc that crosses the threshold is "
+    "included, matching top-p sampling's convention. The predicate is "
+    "exact integer cross-multiplication (cum*100 < total*80 — no "
+    "division, no floats), so the kept set is bit-reproducible. This "
+    "is the curation pattern between a hard quality threshold (keeps "
+    "variable mass) and uniform sampling (ignores quality): guarantee "
+    "a mass budget per source while preferring the best documents. "
+    "Scale: windows partition by source; the cumulative sum is one "
+    "pass; no global window anywhere.",
+    tags=("llm", "text", "export", "sampling", "window"),
+)
+def doc_nucleus_quality_cutoff(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("quality"),
+    )
+    wm = (
+        W.partitionBy("source")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ws = W.partitionBy("source")
+    mass = toks.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.coalesce(F.sum("n_tokens").over(wm), F.lit(0)).alias("cum_before"),
+        F.sum("n_tokens").over(ws).alias("src_total"),
+    )
+    kept = mass.filter(
+        F.col("cum_before") * 100 < F.col("src_total") * _NUCLEUS_P_PCT
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.min("quality").alias("quality_cutoff"),
+            F.floor(
+                F.sum("n_tokens").cast("double")
+                / F.max("src_total").cast("double")
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("kept_share_micro"),
+        )
+        .orderBy("source")
+    )
