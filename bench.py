@@ -121,6 +121,7 @@ HEADLINE = [
     "doc_mixture_temperature_sample",
     "doc_range_shard_export",
     "doc_nucleus_quality_cutoff",
+    "doc_quality_calibration",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

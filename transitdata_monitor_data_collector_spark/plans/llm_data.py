@@ -8650,3 +8650,159 @@ def doc_nucleus_quality_cutoff(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration (reliability) report for the in-engine quality classifier.
+# ---------------------------------------------------------------------------
+
+
+def _logreg_weights_cte() -> str:
+    """The logreg trajectory replay as a CTE chain ending in w3 (weights
+    after the final round) — shared shape with _logreg_oracle_sql."""
+    parts = [_LOGREG_FEAT_SQL.strip().rstrip()]
+    prev_w = None
+    for r in range(1, _LOGREG_ROUNDS + 1):
+        if prev_w is None:
+            z = "CAST(0 AS BIGINT)"
+            src = "feat"
+        else:
+            z = "(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+            src = f"feat CROSS JOIN {prev_w} w"
+        p = (
+            f"least(greatest(CAST(500000000 AS BIGINT) + ({z}) // 4000, "
+            "CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT))"
+        )
+        parts.append(
+            f"""g{r} AS (
+  SELECT sum(err * x0) AS s0, sum(err * x1) AS s1,
+         sum(err * x2) AS s2, sum(err * x3) AS s3
+  FROM (SELECT ({p}) - y9 AS err, x0, x1, x2, x3 FROM {src})
+)"""
+        )
+        base = "CAST(0 AS BIGINT)" if prev_w is None else "w.w{k}"
+        wcols = ", ".join(
+            f"{base.format(k=k)} - ((s{k} // (n * 1000)) // 4) AS w{k}"
+            for k in range(4)
+        )
+        from_w = "" if prev_w is None else f", {prev_w} w"
+        parts.append(f"w{r} AS (SELECT {wcols} FROM g{r}, nn{from_w})")
+        prev_w = f"w{r}"
+    return ",\n".join(parts)
+
+
+@register(
+    "doc_quality_calibration",
+    oracle=f"""
+    WITH {_logreg_weights_cte()},
+    scored AS (
+      SELECT least(greatest(CAST(500000000 AS BIGINT)
+               + (w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3) // 4000,
+               CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT)) AS p_nano,
+             y9
+      FROM feat CROSS JOIN w{_LOGREG_ROUNDS} w
+    ),
+    binned AS (
+      SELECT least(p_nano * 10 // 1000000000, 9) AS bin, p_nano, y9
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(p_nano) // count(*) AS BIGINT) AS conf_nano,
+             CAST(sum(CASE WHEN y9 > 0 THEN 1 ELSE 0 END) * 1000000000
+                  // count(*) AS BIGINT) AS acc_nano
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n_docs, conf_nano, acc_nano,
+           abs(conf_nano - acc_nano) AS gap_nano,
+           CAST(sum(n_docs * abs(conf_nano - acc_nano)) OVER ()
+                // sum(n_docs) OVER () AS BIGINT) AS ece_nano
+    FROM per_bin ORDER BY bin
+    """,
+    doc="Calibration (reliability) report for the engine-trained quality "
+    "classifier: documents are re-scored with the FINAL weights of the "
+    "doc_quality_logreg trajectory (replayed identically on both "
+    "engines), binned into 10 fixed-width probability bins by pure "
+    "integer math (p*10 DIV 1e9), and each bin reports mean predicted "
+    "probability (confidence) vs observed positive rate (accuracy) in "
+    "exact nano-integer arithmetic; the Expected Calibration Error "
+    "(sum of bin-weighted |conf - acc| over N) rides along as a "
+    "constant column. Every classifier-based curation pipeline needs "
+    "this check before trusting score thresholds. Scale: one training "
+    "replay (3 aggregate rounds), one scoring pass, a 10-row window.",
+    tags=("llm", "text", "quality", "agg"),
+)
+def doc_quality_calibration(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    feat = d.selectExpr(
+        "CAST(1000 AS BIGINT) AS x0",
+        "CAST(least(n_chars, 1000) AS BIGINT) AS x1",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS x2",
+        "CAST(size(array_distinct(split(text, ' '))) * 1000 AS BIGINT) "
+        "DIV CAST(size(split(text, ' ')) AS BIGINT) AS x3",
+        "CASE WHEN lang = 'en' THEN CAST(1000000000 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS y9",
+    ).cache()
+    n = feat.count()
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    w = [0, 0, 0, 0]
+    for _ in range(_LOGREG_ROUNDS):
+        z = f"({w[0]} * x0 + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3)"
+        p = (
+            f"least(greatest(CAST(500000000 AS BIGINT) + {z} DIV 4000, "
+            "CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT))"
+        )
+        err = f"(({p}) - y9)"
+        s = feat.selectExpr(
+            f"sum({err} * x0) AS s0",
+            f"sum({err} * x1) AS s1",
+            f"sum({err} * x2) AS s2",
+            f"sum({err} * x3) AS s3",
+        ).collect()[0]
+        for k in range(4):
+            w[k] = w[k] - tdiv(tdiv(s[f"s{k}"], n * 1000), 4)
+
+    z = f"({w[0]} * x0 + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3)"
+    scored = feat.selectExpr(
+        f"least(greatest(CAST(500000000 AS BIGINT) + {z} DIV 4000, "
+        "CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT)) AS p_nano",
+        "y9",
+    )
+    per_bin = (
+        scored.selectExpr(
+            "least(p_nano * 10 DIV 1000000000, CAST(9 AS BIGINT)) AS bin",
+            "p_nano",
+            "y9",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("sum(p_nano) div count(*)").alias("conf_nano"),
+            F.expr(
+                "sum(CASE WHEN y9 > 0 THEN 1 ELSE 0 END) * 1000000000 "
+                "div count(*)"
+            ).alias("acc_nano"),
+        )
+    )
+    wall = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        per_bin.select(
+            "bin",
+            "n_docs",
+            "conf_nano",
+            "acc_nano",
+            F.abs(F.col("conf_nano") - F.col("acc_nano")).alias("gap_nano"),
+        )
+        .withColumn("_wsum", F.sum(F.col("n_docs") * F.col("gap_nano")).over(wall))
+        .withColumn("_n", F.sum("n_docs").over(wall))
+        .withColumn("ece_nano", F.expr("_wsum div _n"))
+        .drop("_wsum", "_n")
+        .orderBy("bin")
+    )
