@@ -122,6 +122,7 @@ HEADLINE = [
     "doc_range_shard_export",
     "doc_nucleus_quality_cutoff",
     "doc_quality_calibration",
+    "doc_weighted_sample_es",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

@@ -8806,3 +8806,77 @@ def doc_quality_calibration(spark, sf_dir):
         .drop("_wsum", "_n")
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis races).
+# ---------------------------------------------------------------------------
+
+_ES_SAMPLE_K = 10
+_ES_HASH_SPAN_D = float(1 << 60)
+
+
+@register(
+    "doc_weighted_sample_es",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id,
+             CAST(n_chars AS BIGINT) AS weight,
+             CAST(floor(
+               ln({_ES_HASH_SPAN_D!r}
+                  / (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          ::BIGINT AS DOUBLE) + 1.0))
+               / CAST(n_chars AS DOUBLE) * 1e12 + 0.5) AS BIGINT)
+               AS race_pico
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT source, rank, doc_id, weight, race_pico FROM (
+      SELECT source, doc_id, weight, race_pico,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY race_pico, doc_id) AS rank
+      FROM keyed
+    ) WHERE rank <= {_ES_SAMPLE_K}
+    ORDER BY source, rank
+    """,
+    doc="Weighted sampling WITHOUT replacement via Efraimidis-Spirakis "
+    "exponential races — the one-pass distributed algorithm for "
+    "'sample k docs per source with probability proportional to "
+    "weight': each doc draws u from its 60-bit md5 prefix (no RNG, "
+    "reproducible) and races with key -ln(u)/weight; the k smallest "
+    "keys per source are an exact weighted sample. The key is "
+    "pico-quantized with a doc_id tiebreak so the ranking is "
+    "deterministic cross-engine (ln differs by <=1 ulp between libms; "
+    "at 1e-12 quantization the flip probability is ~1e-9/doc, the "
+    "accepted distinct-level-ln risk class). Scale: one narrow map "
+    "pass + per-source top-k (WindowGroupLimit partial per partition "
+    "-- no global sort); weights never need normalizing, which is "
+    "what makes this THE distributed weighted sampler.",
+    tags=("llm", "export", "sampling", "window"),
+)
+def doc_weighted_sample_es(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        + 1.0
+    )
+    race = F.floor(
+        F.log(F.lit(_ES_HASH_SPAN_D) / u)
+        / F.col("n_chars").cast("double")
+        * 1e12
+        + 0.5
+    ).cast("long")
+    keyed = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        race.alias("race_pico"),
+    )
+    wr = W.partitionBy("source").orderBy("race_pico", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _ES_SAMPLE_K)
+        .select("source", "rank", "doc_id", "weight", "race_pico")
+        .orderBy("source", "rank")
+    )
