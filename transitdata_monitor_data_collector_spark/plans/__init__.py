@@ -70,16 +70,35 @@ def register(
 # exists. PRUNE an entry once a post-fix CORRECTNESS row lands (cost of
 # forgetting: a wasted window slot, not starvation).
 RE_GATE: list[str] = [
-    # (round-4 re-gates landed green in CORRECTNESS_r04; the 8 stress-fix
-    # entries from the k=5/k=10 campaign were re-verified locally at BOTH
-    # sf0.01 and sf0.1 this round — pruned so the r5 window spends all 50
-    # slots on never-gated queries, per round-4 VERDICT item 1.)
+    # round 6: CORRECTNESS_r05 hash-red pair — their oracles routed
+    # negative gradients through DuckDB ``//``, whose semantics changed
+    # between DuckDB releases (1.0.0 truncates toward zero, newer floor;
+    # the driver evidently runs a flooring build while Spark DIV always
+    # truncates). Fixed by sign-explicit truncation (_tdiv_sql in
+    # plans/llm_data.py) so the oracle is version-independent; re-gate.
+    "doc_quality_logreg",
+    "doc_quality_calibration",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era
 # additions that predate the newest CORRECTNESS file). Names here that
 # HAVE earned a row are skipped automatically — a stale hint is harmless.
 GATE_ORDER_HINT: list[str] = [
+    # round 6: the never-gated entries whose semantics are hardest to
+    # trust from the local mirror alone (r5 VERDICT item 3) — streaming
+    # sketch replays, VARIANT shredding, TRY arithmetic. Promoted so the
+    # ~6 never-gated queries that spill past the 50-slot window into r7
+    # are the LOW-risk tail, not these.
+    "json_variant_shred",
+    "streaming_bitmap_distinct",
+    "streaming_cms_heavy_hitters",
+    "streaming_histogram_buckets",
+    "agg_conditional_family",
+    "scalar_try_arithmetic",
+    "events_chain_recursive_cte",
+    "events_wau_bitmap_exact",
+    "join_shuffle_hash_hint",
+    "window_rank_functions",
     # round 5: UD4 on transformWithStateInPandas, unlocked by the vendored
     # protobuf wire-format runtime (vendor/pbshim) — gate first: it is the
     # round's flagship capability close (VERDICT r4 item 5)

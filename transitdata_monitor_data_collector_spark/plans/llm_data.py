@@ -7214,6 +7214,23 @@ def doc_pii_redaction(spark, sf_dir):
 
 _LOGREG_ROUNDS = 3
 
+
+def _tdiv_sql(a: str, b: str) -> str:
+    """Truncate-toward-zero integer division in DuckDB SQL, portable
+    across DuckDB versions. DuckDB 1.0.0 truncates ``//`` toward zero
+    (``-7 // 2 = -3``) while newer releases floor it (``-4``); Spark
+    ``DIV`` always truncates. Spelling the sign out makes the oracle
+    independent of which DuckDB the driver runs: for non-negative ``a``
+    floor == truncate, and for negative ``a`` we divide ``-a`` (positive,
+    so again floor == truncate) and negate. Requires ``b > 0``, which
+    every call site satisfies (divisors are positive literals or row
+    counts). Pinned by tests/test_duckdb_semantics.py."""
+    return (
+        f"(CASE WHEN ({a}) >= 0 THEN ({a}) // ({b}) "
+        f"ELSE -((-({a})) // ({b})) END)"
+    )
+
+
 _LOGREG_FEAT_SQL = """
 feat AS (
   SELECT CAST(1000 AS BIGINT) AS x0,
@@ -7230,8 +7247,11 @@ nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat)
 
 
 def _logreg_oracle_sql() -> str:
-    """Replay the exact integer GD in DuckDB CTEs (``//`` == Spark DIV:
-    both truncate toward zero; ``%`` matches too — verified)."""
+    """Replay the exact integer GD in DuckDB CTEs. Every division whose
+    numerator can go negative (pre-activation ``z``, gradient sums
+    ``s0..s3``) uses :func:`_tdiv_sql` so the oracle matches Spark DIV
+    (truncate toward zero) under ANY DuckDB ``//`` semantics — 1.0.0
+    truncates, newer releases floor (the CORRECTNESS_r05 hash-red cause)."""
     parts = [_LOGREG_FEAT_SQL.strip().rstrip()]
     prev_w = None  # None = all-zero initial weights
     selects = []
@@ -7245,7 +7265,8 @@ def _logreg_oracle_sql() -> str:
             )
             src = f"feat CROSS JOIN {prev_w} w"
         p = (
-            f"least(greatest(CAST(500000000 AS BIGINT) + ({z}) // 4000, "
+            f"least(greatest(CAST(500000000 AS BIGINT) "
+            f"+ {_tdiv_sql(z, '4000')}, "
             "CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT))"
         )
         parts.append(
@@ -7263,12 +7284,15 @@ def _logreg_oracle_sql() -> str:
         )
         wcols = ", ".join(
             (
-                f"{base.format(k=k)} - ((s{k} // (n * 1000)) // 4) AS w{k}"
+                f"{base.format(k=k)} - "
+                f"{_tdiv_sql(_tdiv_sql(f's{k}', 'n * 1000'), '4')} AS w{k}"
             )
             for k in range(4)
         )
         from_w = "" if prev_w is None else f", {prev_w} w"
         parts.append(
+            # sa = sum(abs(err)) is non-negative, so plain // is
+            # floor==truncate there under any DuckDB version.
             f"w{r} AS (SELECT {wcols}, sa // (n * 1000000) AS loss "
             f"FROM g{r}, nn{from_w})"
         )
@@ -8659,7 +8683,9 @@ def doc_nucleus_quality_cutoff(spark, sf_dir):
 
 def _logreg_weights_cte() -> str:
     """The logreg trajectory replay as a CTE chain ending in w3 (weights
-    after the final round) — shared shape with _logreg_oracle_sql."""
+    after the final round) — shared shape with _logreg_oracle_sql, incl.
+    the sign-explicit :func:`_tdiv_sql` on every negative-capable
+    division (DuckDB ``//``-version portability)."""
     parts = [_LOGREG_FEAT_SQL.strip().rstrip()]
     prev_w = None
     for r in range(1, _LOGREG_ROUNDS + 1):
@@ -8670,7 +8696,8 @@ def _logreg_weights_cte() -> str:
             z = "(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
             src = f"feat CROSS JOIN {prev_w} w"
         p = (
-            f"least(greatest(CAST(500000000 AS BIGINT) + ({z}) // 4000, "
+            f"least(greatest(CAST(500000000 AS BIGINT) "
+            f"+ {_tdiv_sql(z, '4000')}, "
             "CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT))"
         )
         parts.append(
@@ -8682,7 +8709,8 @@ def _logreg_weights_cte() -> str:
         )
         base = "CAST(0 AS BIGINT)" if prev_w is None else "w.w{k}"
         wcols = ", ".join(
-            f"{base.format(k=k)} - ((s{k} // (n * 1000)) // 4) AS w{k}"
+            f"{base.format(k=k)} - "
+            f"{_tdiv_sql(_tdiv_sql(f's{k}', 'n * 1000'), '4')} AS w{k}"
             for k in range(4)
         )
         from_w = "" if prev_w is None else f", {prev_w} w"
@@ -8697,7 +8725,8 @@ def _logreg_weights_cte() -> str:
     WITH {_logreg_weights_cte()},
     scored AS (
       SELECT least(greatest(CAST(500000000 AS BIGINT)
-               + (w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3) // 4000,
+               + {_tdiv_sql("w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3",
+                            "4000")},
                CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT)) AS p_nano,
              y9
       FROM feat CROSS JOIN w{_LOGREG_ROUNDS} w
