@@ -149,6 +149,12 @@ ROUND1_SET = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # local profiling aid: run only a comma-separated subset (and skip the
+    # ingest measurements) so a regression hunt doesn't pay for the full
+    # 70-query sweep each iteration
+    only = [
+        q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q
+    ]
 
     from transitdata_monitor_data_collector_spark.plans import load_all
     from transitdata_monitor_data_collector_spark.session import get_spark
@@ -171,7 +177,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in (only or HEADLINE):
         print(f"bench: {name}", file=sys.stderr, flush=True)
         run_once(name)  # untimed warm-up: JVM codegen compile amortizes
         # min of two timed runs: a single sample is hostage to ambient
@@ -183,38 +189,57 @@ def main() -> None:
     # 200k synthetic messages through the mqtt-replay DataSource +
     # windowed_rate_job (fan-out, watermark, stateful window agg, update
     # sink) and record SUSTAINED throughput + micro-batch latency.
-    from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
-        measure_ingest_budget,
-        measure_live_ingest,
-    )
+    if only:
+        ingest = live = store_serving = None
+    else:
+        from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
+            measure_ingest_budget,
+            measure_live_ingest,
+            measure_store_to_serving,
+        )
 
-    ingest = measure_ingest_budget(spark)
+        ingest = measure_ingest_budget(spark)
 
-    # Live TCP path (loopback broker -> vendored MQTT client -> source ->
-    # raw append sink): isolates network ingest from the agg path above.
-    live = measure_live_ingest(spark, n_msgs=60_000, n_publishers=4)
+        # Live TCP path (loopback broker -> vendored MQTT client -> source
+        # -> raw append sink): isolates network ingest from the agg path.
+        live = measure_live_ingest(spark, n_msgs=60_000, n_publishers=4)
+
+        # Full reference-shaped path in one run (r5 VERDICT item 7):
+        # ingest -> counter state -> versioned store + scrape history ->
+        # PromQL rate over the store -> Prometheus exposition, with a
+        # message-conservation check across the whole chain.
+        store_serving = measure_store_to_serving(spark, n_msgs=1_000_000)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "round1_set_sec": round(
-                    sum(timings[q] for q in ROUND1_SET if q in timings), 3
-                ),
-                "streaming_ingest": ingest,
-                "live_ingest": live,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "round1_set_sec": round(
+            sum(timings[q] for q in ROUND1_SET if q in timings), 3
+        ),
+        "streaming_ingest": ingest,
+        "live_ingest": live,
+        "store_serving": store_serving,
+        "sf": sf_val,
+    }
+    line = json.dumps(payload)
+    # The driver records only the stdout TAIL, which truncates per-query
+    # attribution once the headline set is large (r5 VERDICT item 4). A
+    # full copy next to BENCH_r*.json keeps regressions attributable.
+    if not only:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -6074,7 +6074,12 @@ def _pq_spark_train(e, es):
     return cent
 
 
-def _pq_oracle_sql() -> str:
+_PQ_E_RAW = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+
+def _pq_oracle_sql(
+    e_src: str = _PQ_E_RAW,
+) -> str:
     rounds = []
     cent = "c0"
     for i in range(1, _PQ_ROUNDS + 1):
@@ -6084,7 +6089,7 @@ def _pq_oracle_sql() -> str:
     bf_d = SIM.pico_sqdist_sql("q.qv", "c.v", _PQ_M * _PQ_SUBDIM)
     return f"""
     WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        {e_src}
     ),
     es AS (
         SELECT vec_id, m,
@@ -6168,11 +6173,20 @@ def _pq_oracle_sql() -> str:
 def emb_pq_recall_report(spark, sf_dir):
     from transitdata_monitor_data_collector_spark.functions.vectors import (
         as_double,
-        pico_sqdist,
     )
 
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    return _pq_recall_body(e)
+
+
+def _pq_recall_body(e):
+    """PQ train/encode/ADC-rank/recall over any (vec_id, v) corpus —
+    shared by the raw-embedding report and the clustered-corpus variant."""
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        pico_sqdist,
+    )
+
     es = _pq_spark_subvectors(e)
     cent = _pq_spark_train(e, es)
     codes = _pq_spark_assign(es, cent).select("vec_id", "m", "cid")
@@ -6227,6 +6241,306 @@ def emb_pq_recall_report(spark, sf_dir):
         .groupBy(F.col("q_id").alias("query_id"))
         .agg((F.count("hit").cast("double") / 10.0).alias("recall_at_10"))
         .orderBy("query_id")
+    )
+
+
+# --- clustered-corpus PQ recall (r5 VERDICT stretch item 8) -----------------
+# The driver's embeddings are near-random, so compression-ladder recall
+# reads 0.1-0.4 — technically correct but non-discriminative. This variant
+# runs the IDENTICAL PQ pipeline over a corpus with planted cluster
+# structure derived DETERMINISTICALLY from the same driver table (never a
+# synthesized input): each vector is pulled 4:1 toward one of 8 md5-seeded
+# cluster centers (v' = center(vec_id % 8, dim) + 0.25 * v), micro-grid
+# rounded so both engines hold bit-identical doubles. True neighbors now
+# share the query's cluster, the per-subspace codebooks capture the
+# centers, and recall@10 separates from the raw-corpus baseline.
+
+_PQ_CLUSTERS = 8
+
+_PQ_E_CLUSTERED = f"""SELECT vec_id,
+       list_transform(range(1, {_PQ_M * _PQ_SUBDIM + 1}), d ->
+         floor((
+           CAST((('0x' || substr(md5(CAST(vec_id % {_PQ_CLUSTERS} AS VARCHAR)
+                     || ':' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2001
+                  - 1000) AS DOUBLE) / 1000.0
+           + 0.25 * CAST(embedding[d] AS DOUBLE)
+         ) * 1e6 + 0.5) / 1e6) AS v
+        FROM embeddings"""
+
+
+@register(
+    "emb_pq_recall_clustered",
+    oracle=_pq_oracle_sql(_PQ_E_CLUSTERED),
+    doc="PQ retrieval QA on a corpus WITH planted cluster structure: "
+    f"{_PQ_CLUSTERS} md5-seeded cluster centers in [-1,1]^64, each vector "
+    "re-expressed as center + 0.25x original (a pure deterministic "
+    "function of the driver table, micro-grid rounded for exact "
+    "cross-engine doubles). Same training dialect, encode, ADC ranking, "
+    "and exact-L2 ground truth as emb_pq_recall_report. MEASURED outcome "
+    "(sf0.01): recall ~0.2, on par with the raw corpus — an honest "
+    "negative result worth keeping: K=16 codes per subspace capture the "
+    "8 COARSE centers but quantize away the 0.25x residual, so "
+    "within-cluster ranking (where all true neighbors live) stays "
+    "chance-level. The tier-separation demonstration lives in "
+    "emb_compression_ladder_clustered, where codecs that preserve "
+    "residual resolution (int8, MRL prefixes) separate cleanly from "
+    "those that do not (1-bit signs). Scale shape identical to "
+    "emb_pq_recall_report (broadcast codebooks, one narrow encode pass).",
+    tags=("llm", "similarity", "approx", "embedding"),
+)
+def emb_pq_recall_clustered(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    dim = _PQ_M * _PQ_SUBDIM
+
+    def mixed(d):
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            (F.col("vec_id") % _PQ_CLUSTERS).cast("string"),
+                            F.lit(":"),
+                            d.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        center = (h % 2001 - 1000).cast("double") / 1000.0
+        val = F.element_at(F.col("embedding"), d.cast("int")).cast("double")
+        return F.floor((center + 0.25 * val) * 1e6 + 0.5) / 1e6
+
+    e = emb.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(1), F.lit(dim)), mixed).alias("v"),
+    )
+    return _pq_recall_body(e)
+
+
+# --- compression-ladder tier separation on the clustered corpus ------------
+# The tier-separation demonstration proper: ONE corpus with planted
+# structure, FOUR compression codecs ranked against the same exact-L2
+# ground truth. Codecs that keep residual resolution (int8 at 1/100 grid,
+# MRL prefixes) should hold high recall; the 1-bit sign codec keeps only
+# coarse direction and collapses — the separation the per-codec reports
+# can't show on near-random input. All distances are exact BIGINTs
+# (picounit squared terms / integer code squares / hamming counts), so
+# the whole report hash-matches cross-engine.
+
+_LAD_DIM = _PQ_M * _PQ_SUBDIM  # 64
+
+
+def _lad_sq_long_sql(a: str, b: str, k: int) -> str:
+    """Prefix-k squared L2 in exact picounit BIGINTs (no /1e12 — ordering
+    only, keep it integer)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, {k + 1}), "
+        f"i -> CAST(floor(pow(({a})[i] - ({b})[i], 2) * 1e12 + 0.5) "
+        f"AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _lad_sq_long(a, b, k: int):
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, 1, k),
+            F.slice(b, 1, k),
+            lambda x, y: F.floor(F.pow(x - y, 2) * 1e12 + 0.5).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "emb_compression_ladder_clustered",
+    oracle=f"""
+    WITH e AS (
+        {_PQ_E_CLUSTERED}
+    ),
+    ec AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(floor(x * 100 + 0.5) AS BIGINT))
+               AS c8,
+             list_transform(v, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END)
+               AS sg
+      FROM e
+    ),
+    qv AS (
+      SELECT vec_id AS q_id, v AS qv, c8 AS q8, sg AS qs
+      FROM ec WHERE vec_id < 10
+    ),
+    pairs AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             {_lad_sq_long_sql('q.qv', 'c.v', _LAD_DIM)} AS d_exact,
+             {_lad_sq_long_sql('q.qv', 'c.v', 32)} AS d_m32,
+             {_lad_sq_long_sql('q.qv', 'c.v', 16)} AS d_m16,
+             CAST(list_sum(list_transform(range(1, {_LAD_DIM + 1}),
+                  i -> (q.q8[i] - c.c8[i]) * (q.q8[i] - c.c8[i])))
+                  AS BIGINT) AS d_int8,
+             CAST(list_sum(list_transform(range(1, {_LAD_DIM + 1}),
+                  i -> CASE WHEN q.qs[i] <> c.sg[i] THEN 1 ELSE 0 END))
+                  AS BIGINT) AS d_sign
+      FROM qv q JOIN ec c ON c.vec_id <> q.q_id
+    ),
+    bf AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY d_exact, c_id) AS rn
+        FROM pairs
+      ) WHERE rn <= 10
+    ),
+    tiers AS (
+      SELECT q_id, c_id, 'int8_x100' AS tier, d_int8 AS d FROM pairs
+      UNION ALL
+      SELECT q_id, c_id, 'mrl_prefix32', d_m32 FROM pairs
+      UNION ALL
+      SELECT q_id, c_id, 'mrl_prefix16', d_m16 FROM pairs
+      UNION ALL
+      SELECT q_id, c_id, 'sign_1bit', d_sign FROM pairs
+    ),
+    ranked AS (
+      SELECT tier, q_id, c_id FROM (
+        SELECT tier, q_id, c_id,
+               row_number() OVER (PARTITION BY tier, q_id
+                                  ORDER BY d, c_id) AS rn
+        FROM tiers
+      ) WHERE rn <= 10
+    )
+    SELECT r.tier,
+           CAST(count(b.c_id) AS BIGINT) AS n_hits,
+           CAST(count(b.c_id) * 10 AS BIGINT) AS recall_permille
+    FROM ranked r
+    LEFT JOIN (SELECT q_id, c_id, 1 AS hit FROM bf) b
+           ON b.q_id = r.q_id AND b.c_id = r.c_id
+    GROUP BY r.tier ORDER BY r.tier
+    """,
+    doc="Compression-ladder tier separation on the clustered corpus "
+    "(r5 VERDICT stretch item 8 proper): the SAME planted-structure "
+    f"corpus as emb_pq_recall_clustered ({_PQ_CLUSTERS} md5-seeded "
+    "centers + 0.25x residual), ranked by four codecs against one "
+    "exact-L2 top-10 ground truth — int8 (1/100 grid, keeps residuals), "
+    "MRL prefix-32 and prefix-16 (truncate dimensions), and 1-bit signs "
+    "(coarse direction only). Reports recall@10 x 10 queries per tier "
+    "in exact permille; the separation (int8 ~= exact >> prefixes >> "
+    "signs) is what tells a curation pipeline which tier is safe for "
+    "its retrieval step. All tier distances are exact BIGINTs; scale "
+    "shape: 10 broadcast query rows against the corpus, one pass, one "
+    "bounded window per tier.",
+    tags=("llm", "similarity", "approx", "embedding"),
+)
+def emb_compression_ladder_clustered(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+
+    def mixed(d):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        (F.col("vec_id") % _PQ_CLUSTERS).cast("string"),
+                        F.lit(":"),
+                        d.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        center = (h % 2001 - 1000).cast("double") / 1000.0
+        val = F.element_at(F.col("embedding"), d.cast("int")).cast("double")
+        return F.floor((center + 0.25 * val) * 1e6 + 0.5) / 1e6
+
+    ec = emb.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(1), F.lit(_LAD_DIM)), mixed).alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        F.transform(
+            "v", lambda x: F.floor(x * 100 + 0.5).cast("long")
+        ).alias("c8"),
+        F.transform(
+            "v", lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("sg"),
+    )
+    qv = ec.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("c8").alias("q8"),
+        F.col("sg").alias("qs"),
+    )
+    add = lambda acc, v: acc + v  # noqa: E731
+    pairs = (
+        F.broadcast(qv)
+        .join(ec, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            _lad_sq_long(F.col("qv"), F.col("v"), _LAD_DIM).alias("d_exact"),
+            _lad_sq_long(F.col("qv"), F.col("v"), 32).alias("d_m32"),
+            _lad_sq_long(F.col("qv"), F.col("v"), 16).alias("d_m16"),
+            F.aggregate(
+                F.zip_with(
+                    "q8", "c8", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                add,
+            ).alias("d_int8"),
+            F.aggregate(
+                F.zip_with(
+                    "qs",
+                    "sg",
+                    lambda x, y: F.when(x != y, F.lit(1).cast("long"))
+                    .otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                add,
+            ).alias("d_sign"),
+        )
+    )
+    bf = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy("d_exact", "c_id")
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id", F.lit(1).alias("hit"))
+    )
+    tiers = pairs.select(
+        "q_id",
+        "c_id",
+        F.expr(
+            "stack(4, 'int8_x100', d_int8, 'mrl_prefix32', d_m32, "
+            "'mrl_prefix16', d_m16, 'sign_1bit', d_sign) AS (tier, d)"
+        ),
+    )
+    ranked = (
+        tiers.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("tier", "q_id").orderBy("d", "c_id")
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("tier", "q_id", "c_id")
+    )
+    return (
+        ranked.join(F.broadcast(bf), ["q_id", "c_id"], "left")
+        .groupBy("tier")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit") * 10).cast("long").alias("recall_permille"),
+        )
+        .orderBy("tier")
     )
 
 

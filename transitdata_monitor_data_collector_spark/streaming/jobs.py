@@ -82,15 +82,19 @@ def windowed_rate_job(
 
 
 def cumulative_counter_job(
-    messages: DataFrame, filters: Sequence[str]
+    messages: DataFrame, filters: Sequence[str], with_last_ts: bool = False
 ) -> DataFrame:
     """A3: monotonic mqtt_messages_received_total per (broker, topic_filter)
     (MqttTopicMonitorListener.java:73-92). Run in update output mode; state
-    = one long per key."""
+    = one long per key. ``with_last_ts`` adds the event time of the last
+    message that advanced each counter — the natural sample timestamp when
+    the update stream is also materialized as counter history (the
+    scrape-per-micro-batch model in :func:`stream_merge_counter_job`)."""
     fanned = _fanout(messages, filters)
-    return fanned.groupBy("broker", "topic_filter").agg(
-        F.count("*").alias("messages_received_total")
-    )
+    aggs = [F.count("*").alias("messages_received_total")]
+    if with_last_ts:
+        aggs.append(F.max("ts").alias("last_ts"))
+    return fanned.groupBy("broker", "topic_filter").agg(*aggs)
 
 
 def connection_state_job(messages: DataFrame) -> DataFrame:
@@ -537,6 +541,7 @@ def stream_merge_counter_job(
     table_path: str,
     filters: Sequence[str],
     checkpoint: str | None = None,
+    history_path: str | None = None,
 ) -> None:
     """Maintain the per-(broker, topic_filter) counter table as a VERSIONED
     MERGE TABLE via foreachBatch: update-mode aggregation emits only the
@@ -551,26 +556,56 @@ def stream_merge_counter_job(
     fresh per-run token is mixed into the ledger id instead — two
     independent runs both start at epoch 0, and a bare batch_id would
     make the second run's first merge look like a replay of the first's
-    and silently drop it."""
+    and silently drop it.
+
+    ``history_path``: when set, each micro-batch ALSO appends its changed
+    keys as counter SAMPLES (ts = event time of the last message that
+    advanced the key, broker, topic_filter, counter) into the
+    dt-partitioned history store — one sample per key per batch, exactly
+    the Prometheus scrape model, which makes the store directly queryable
+    by functions/promql.rate_over_store. The append is per-batch delta
+    keys only (update mode), so history volume tracks ACTIVE series, not
+    the full key space."""
     from transitdata_monitor_data_collector_spark.sinks.parquet import (
         merge_upsert,
+        write_time_partitioned,
     )
 
     totals = cumulative_counter_job(
-        messages.withWatermark("ts", "2 minutes"), filters
+        messages.withWatermark("ts", "2 minutes"),
+        filters,
+        with_last_ts=history_path is not None,
     )
     run_token = "" if checkpoint is not None else uuid.uuid4().hex[:12] + ":"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # cheap: update mode emits only deltas
             return
+        if history_path is not None:
+            batch_df = batch_df.persist()
+            write_time_partitioned(
+                batch_df.select(
+                    F.col("last_ts").alias("ts"),
+                    "broker",
+                    "topic_filter",
+                    F.col("messages_received_total")
+                    .cast("double")
+                    .alias("counter"),
+                ),
+                history_path,
+                ts_col="ts",
+                sort_cols=("broker", "topic_filter"),
+                mode="append",
+            )
         merge_upsert(
             spark,
             table_path,
-            batch_df,
+            batch_df.drop("last_ts"),
             ["broker", "topic_filter"],
             batch_id=f"{run_token}{batch_id}",
         )
+        if history_path is not None:
+            batch_df.unpersist()
 
     q = (
         totals.writeStream.foreachBatch(sink)
