@@ -179,6 +179,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in (only or HEADLINE):
         print(f"bench: {name}", file=sys.stderr, flush=True)
+        # Iterative trainers .cache() fixtures and never unpersist; across
+        # a 70-query sweep the leaked blocks pressure the 4g heap and
+        # inflate later queries (r5: round-1 set 14.7 s in-sweep vs 12.7 s
+        # standalone). Dropping caches BETWEEN queries keeps each query's
+        # own warm-up -> timed-run reuse intact.
+        spark.catalog.clearCache()
         run_once(name)  # untimed warm-up: JVM codegen compile amortizes
         # min of two timed runs: a single sample is hostage to ambient
         # load spikes on a shared machine (BENCH_r02 recorded ~2x uniform
