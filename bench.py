@@ -123,6 +123,11 @@ HEADLINE = [
     "doc_nucleus_quality_cutoff",
     "doc_quality_calibration",
     "doc_weighted_sample_es",
+    # round-6: the weights-as-data sparse trainer (2 shuffles/round, the
+    # 2^20-bucket classifier shape) and the compression-ladder tier
+    # separation on the clustered corpus
+    "doc_quality_logreg_hashed",
+    "emb_compression_ladder_clustered",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",

@@ -559,3 +559,26 @@ def test_aqe_splits_skewed_join(spark, oracle_sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_HL_STATS_CROSSJOINS = 3  # one 1-row x 1-row stats crossJoin per GD round
+
+
+def test_hashed_logreg_weights_stay_broadcast(spark, sf_dir):
+    """doc_quality_logreg_hashed: the weight table (<= 1025 rows) must
+    join features via broadcast — a SortMergeJoin on the weight key
+    would shuffle the full feature set once per GD round, which is the
+    exact failure mode the weights-as-data design exists to avoid. The
+    gradient aggregates must be partial+final, and no plan node may be
+    a nested-loop or cartesian join."""
+    plan = _plan(spark, sf_dir, "doc_quality_logreg_hashed")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the per-round stats
+    # crossJoins (1-row loss x 1-row weight aggregate — bounded at any
+    # corpus scale, same class as the audited 1-row global aggregates)
+    assert plan.count("BroadcastNestedLoopJoin") <= _HL_STATS_CROSSJOINS
+    # every h-keyed weight join must broadcast, and the feat->err doc_id
+    # joins resolve to broadcast under AQE at gate scale; a SortMergeJoin
+    # here means a weight-table shuffle leaked in
+    assert plan.count("SortMergeJoin") == 0, plan.count("SortMergeJoin")

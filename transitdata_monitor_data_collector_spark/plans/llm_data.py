@@ -7686,14 +7686,6 @@ def doc_quality_logreg(spark, sf_dir):
     ).orderBy("step")
 
 
-# ---------------------------------------------------------------------------
-# Round 5 (late): training-export mechanics — deterministic output sharding
-# and a dedup-consistent train/validation split. Both are pure hash-and-
-# aggregate plans (one shuffle each), the shapes a 100 TB export job needs.
-# ---------------------------------------------------------------------------
-
-_N_SHARDS = 8
-
 # cross-engine 60-bit hash bucket (same idiom as simhash_md5):
 #   DuckDB ('0x'||substr(md5(x),1,15))::BIGINT == Spark conv(substr(md5(x),1,15),16,10)
 def _md5_bucket_sql(expr: str, mod: int) -> str:
@@ -7702,6 +7694,245 @@ def _md5_bucket_sql(expr: str, mod: int) -> str:
 
 def _md5_bucket_col(col, mod: int):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % mod
+
+
+# ---------------------------------------------------------------------------
+# Sparse hashed-feature classifier training: weights live as a DataFrame.
+# ---------------------------------------------------------------------------
+# The fastText/CCNet-shaped quality classifier: hashed unigram+bigram bag
+# features into _HL_H buckets, binary presence, hard-sigmoid logistic
+# regression. The 100 TB point vs doc_quality_logreg (dense, 4 weights as
+# driver scalars): here the weight VECTOR is itself distributed data —
+# each GD round is two shuffles (feature join + per-bucket gradient agg)
+# and a tiny broadcast of the weight table; the driver never holds a
+# weight. That is the only shape that survives 2^20+ bucket classifiers.
+
+_HL_H = 1024          # feature buckets (bias rides in bucket _HL_H)
+_HL_ROUNDS = 3
+_HL_ZDIV = 16         # pre-activation scale: p = clamp(5e8 + z/16)
+_HL_WDIV = 4          # step: w -= g / (n * 4)
+
+
+def _hashed_logreg_oracle_sql() -> str:
+    b = _md5_bucket_sql("gtok", _HL_H)
+    parts = [
+        f"""docs_y AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN CAST(1000000000 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS y9,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, y9, unnest(ws) AS gtok FROM docs_y
+      UNION ALL
+      SELECT doc_id, y9, unnest(
+        CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i + 1])
+             ELSE [] END) AS gtok
+      FROM docs_y
+    ),
+    feat AS (
+      SELECT DISTINCT doc_id, y9, CAST({b} AS BIGINT) AS h FROM grams
+      UNION
+      SELECT doc_id, y9, CAST({_HL_H} AS BIGINT) AS h FROM docs_y
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs_y)"""
+    ]
+    selects = []
+    prev_w = None
+    for r in range(1, _HL_ROUNDS + 1):
+        if prev_w is None:
+            parts.append(
+                f"""e{r} AS (
+      SELECT doc_id, CAST(500000000 AS BIGINT) - y9 AS err FROM docs_y
+    )"""
+            )
+        else:
+            parts.append(
+                f"""z{r} AS (
+      SELECT f.doc_id, f.y9,
+             CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS z
+      FROM feat f LEFT JOIN {prev_w} w USING (h)
+      GROUP BY f.doc_id, f.y9
+    ),
+    e{r} AS (
+      SELECT doc_id,
+             least(greatest(CAST(500000000 AS BIGINT)
+                     + {_tdiv_sql('z', str(_HL_ZDIV))},
+                   CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT)) - y9
+               AS err
+      FROM z{r}
+    )"""
+            )
+        parts.append(
+            f"""g{r} AS (
+      SELECT f.h, CAST(sum(e.err) AS BIGINT) AS g
+      FROM feat f JOIN e{r} e USING (doc_id)
+      GROUP BY f.h
+    )"""
+        )
+        upd = _tdiv_sql("g.g", f"nn.n * {_HL_WDIV}")
+        if prev_w is None:
+            parts.append(
+                f"w{r} AS (SELECT g.h, CAST(0 - {upd} AS BIGINT) AS w "
+                f"FROM g{r} g, nn)"
+            )
+        else:
+            parts.append(
+                f"""w{r} AS (
+      SELECT g.h, CAST(coalesce(w.w, 0) - {upd} AS BIGINT) AS w
+      FROM g{r} g LEFT JOIN {prev_w} w USING (h), nn
+    )"""
+            )
+        # loss numerator is sum(abs(err)) >= 0 -> raw // is version-safe
+        selects.append(
+            f"""SELECT CAST({r} AS INTEGER) AS step,
+           CAST((SELECT sum(abs(err)) FROM e{r}) // (nn.n * 1000000)
+                AS BIGINT) AS loss_permille,
+           (SELECT CAST(count(*) FILTER (WHERE w <> 0) AS BIGINT)
+            FROM w{r}) AS n_active_buckets,
+           (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w{r}) AS sum_abs_w,
+           (SELECT CAST(max(abs(w)) AS BIGINT) FROM w{r}) AS max_abs_w
+    FROM nn"""
+        )
+        prev_w = f"w{r}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + " UNION ALL ".join(selects)
+        + " ORDER BY step"
+    )
+
+
+@register(
+    "doc_quality_logreg_hashed",
+    oracle=_hashed_logreg_oracle_sql(),
+    doc="Sparse hashed-feature quality classifier trained in-engine, the "
+    "fastText/CCNet shape: unigram+bigram bag features hashed into "
+    f"{_HL_H} buckets (60-bit md5 prefix % {_HL_H}; bias in bucket "
+    f"{_HL_H}), binary presence, {_HL_ROUNDS} rounds of hard-sigmoid "
+    "logistic GD in EXACT BIGINT arithmetic (truncating division, "
+    "sign-explicit in the oracle via _tdiv_sql). The architectural point "
+    "vs doc_quality_logreg: the weight vector is a DataFrame, never a "
+    "driver value — per round, one broadcast-join of features to "
+    "weights + per-doc sum (scoring), one join of features to errors + "
+    "per-bucket sum (gradient), one left-join update of the weight "
+    "table; the driver sees only the corpus count. This is the training "
+    "shape that scales to 2^20+ buckets x 100 TB corpora where dense "
+    "driver-side weights are impossible. Output: per-round loss and "
+    "weight-table aggregates (active buckets, sum/max |w|) — aggregates "
+    "only, so even the report never ships weights. (On this synthetic "
+    "corpus tokens are independent of lang, so loss hovers near chance "
+    "— the verified property is the exact distributed trajectory, like "
+    "the dense twin.)",
+    tags=("llm", "text", "ml"),
+)
+def doc_quality_logreg_hashed(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    docs_y = d.selectExpr(
+        "doc_id",
+        "CASE WHEN lang = 'en' THEN CAST(1000000000 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS y9",
+        "split(text, ' ') AS ws",
+    )
+    uni = docs_y.select("doc_id", "y9", F.explode("ws").alias("gtok"))
+    bi = docs_y.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        "y9",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("gtok"),
+    )
+    grams = uni.unionByName(bi).select(
+        "doc_id", "y9", _md5_bucket_col(F.col("gtok"), _HL_H).alias("h")
+    )
+    bias = docs_y.select(
+        "doc_id", "y9", F.lit(_HL_H).cast("long").alias("h")
+    )
+    feat = grams.unionByName(bias).distinct().persist()
+    n = docs_y.count()
+
+    w = None
+    stats = []
+    for r in range(1, _HL_ROUNDS + 1):
+        if w is None:
+            err = docs_y.select(
+                "doc_id",
+                (F.lit(500000000).cast("long") - F.col("y9")).alias("err"),
+            )
+        else:
+            z = (
+                feat.join(F.broadcast(w), "h", "left")
+                .groupBy("doc_id", "y9")
+                .agg(
+                    F.sum(F.coalesce("w", F.lit(0)))
+                    .cast("long")
+                    .alias("z")
+                )
+            )
+            err = z.selectExpr(
+                "doc_id",
+                f"least(greatest(CAST(500000000 AS BIGINT) "
+                f"+ z DIV {_HL_ZDIV}, CAST(0 AS BIGINT)), "
+                "CAST(1000000000 AS BIGINT)) - y9 AS err",
+            )
+        g = (
+            feat.join(err, "doc_id")
+            .groupBy("h")
+            .agg(F.sum("err").cast("long").alias("g"))
+        )
+        step = f"g DIV {n * _HL_WDIV}"
+        if w is None:
+            w = g.selectExpr("h", f"CAST(0 - ({step}) AS LONG) AS w")
+        else:
+            # weight table is <= _HL_H + 1 rows — broadcast, never shuffle
+            w = g.join(F.broadcast(w), "h", "left").selectExpr(
+                "h", f"CAST(coalesce(w, 0) - ({step}) AS LONG) AS w"
+            )
+        w = w.persist()
+        loss = err.agg(
+            F.expr(f"sum(abs(err)) DIV {n * 1000000}")
+            .cast("long")
+            .alias("loss_permille")
+        )
+        wstats = w.agg(
+            F.count(F.when(F.col("w") != 0, 1))
+            .cast("long")
+            .alias("n_active_buckets"),
+            F.sum(F.abs("w")).cast("long").alias("sum_abs_w"),
+            F.max(F.abs("w")).cast("long").alias("max_abs_w"),
+        )
+        stats.append(
+            loss.crossJoin(wstats).select(
+                F.lit(r).cast("int").alias("step"),
+                "loss_permille",
+                "n_active_buckets",
+                "sum_abs_w",
+                "max_abs_w",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (late): training-export mechanics — deterministic output sharding
+# and a dedup-consistent train/validation split. Both are pure hash-and-
+# aggregate plans (one shuffle each), the shapes a 100 TB export job needs.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+# (_md5_bucket_sql / _md5_bucket_col are defined above the hashed-logreg
+# section, which also uses them at registration time.)
 
 
 @register(
