@@ -7857,6 +7857,7 @@ def doc_quality_logreg_hashed(spark, sf_dir):
     )
     feat = grams.unionByName(bias).distinct().persist()
     n = docs_y.count()
+    feat.count()  # materialize ONCE: every round references feat 2x
 
     w = None
     stats = []
@@ -7896,6 +7897,13 @@ def doc_quality_logreg_hashed(spark, sf_dir):
                 "h", f"CAST(coalesce(w, 0) - ({step}) AS LONG) AS w"
             )
         w = w.persist()
+        # Materialize the (<= _HL_H + 1)-row weight table NOW: round r+1's
+        # scoring join, the update join, and the stats aggregate all
+        # reference it, and leaving it lazy makes the final DAG replay
+        # every round's full subtree per reference (measured 17 s -> 3 s
+        # cold at sf0.1). The count moves ONE scalar to the driver; the
+        # weights themselves never leave the executors.
+        w.count()
         loss = err.agg(
             F.expr(f"sum(abs(err)) DIV {n * 1000000}")
             .cast("long")
