@@ -2048,12 +2048,18 @@ def emb_ann_recall_report(spark, sf_dir):
             & (F.col("c_id") != F.col("q_id")),
         )
     )
-    hits = bf.join(ann, ["q_id", "c_id"], "left_semi")
+    # ann/hit sides are <= 10 queries x 10 picks — broadcast, never
+    # sort-merge (plan-audit showed an SMJ leaking in here)
+    hits = bf.join(F.broadcast(ann), ["q_id", "c_id"], "left_semi")
     return (
         bf.groupBy("q_id")
         .agg(F.count("*").alias("n_bf"))
         .join(
-            hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left"
+            F.broadcast(
+                hits.groupBy("q_id").agg(F.count("*").alias("n_hit"))
+            ),
+            "q_id",
+            "left",
         )
         .select(
             F.col("q_id").alias("query_id"),
@@ -2107,20 +2113,27 @@ def _ivf_update_cte(name: str, assigned: str) -> str:
 
 
 def _ivf_spark_assign(e, cent):
-    """Nearest-centroid assignment by picounit sq-dist (argmin window) —
-    the Spark twin of _ivf_assign_cte."""
+    """Nearest-centroid assignment by picounit sq-dist — the Spark twin
+    of _ivf_assign_cte. Expressed as min(struct(dist, cid, v)) per
+    vec_id, NOT a row_number window: lexicographic struct-min equals the
+    (ORDER BY dist, cid LIMIT 1) argmin exactly ((dist, cid) is unique
+    per group), and a hash aggregate combines map-side — no per-group
+    sort, no full-width shuffle of the k-fanned candidate rows."""
     from transitdata_monitor_data_collector_spark.functions.vectors import (
         pico_sqdist,
     )
 
-    w = W.partitionBy("vec_id").orderBy(
-        pico_sqdist(F.col("v"), F.col("cv")), "cid"
-    )
+    d = pico_sqdist(F.col("v"), F.col("cv"))
     return (
         e.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(d.alias("d"), F.col("cid").alias("cid"),
+                         F.col("v").alias("v"))
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.v").alias("v"), F.col("b.cid").alias("cid"))
     )
 
 
@@ -2147,15 +2160,28 @@ def _ivf_spark_update(assigned):
     )
 
 
+def _seeded_rows(e, k: int):
+    """The k rows with smallest (md5(vec_id), vec_id), ranked 0..k-1 —
+    identical to `row_number() OVER (ORDER BY md5, vec_id) - 1 < k`, but
+    orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+    top-k + merge) instead of a SINGLE-PARTITION global sort window over
+    the whole corpus; the residual ranking window runs over k rows."""
+    top = (
+        e.select(
+            F.md5(F.col("vec_id").cast("string")).alias("mk"), "vec_id", "v"
+        )
+        .orderBy("mk", "vec_id")
+        .limit(k)
+    )
+    return top.withColumn(
+        "cid", F.row_number().over(W.orderBy("mk", "vec_id")) - 1
+    )
+
+
 def _ivf_spark_train(e):
     """md5-seeded init + _IVF_ROUNDS quantized Lloyd rounds; returns
     (final_centroids, final_assignment) — deterministic cross-engine."""
-    w_seed = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    cent = (
-        e.withColumn("cid", F.row_number().over(w_seed) - 1)
-        .filter(F.col("cid") < _IVF_K)
-        .select("cid", F.col("v").alias("cv"))
-    )
+    cent = _seeded_rows(e, _IVF_K).select("cid", F.col("v").alias("cv"))
     for _ in range(_IVF_ROUNDS):
         cent = _ivf_spark_update(_ivf_spark_assign(e, cent))
     return cent, _ivf_spark_assign(e, cent)
@@ -2290,12 +2316,18 @@ def emb_ivf_recall_report(spark, sf_dir):
             "cid",
         ).filter(F.col("c_id") != F.col("q_id"))
     )
-    hits = bf.join(ann, ["q_id", "c_id"], "left_semi")
+    # ann/hit sides are <= 10 queries x 10 picks — broadcast, never
+    # sort-merge (plan-audit showed an SMJ leaking in here)
+    hits = bf.join(F.broadcast(ann), ["q_id", "c_id"], "left_semi")
     return (
         bf.groupBy("q_id")
         .agg(F.count("*").alias("n_bf"))
         .join(
-            hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left"
+            F.broadcast(
+                hits.groupBy("q_id").agg(F.count("*").alias("n_hit"))
+            ),
+            "q_id",
+            "left",
         )
         .select(
             F.col("q_id").alias("query_id"),
@@ -6026,14 +6058,22 @@ def _pq_spark_subvectors(e):
 
 
 def _pq_spark_assign(es, cent):
-    w = W.partitionBy("vec_id", "m").orderBy(
-        _pq_sqdist_long(F.col("sv"), F.col("cv")), "cid"
-    )
+    """Per-subspace codebook assignment as min(struct(dist, cid, sv)) —
+    same argmin as the oracle's (ORDER BY dist, cid) window, but a
+    map-side-combining hash aggregate instead of a per-(vec_id, m) sort
+    window over the K-fanned rows (see _ivf_spark_assign)."""
+    d = _pq_sqdist_long(F.col("sv"), F.col("cv"))
     return (
         es.join(F.broadcast(cent), "m")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "sv", "cid")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(d.alias("d"), F.col("cid").alias("cid"),
+                         F.col("sv").alias("sv"))
+            ).alias("b")
+        )
+        .select("vec_id", "m", F.col("b.sv").alias("sv"),
+                F.col("b.cid").alias("cid"))
     )
 
 
@@ -6059,13 +6099,9 @@ def _pq_spark_update(assigned):
 
 
 def _pq_spark_train(e, es):
-    """md5-seeded per-subspace codebooks + fixed quantized Lloyd rounds."""
-    w_seed = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    seeds = (
-        e.withColumn("cid", F.row_number().over(w_seed) - 1)
-        .filter(F.col("cid") < _PQ_K)
-        .select("cid", "v")
-    )
+    """md5-seeded per-subspace codebooks + fixed quantized Lloyd rounds.
+    Seeds via TakeOrdered (_seeded_rows), never a global sort window."""
+    seeds = _seeded_rows(e, _PQ_K).select("cid", "v")
     cent = _pq_spark_subvectors(
         seeds.select(F.col("cid").alias("vec_id"), "v")
     ).select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
