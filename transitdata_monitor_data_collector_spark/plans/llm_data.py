@@ -2309,12 +2309,16 @@ def emb_ivf_recall_report(spark, sf_dir):
         corpus.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
     )
     ann = topk(
-        probe.join(
+        # probe is (10 queries x nprobe) rows — broadcast it against the
+        # corpus-sized assignment instead of shuffling afin by cid
+        F.broadcast(probe)
+        .join(
             afin.select(
                 "cid", F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
             ),
             "cid",
-        ).filter(F.col("c_id") != F.col("q_id"))
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
     )
     # ann/hit sides are <= 10 queries x 10 picks — broadcast, never
     # sort-merge (plan-audit showed an SMJ leaking in here)
@@ -5685,7 +5689,7 @@ def emb_ivf_balance_report(spark, sf_dir):
     tot = e.agg(F.count("*").cast("long").alias("nt"))
     return (
         cent.select("cid")
-        .join(sizes, "cid", "left")
+        .join(F.broadcast(sizes), "cid", "left")  # <= _IVF_K rows each side
         .crossJoin(F.broadcast(tot))
         .select(
             "cid",
@@ -7242,7 +7246,11 @@ def emb_ivf_nprobe_sweep(spark, sf_dir):
         .select("np", "q_id", "qv", "cid")
     )
     ann = (
-        probe_np.join(
+        # probe_np is (3 nprobe points x 10 queries x nprobe) rows —
+        # broadcast against the corpus-sized assignment (same shape fix
+        # as emb_ivf_recall_report)
+        F.broadcast(probe_np)
+        .join(
             afin.select(
                 "cid", F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
             ),
@@ -7260,14 +7268,14 @@ def emb_ivf_nprobe_sweep(spark, sf_dir):
         .select("np", "q_id", "c_id")
     )
     hits = (
-        ann.join(bf, ["q_id", "c_id"], "left_semi")
+        ann.join(F.broadcast(bf), ["q_id", "c_id"], "left_semi")
         .groupBy("np")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
     bfn = bf.agg(F.count("*").cast("long").alias("n_bf"))
     nps = e.sparkSession.createDataFrame([(1,), (2,), (4,)], "np int")
     return (
-        nps.join(hits, "np", "left")
+        nps.join(F.broadcast(hits), "np", "left")
         .crossJoin(F.broadcast(bfn))
         .select(
             F.col("np").alias("nprobe"),
