@@ -7757,7 +7757,9 @@ _HL_ZDIV = 16         # pre-activation scale: p = clamp(5e8 + z/16)
 _HL_WDIV = 4          # step: w -= g / (n * 4)
 
 
-def _hashed_logreg_oracle_sql() -> str:
+def _hashed_logreg_ctes() -> tuple[list[str], list[str], str]:
+    """(cte_parts, per_round_stat_selects, final_weight_cte_name) — the
+    shared GD-trajectory replay used by both hashed-logreg oracles."""
     b = _md5_bucket_sql("gtok", _HL_H)
     parts = [
         f"""docs_y AS (
@@ -7842,12 +7844,30 @@ def _hashed_logreg_oracle_sql() -> str:
     FROM nn"""
         )
         prev_w = f"w{r}"
+    return parts, selects, prev_w
+
+
+def _hashed_logreg_oracle_sql() -> str:
+    parts, selects, _ = _hashed_logreg_ctes()
     return (
         "WITH "
         + ",\n".join(parts)
         + "\n"
         + " UNION ALL ".join(selects)
         + " ORDER BY step"
+    )
+
+
+def _hashed_logreg_topk_oracle_sql() -> str:
+    parts, _, wfin = _hashed_logreg_ctes()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT CAST(h AS BIGINT) AS bucket, CAST(w AS BIGINT) AS weight_nano
+    FROM {wfin} WHERE w <> 0
+    ORDER BY abs(w) DESC, h LIMIT 20
+    """
     )
 
 
@@ -7875,6 +7895,17 @@ def _hashed_logreg_oracle_sql() -> str:
     tags=("llm", "text", "ml"),
 )
 def doc_quality_logreg_hashed(spark, sf_dir):
+    stats, _w = _hashed_logreg_run(spark, sf_dir)
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
+
+
+def _hashed_logreg_run(spark, sf_dir):
+    """Run the sparse GD; returns (per-round stats DataFrames, final
+    weight DataFrame) — shared by the trajectory report and the
+    top-features report."""
     d = _docs_spread(spark, sf_dir)
     docs_y = d.selectExpr(
         "doc_id",
@@ -7969,10 +8000,34 @@ def doc_quality_logreg_hashed(spark, sf_dir):
                 "max_abs_w",
             )
         )
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("step")
+    return stats, w
+
+
+@register(
+    "doc_quality_logreg_hashed_topfeatures",
+    oracle=_hashed_logreg_topk_oracle_sql(),
+    doc="The sparse classifier's interpretability report — top-20 hashed "
+    "feature buckets by |weight| after the full doc_quality_logreg_hashed "
+    "trajectory (the fastText 'most predictive n-grams' listing, modulo "
+    "hashing). Beyond interpretability this pins the ENTIRE distributed "
+    "weight table cross-engine: the trajectory report checks only "
+    "aggregates, while this one hash-gates individual trained weights "
+    "(ORDER BY abs(w) DESC, h — total order, no ties). Scale shape: the "
+    "training replay plus one TakeOrdered(20) over the bucket-sized "
+    "weight table.",
+    tags=("llm", "text", "ml"),
+)
+def doc_quality_logreg_hashed_topfeatures(spark, sf_dir):
+    _stats, w = _hashed_logreg_run(spark, sf_dir)
+    return (
+        w.filter(F.col("w") != 0)
+        .select(
+            F.col("h").cast("long").alias("bucket"),
+            F.col("w").cast("long").alias("weight_nano"),
+        )
+        .orderBy(F.abs("weight_nano").desc(), "bucket")
+        .limit(20)
+    )
 
 
 # ---------------------------------------------------------------------------

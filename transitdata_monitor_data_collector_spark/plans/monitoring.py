@@ -2685,6 +2685,142 @@ def events_corr_value_hour(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential): the coupled recurrences
+#   level_t = a*y_t + (1-a)*(level_{t-1} + trend_{t-1})
+#   trend_t = b*(level_t - level_{t-1}) + (1-b)*trend_{t-1}
+# are linear in the inputs, so the (level, trend) state at the series tail
+# is a FIXED linear combination of the last K observations (zero-init
+# truncated kernel — same discipline as timeseries_ewma's 32-lag cut; the
+# companion-matrix spectral radius < 1 for these a, b, so the truncation
+# residual decays geometrically). The kernels are precomputed HERE as
+# impulse responses and embedded as shortest-repr double literals, which
+# round-trip bit-identically in both engines; each term is nano-quantized
+# so the sums are exact integer addition.
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_K = 0.3, 0.2, 32
+_HOLT_HS = (1, 3, 6)  # forecast horizons
+
+
+def _holt_kernels() -> tuple[list[float], list[float]]:
+    """(level, trend) coefficients of y_{t-k}, k = 0 (newest) .. K-1."""
+    cs, ds = [], []
+    for j in range(_HOLT_K):
+        lv = tr = 0.0
+        for i in range(_HOLT_K):
+            y = 1.0 if (_HOLT_K - 1 - i) == j else 0.0
+            lv_new = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (lv + tr)
+            tr = _HOLT_BETA * (lv_new - lv) + (1 - _HOLT_BETA) * tr
+            lv = lv_new
+        cs.append(lv)
+        ds.append(tr)
+    return cs, ds
+
+
+_HOLT_C, _HOLT_D = _holt_kernels()
+
+
+def _holt_oracle() -> str:
+    carr = "[" + ", ".join(repr(c) for c in _HOLT_C) + "]"
+    darr = "[" + ", ".join(repr(d) for d in _HOLT_D) + "]"
+    fcols = ", ".join(
+        f"floor(CAST(num_l + {h} * num_b AS DOUBLE) / 1e9 * 1e6 + 0.5)"
+        f" / 1e6 AS forecast_h{h}"
+        for h in _HOLT_HS
+    )
+    return f"""
+    WITH ordered AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) - 1 AS k
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(CAST(floor(value * ({carr})[k + 1] * 1e9 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS num_l,
+             CAST(sum(CAST(floor(value * ({darr})[k + 1] * 1e9 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS num_b
+      FROM ordered WHERE k < {_HOLT_K}
+      GROUP BY event_type
+    ),
+    full_keys AS (
+      SELECT event_type FROM events
+      GROUP BY event_type HAVING count(*) >= {_HOLT_K}
+    )
+    SELECT a.event_type,
+           floor(CAST(num_l AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS level,
+           floor(CAST(num_b AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS trend,
+           {fcols}
+    FROM agg a JOIN full_keys USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@register(
+    "events_holt_linear_forecast",
+    oracle=_holt_oracle(),
+    doc="Holt linear-trend (double exponential) smoothing per event_type "
+    f"(alpha={_HOLT_ALPHA}, beta={_HOLT_BETA}): tail level + trend and "
+    f"h={_HOLT_HS} step-ahead forecasts — the trend-aware upgrade of the "
+    "EWMA dashboard line (capacity forecasting: 'will this counter "
+    "cross the threshold in h windows?'). The coupled recurrences are "
+    "linear, so the tail state is a fixed kernel over the last "
+    f"{_HOLT_K} observations — kernels precomputed as impulse responses "
+    "and embedded as double literals, each term nano-quantized so the "
+    "sum is exact integer addition (the timeseries_ewma discipline "
+    "extended to a 2-dimensional state). Keys with fewer than "
+    f"{_HOLT_K} observations are excluded (no partial-kernel bias). "
+    "Scale shape: one per-key top-K window (WindowGroupLimit), one "
+    "partial+final aggregate; |event_type| output rows.",
+    tags=("monitoring", "window", "timeseries"),
+)
+def events_holt_linear_forecast(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    lastk = (
+        ev.select(
+            "event_type",
+            "value",
+            (F.row_number().over(w) - 1).alias("k"),
+        )
+        .filter(F.col("k") < _HOLT_K)
+    )
+    carr = F.array(*[F.lit(c) for c in _HOLT_C])
+    darr = F.array(*[F.lit(d) for d in _HOLT_D])
+    ki = (F.col("k") + 1).cast("int")
+    agg = lastk.groupBy("event_type").agg(
+        F.sum(
+            F.floor(F.col("value") * F.element_at(carr, ki) * 1e9 + 0.5)
+            .cast("long")
+        ).alias("num_l"),
+        F.sum(
+            F.floor(F.col("value") * F.element_at(darr, ki) * 1e9 + 0.5)
+            .cast("long")
+        ).alias("num_b"),
+    )
+    full_keys = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= _HOLT_K)
+        .select("event_type")
+    )
+
+    def micro(col):
+        return F.floor(col.cast("double") / 1e9 * 1e6 + 0.5) / 1e6
+
+    out = agg.join(F.broadcast(full_keys), "event_type").select(
+        "event_type",
+        micro(F.col("num_l")).alias("level"),
+        micro(F.col("num_b")).alias("trend"),
+        *[
+            micro(F.col("num_l") + h * F.col("num_b")).alias(f"forecast_h{h}")
+            for h in _HOLT_HS
+        ],
+    )
+    return out.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
 # EWMA: bounded-lag exponential smoothing. The recurrence
 # ewma_t = a*x_t + (1-a)*ewma_{t-1} is inherently sequential; truncating the
 # kernel at K lags (weight mass below 1 - (1-a)^K ~ 1 - 8e-4 for a=0.2, K=32)
