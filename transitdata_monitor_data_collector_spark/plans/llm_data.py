@@ -2984,21 +2984,33 @@ def _semantic_dedup_oracle() -> str:
 def emb_semantic_dedup(spark, sf_dir):
     from transitdata_monitor_data_collector_spark.functions.vectors import (
         as_double,
-        pico_cosine,
+        pico_dot,
     )
 
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     _cent, afin = _ivf_spark_train(e)
 
-    a = afin.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cid"
+    # Precompute each vector's sqrt-norm ONCE (the oracle's vec_norm CTE
+    # does the same): the within-cluster pairwise loop then evaluates one
+    # 64-dim pico_dot per pair instead of three — same doubles, same
+    # floor, identical hash; ~3x less work in the O(sum cluster^2) stage.
+    withn = afin.select(
+        "vec_id", "v", "cid", F.sqrt(pico_dot(F.col("v"), F.col("v"))).alias("nn")
     )
-    b = afin.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cid"
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nn").alias("na"), "cid"
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nn").alias("nb"), "cid"
     )
     cos_micro = F.floor(
-        pico_cosine(F.col("va"), F.col("vb")) * 1e6 + 0.5
+        pico_dot(F.col("va"), F.col("vb"))
+        / (F.col("na") * F.col("nb"))
+        * 1e6
+        + 0.5
     )
     pairs = (
         a.join(b, "cid")
