@@ -647,3 +647,54 @@ def test_store_to_serving_end_to_end(spark):
     # 1-minute rate window per series
     assert out["n_rate_rows"] >= out["n_series"]
     assert out["exposition_bytes"] > 0
+
+
+def test_windowed_rate_invariant_under_batch_size(spark):
+    """Micro-batch-boundary determinism: the same replay corpus driven
+    through windowed_rate_job in ~3 batches vs ~40 batches must yield
+    byte-identical final window tables (complete mode). Watermark
+    progression, state updates, and late-arrival handling all differ
+    per batching — the FINAL table must not."""
+    import os
+    import tempfile
+
+    from transitdata_monitor_data_collector_spark.sources.mqtt import (
+        register_sources,
+    )
+    from transitdata_monitor_data_collector_spark.streaming import jobs
+    from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
+        BENCH_FILTERS,
+        generate_replay_file,
+    )
+
+    register_sources(spark)
+    fd, path = tempfile.mkstemp(suffix=".jsonl", prefix="batchinv_")
+    os.close(fd)
+    generate_replay_file(path, 12_000)
+
+    def run(rpb: int):
+        stream = (
+            spark.readStream.format("mqtt-replay")
+            .option("path", path)
+            .option("rowsPerBatch", str(rpb))
+            .option("readPartitions", "4")
+            .load()
+        )
+        out = jobs.run_to_memory(
+            spark,
+            jobs.windowed_rate_job(stream, BENCH_FILTERS),
+            output_mode="complete",
+        )
+        return sorted(
+            (r["window_start"], r["broker"], r["topic_filter"], r["n"],
+             r["rate_msg_s"])
+            for r in out.collect()
+        )
+
+    try:
+        coarse = run(4_000)
+        fine = run(300)
+    finally:
+        os.unlink(path)
+    assert coarse == fine
+    assert len(coarse) > 0
