@@ -8,13 +8,20 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window as W
+
 from transitdata_monitor_data_collector_spark.plans import register
 from transitdata_monitor_data_collector_spark.plans.monitoring import (
     BROKER_SQL,
     DASHBOARD_FILTERS,
     TOPIC_SQL,
     _FANOUT_CTE,
+    _HOLT_C,
+    _HOLT_D,
+    _HOLT_HS,
+    _HOLT_K,
     _MSGS_CTE,
+    _holt_oracle,
 )
 from transitdata_monitor_data_collector_spark.streaming import jobs
 
@@ -509,3 +516,71 @@ def streaming_cms_heavy_hitters(spark, sf_dir):
         )
         .orderBy(F.desc("exact_n"), "user_id")
     )
+
+
+@register(
+    "streaming_holt_forecast",
+    oracle=_holt_oracle(),
+    doc="The Holt linear-trend forecast as a LIVE stateful streaming job "
+    "(UD4 class): holt_tail_state_job maintains each series' top-32 "
+    "(ts, event_id, value) tail as applyInPandasWithState arrays — the "
+    "state merge is top-k-of-union, commutative over micro-batch "
+    "boundaries, so the final ring equals the batch ORDER BY ts DESC "
+    "LIMIT 32 tail exactly and the query SHARES the batch oracle "
+    "(events_holt_linear_forecast). The kernel dot-products are applied "
+    "to the final state with the same nano-quantized literal "
+    "coefficients, making this one of the few streaming trainers with a "
+    "full value-hash gate rather than rows-only. State: 32 doubles + 64 "
+    "longs per series.",
+    tags=("streaming", "timeseries"),
+)
+def streaming_holt_forecast(spark, sf_dir):
+    events = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    mem = jobs.run_to_memory(
+        spark, jobs.holt_tail_state_job(events, k=_HOLT_K),
+        output_mode="update",
+    )
+    final = (
+        mem.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.desc("seq"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .filter(F.col("n_seen") >= _HOLT_K)
+    )
+    carr = F.array(*[F.lit(c) for c in _HOLT_C])
+    darr = F.array(*[F.lit(d) for d in _HOLT_D])
+    sz = F.size("tail_values")
+    ks = F.sequence(F.lit(0), sz - 1)
+
+    def ksum(arr):
+        return F.aggregate(
+            ks,
+            F.lit(0).cast("long"),
+            lambda acc, k: acc
+            + F.floor(
+                F.element_at(F.col("tail_values"), (k + 1).cast("int"))
+                * F.element_at(arr, (k + 1).cast("int"))
+                * 1e9
+                + 0.5
+            ).cast("long"),
+        )
+
+    def micro(col):
+        return F.floor(col.cast("double") / 1e9 * 1e6 + 0.5) / 1e6
+
+    num_l, num_b = ksum(carr), ksum(darr)
+    withn = final.select(
+        "event_type", num_l.alias("num_l"), num_b.alias("num_b")
+    )
+    return withn.select(
+        "event_type",
+        micro(F.col("num_l")).alias("level"),
+        micro(F.col("num_b")).alias("trend"),
+        *[
+            micro(F.col("num_l") + h * F.col("num_b")).alias(f"forecast_h{h}")
+            for h in _HOLT_HS
+        ],
+    ).orderBy("event_type")

@@ -375,6 +375,78 @@ def stateful_counter_job(
     )
 
 
+def holt_tail_state_job(events: DataFrame, k: int = 32) -> DataFrame:
+    """Per-event_type tail ring for the streaming Holt forecast: state is
+    the top-``k`` rows by (event time, event_id) — newest first — kept as
+    three parallel arrays plus a seen-row counter and a batch sequence.
+
+    The state merge is *top-k of the union*, which is commutative and
+    associative over micro-batches: however the replay is batched or
+    ordered, the final ring equals the batch query's
+    ``ORDER BY ts DESC, event_id DESC LIMIT k`` tail exactly — which is
+    what lets the streaming run share the batch oracle
+    (plans.monitoring._holt_oracle). Values ride Arrow as float64 both
+    ways, bit-exact. State size: k doubles + 2k longs per key; the key
+    space is |event_type| — tiny at any scale."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    rows_in = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ts_l, id_l, v_l, n_seen, seq = state.get
+            rows = list(zip(list(ts_l), list(id_l), list(v_l)))
+            n_seen = int(n_seen)
+            seq = int(seq)
+        else:
+            rows, n_seen, seq = [], 0, 0
+        for pdf in pdf_iter:
+            n_seen += len(pdf)
+            rows.extend(
+                zip(
+                    (int(x) for x in pdf["ts_us"]),
+                    (int(x) for x in pdf["event_id"]),
+                    (float(x) for x in pdf["value"]),
+                )
+            )
+        rows.sort(key=lambda r: (-r[0], -r[1]))
+        rows = rows[:k]
+        seq += 1
+        state.update(
+            (
+                [r[0] for r in rows],
+                [r[1] for r in rows],
+                [r[2] for r in rows],
+                n_seen,
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "seq": [seq],
+                "n_seen": [n_seen],
+                "tail_values": [[r[2] for r in rows]],
+            }
+        )
+
+    return rows_in.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, seq long, n_seen long, "
+        "tail_values array<double>",
+        stateStructType="ts_us array<long>, ids array<long>, "
+        "vals array<double>, n_seen long, seq long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def tws_meter_job(messages: DataFrame, filters: Sequence[str]) -> DataFrame:
     """UD4 on the NEW arbitrary-state API (Spark 4
     ``transformWithStateInPandas``): a per-(broker, topic_filter) meter —
