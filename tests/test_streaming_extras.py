@@ -698,3 +698,44 @@ def test_windowed_rate_invariant_under_batch_size(spark):
         os.unlink(path)
     assert coarse == fine
     assert len(coarse) > 0
+
+
+def test_holt_tail_state_invariant_under_batching(spark, sf_dir):
+    """The streaming Holt job's load-bearing claim: its per-key tail
+    state merges as top-k-of-union, so the final ring — and therefore
+    the forecast — is identical whether the corpus arrives as ONE
+    micro-batch or as four file-split batches in arbitrary file order."""
+    import tempfile
+
+    from transitdata_monitor_data_collector_spark.streaming import jobs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def final_rows(src_path, max_files=None):
+        stream = jobs.read_parquet_stream(
+            spark, src_path, max_files_per_trigger=max_files
+        )
+        mem = jobs.run_to_memory(
+            spark, jobs.holt_tail_state_job(stream), output_mode="update"
+        )
+        latest = mem.groupBy("event_type").agg(
+            F.max_by("tail_values", "seq").alias("tail_values"),
+            F.max("n_seen").alias("n_seen"),
+        )
+        return sorted(
+            (r["event_type"], r["n_seen"], tuple(r["tail_values"]))
+            for r in latest.collect()
+        )
+
+    one = final_rows(f"{sf_dir}/events.parquet")
+
+    # shuffle rows into 4 files so event time is interleaved ACROSS
+    # batches — the worst ordering for a tail-state merge
+    split_dir = tempfile.mkdtemp(prefix="holt_split_")
+    ev.orderBy(F.md5(F.col("event_id").cast("string"))).repartition(
+        4
+    ).write.mode("overwrite").parquet(split_dir)
+    many = final_rows(split_dir, max_files=1)
+
+    assert one == many
+    assert len(one) > 0 and one[0][1] > 0
