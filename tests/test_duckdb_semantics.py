@@ -135,6 +135,91 @@ def test_empty_string_split_has_one_element_both_engines(ddb, spark):
     assert tuple(s) == (1, 1, 1)
 
 
+def test_hugeint_pandas_dtype_is_version_dependent(ddb):
+    """Why every oracle must CAST aggregate outputs to BIGINT (r7 root
+    cause for the r5/r6 doc_quality_logreg/_calibration hash-reds):
+    DuckDB ``sum(BIGINT)`` returns HUGEINT, and HUGEINT's pandas dtype
+    is a VERSION CHOICE — 1.0.0 renders float64, newer builds differ —
+    so an uncast sum hashes differently on the driver than locally even
+    when the value is identical. fetchall() hides this (exact Python
+    ints); the driver's .df() path does not. The dtype-strict parity
+    test (test_oracle_parity.test_oracle_dtype_strict) enforces the
+    cast registry-wide; this canary documents the mechanism."""
+    assert ddb.execute(
+        "SELECT typeof(sum(x)) FROM (SELECT CAST(1 AS BIGINT) AS x)"
+    ).fetchone()[0] == "HUGEINT"
+    pdf = ddb.execute(
+        "SELECT sum(x) AS uncast, CAST(sum(x) AS BIGINT) AS cast_ "
+        "FROM (SELECT CAST(5 AS BIGINT) AS x UNION ALL SELECT 7)"
+    ).df()
+    # the CAST column is version-independently integer-kind…
+    assert pdf["cast_"].dtype.kind in ("i", "u")
+    # …while the uncast one is whatever this build chose (float64 on
+    # 1.0.0, object/int elsewhere) — assert only that the local build
+    # behaves as documented so a silent conversion change is visible.
+    if duckdb.__version__.startswith("1.0."):
+        assert pdf["uncast"].dtype.kind == "f"
+
+
+def test_to_timestamp_is_tz_aware_make_timestamp_is_naive(ddb):
+    """Why oracles build timestamps with make_timestamp(micros), never
+    to_timestamp(secs): to_timestamp returns TIMESTAMP WITH TIME ZONE,
+    which the driver's pandas canonicalizer types tz-aware and
+    schema-rejects against Spark's naive TIMESTAMP (the r6 gate's only
+    schema-red, promql_alert_for_duration). make_timestamp is plain
+    TIMESTAMP — the idiom the hash-green timeseries_m4_downsample
+    oracle uses."""
+    import pandas as pd
+
+    tz, naive = ddb.execute(
+        "SELECT typeof(to_timestamp(3600)), "
+        "typeof(make_timestamp(CAST(3600 AS BIGINT) * 1000000))"
+    ).fetchone()
+    assert tz == "TIMESTAMP WITH TIME ZONE"
+    assert naive == "TIMESTAMP"
+    pdf = ddb.execute(
+        "SELECT to_timestamp(3600) AS tz, "
+        "make_timestamp(CAST(3600 AS BIGINT) * 1000000) AS naive"
+    ).df()
+    assert isinstance(pdf["tz"].dtype, pd.DatetimeTZDtype)
+    assert pdf["naive"].dtype.kind == "M"
+    assert not isinstance(pdf["naive"].dtype, pd.DatetimeTZDtype)
+
+
+def test_feature_cte_constructs_are_cross_engine(ddb, spark):
+    """The r7 logreg feature CTE rewrite leans only on constructs the
+    driver gate has proven: unnest+count(*)/count(DISTINCT) must equal
+    Spark's size(split)/size(array_distinct(split)) token counts, and
+    CASE-capping must equal least(column, literal), including on
+    repeated-space and single-token inputs."""
+    texts = ["a b b c", "x", "a  b", "a a a a"]
+    for t in texts:
+        d_ntok, d_ndist = ddb.execute(
+            f"""SELECT count(*), count(DISTINCT tok) FROM
+                (SELECT unnest(string_split('{t}', ' ')) AS tok)"""
+        ).fetchone()
+        s = spark.sql(
+            f"SELECT size(split('{t}', ' ')), "
+            f"size(array_distinct(split('{t}', ' ')))"
+        ).collect()[0]
+        assert (d_ntok, d_ndist) == tuple(s), t
+    # CASE cap == least(col, 1000) over both regimes
+    d = ddb.execute(
+        "SELECT CASE WHEN v < 1000 THEN v ELSE 1000 END, least(v, 1000) "
+        "FROM (SELECT 47 AS v UNION ALL SELECT 1000 UNION ALL SELECT 1477)"
+    ).fetchall()
+    assert all(a == b for a, b in d)
+
+
+def test_oracle_engine_version_recorded(ddb, capsys):
+    """VERDICT r6 item 6: surface the oracle engine version in the test
+    log so correctness stories can name which DuckDB the mirror ran —
+    the r5->r6 failure proved the driver's build differs from 1.0.0."""
+    v = duckdb.__version__
+    print(f"[oracle-engine] local duckdb={v}")
+    assert v  # always true; the value lands in the captured log
+
+
 def test_md5_bucket_idiom_nonnegative_and_identical(ddb, spark):
     """60-bit md5-prefix bucket: DuckDB ('0x'||substr(md5(x),1,15))::BIGINT
     == Spark conv(substr(md5(x),1,15),16,10), and >= 0 (so raw // and %

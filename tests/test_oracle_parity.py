@@ -106,6 +106,97 @@ def test_rows_only(name, spark, oracle_sf_dir):
     assert df.count() >= 0
 
 
+def _pandas_kind_families(spark_type):
+    """Allowed numpy dtype *kinds* for a Spark field when the oracle's
+    result is fetched through duckdb's pandas conversion (what the
+    driver gate does — unlike fetchall(), which returns exact Python
+    values and HIDES dtype divergence). 'i' int, 'u' uint, 'f' float,
+    'M' naive datetime64, 'b' bool, 'O' object."""
+    from pyspark.sql import types as T
+
+    if isinstance(
+        spark_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return {"i", "u"}
+    if isinstance(spark_type, (T.FloatType, T.DoubleType)):
+        return {"f"}
+    if isinstance(spark_type, T.DecimalType):
+        return {"f", "O", "i", "u"}
+    if isinstance(spark_type, T.TimestampType):
+        return {"M"}  # naive datetime64 ONLY — TIMESTAMPTZ is 'O'/tz-aware
+    if isinstance(spark_type, T.DateType):
+        return {"M", "O"}
+    if isinstance(spark_type, T.BooleanType):
+        return {"b"}
+    return {"O", "b", "i", "u", "f", "M"}  # strings/structs/misc
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_dtype_strict(name, ddb, spark, oracle_sf_dir):
+    """Schema-strict mirror of the driver gate's pandas canonicalizer.
+
+    The r5/r6 driver hash-reds (doc_quality_logreg/_calibration: uncast
+    HUGEINT sums -> version-dependent pandas dtype) and the r6 schema-red
+    (promql_alert_for_duration: to_timestamp -> TIMESTAMPTZ -> tz-aware
+    dtype) were all invisible to the fetchall()-based value comparison
+    above, because Python-native fetch returns exact ints / tz-strippable
+    datetimes. This test fetches the oracle result the way the driver
+    does — ``con.execute(sql).df()`` — and requires every column's pandas
+    dtype kind to be compatible with the Spark schema. In particular:
+
+    * Spark integer column  -> oracle must be integer-kind (an uncast
+      HUGEINT arrives as float64 on DuckDB 1.0.0 and FAILS here), unless
+      the column genuinely contains NULLs (pandas widens nullable ints
+      to float64 — allowed only when NaNs are present).
+    * Spark timestamp column -> oracle must be NAIVE datetime64
+      (TIMESTAMPTZ arrives tz-aware and FAILS here).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = REGISTRY[name]
+    pdf = ddb.execute(q.oracle).df()
+    spark_fields = {
+        f.name: f.dataType
+        for f in q.build(spark, oracle_sf_dir).schema.fields
+    }
+    assert sorted(pdf.columns) == sorted(spark_fields), (
+        f"{name}: oracle columns {sorted(pdf.columns)} != Spark "
+        f"{sorted(spark_fields)}"
+    )
+    bad = []
+    for col in pdf.columns:
+        dt = pdf[col].dtype
+        if isinstance(dt, pd.DatetimeTZDtype):
+            bad.append((col, str(dt), "tz-aware vs Spark naive TIMESTAMP"))
+            continue
+        kind = dt.kind
+        allowed = _pandas_kind_families(spark_fields[col])
+        if kind in allowed:
+            continue
+        if (
+            kind == "f"
+            and allowed & {"i", "u"}
+            and bool(pdf[col].isna().any())
+        ):
+            continue  # genuine NULLs: pandas must widen to float
+        if kind == "O" and not np.issubdtype(dt, np.number):
+            # object columns of exact Python ints are how NEWER duckdb
+            # renders HUGEINT — equally version-dependent, equally bad
+            # for an integer-typed Spark column.
+            vals = pdf[col].dropna()
+            if len(vals) and allowed & {"i", "u"}:
+                bad.append(
+                    (col, "object", "HUGEINT-style object ints vs int64")
+                )
+                continue
+        bad.append((col, str(dt), f"kind {kind!r} not in {sorted(allowed)}"))
+    assert not bad, (
+        f"{name}: oracle pandas dtypes incompatible with Spark schema "
+        f"(driver gate would schema- or hash-reject): {bad}"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_no_unhashable_output_columns(name, spark, oracle_sf_dir):
     """The driver's oracle harness canonicalizes via pandas sort_values,

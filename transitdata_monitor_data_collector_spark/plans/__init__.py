@@ -70,20 +70,44 @@ def register(
 # exists. PRUNE an entry once a post-fix CORRECTNESS row lands (cost of
 # forgetting: a wasted window slot, not starvation).
 RE_GATE: list[str] = [
-    # round 6: CORRECTNESS_r05 hash-red pair — their oracles routed
-    # negative gradients through DuckDB ``//``, whose semantics changed
-    # between DuckDB releases (1.0.0 truncates toward zero, newer floor;
-    # the driver evidently runs a flooring build while Spark DIV always
-    # truncates). Fixed by sign-explicit truncation (_tdiv_sql in
-    # plans/llm_data.py) so the oracle is version-independent; re-gate.
+    # round 7: the r5/r6 hash-red pair again — r6's _tdiv_sql fix did not
+    # clear the driver, and the remaining delta vs every hash-green query
+    # is uncast HUGEINT output/intermediate columns (DuckDB sum() returns
+    # HUGEINT, whose pandas-conversion dtype is version-dependent —
+    # float64 on local 1.0.0). r7 casts every weight/loss/bin to BIGINT
+    # and rewrites the feature CTE onto constructs the hash-green hashed
+    # twin proves stable (unnest + count DISTINCT instead of
+    # list_distinct/len, CASE instead of least-on-column). The two
+    # doc_quality_logreg_* diagnostics below bisect any residual red.
     "doc_quality_logreg",
     "doc_quality_calibration",
+    "doc_quality_logreg_features",
+    "doc_quality_logreg_round1",
+    # round 7: r6's only schema-red — the oracle's to_timestamp returns
+    # TIMESTAMPTZ on DuckDB; replaced with make_timestamp(micros), the
+    # idiom the hash-green timeseries_m4_downsample oracle uses.
+    "promql_alert_for_duration",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era
 # additions that predate the newest CORRECTNESS file). Names here that
 # HAVE earned a row are skipped automatically — a stale hint is harmless.
 GATE_ORDER_HINT: list[str] = [
+    # round 7: the 12 registry queries still lacking ANY driver row
+    # (VERDICT r6 "What's missing") — this is the last never-gated debt;
+    # after r7's window they all hold a CORRECTNESS row.
+    "streaming_holt_forecast",
+    "window_range_numeric_frame",
+    "join_null_safe_equality",
+    "join_asof_nearest",
+    "agg_bitmap_distinct_users",
+    "agg_weighted_median",
+    "basket_part_pair_lift",
+    "graph_triangle_count",
+    "orders_cohort_clv",
+    "orders_rfm_segmentation",
+    "orders_ship_lead_time",
+    "parts_abc_pareto",
     # round 6: the never-gated entries whose semantics are hardest to
     # trust from the local mirror alone (r5 VERDICT item 3) — streaming
     # sketch replays, VARIANT shredding, TRY arithmetic. Promoted so the

@@ -7601,16 +7601,33 @@ def _tdiv_sql(a: str, b: str) -> str:
     )
 
 
+# Feature CTE, restricted to constructs the driver gate has proven
+# version-stable (the doc_quality_logreg_hashed oracle is hash-green on
+# the driver with string_split + unnest + DISTINCT): token counts come
+# from unnest + count(*) / count(DISTINCT) instead of len/list_distinct,
+# the length cap is a CASE instead of least(column, literal), and every
+# aggregate-derived column is CAST to BIGINT so no HUGEINT (whose
+# pandas-conversion dtype changed across DuckDB releases) survives into
+# downstream arithmetic or the result set.
 _LOGREG_FEAT_SQL = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dt AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS ntok,
+         CAST(count(DISTINCT tok) AS BIGINT) AS ndist
+  FROM tok GROUP BY doc_id
+),
 feat AS (
   SELECT CAST(1000 AS BIGINT) AS x0,
-         CAST(least(n_chars, 1000) AS BIGINT) AS x1,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
-         CAST(len(list_distinct(string_split(text, ' '))) * 1000 AS BIGINT)
-           // CAST(len(string_split(text, ' ')) AS BIGINT) AS x3,
-         CASE WHEN lang = 'en' THEN CAST(1000000000 AS BIGINT)
+         CAST(CASE WHEN d.n_chars < 1000 THEN d.n_chars ELSE 1000 END
+              AS BIGINT) AS x1,
+         dt.ntok AS x2,
+         (dt.ndist * 1000) // dt.ntok AS x3,
+         CASE WHEN d.lang = 'en' THEN CAST(1000000000 AS BIGINT)
               ELSE CAST(0 AS BIGINT) END AS y9
-  FROM documents
+  FROM documents d JOIN dt ON d.doc_id = dt.doc_id
 ),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat)
 """
@@ -7654,8 +7671,15 @@ def _logreg_oracle_sql() -> str:
         )
         wcols = ", ".join(
             (
-                f"{base.format(k=k)} - "
-                f"{_tdiv_sql(_tdiv_sql(f's{k}', 'n * 1000'), '4')} AS w{k}"
+                # CAST AS BIGINT: s{k} is a HUGEINT sum — without the
+                # cast the weight columns (and everything computed from
+                # them) stay HUGEINT, whose pandas-conversion dtype is
+                # DuckDB-version-dependent (float64 on 1.0.0). The
+                # hash-green hashed-logreg twin casts every weight; the
+                # r5/r6 hash-red on this query traced to not doing so.
+                f"CAST({base.format(k=k)} - "
+                f"{_tdiv_sql(_tdiv_sql(f's{k}', 'n * 1000'), '4')} "
+                f"AS BIGINT) AS w{k}"
             )
             for k in range(4)
         )
@@ -7663,7 +7687,8 @@ def _logreg_oracle_sql() -> str:
         parts.append(
             # sa = sum(abs(err)) is non-negative, so plain // is
             # floor==truncate there under any DuckDB version.
-            f"w{r} AS (SELECT {wcols}, sa // (n * 1000000) AS loss "
+            f"w{r} AS (SELECT {wcols}, "
+            f"CAST(sa // (n * 1000000) AS BIGINT) AS loss "
             f"FROM g{r}, nn{from_w})"
         )
         selects.append(
@@ -7740,6 +7765,124 @@ def doc_quality_logreg(spark, sf_dir):
         "step int, w0 long, w1 long, w2 long, w3 long, "
         "mean_abs_err_permille long",
     ).orderBy("step")
+
+
+# -- gate-side bisection diagnostics for the logreg trajectory -------------
+# doc_quality_logreg(+_calibration) were hash-red on the driver's DuckDB in
+# r5/r6 while every local mirror run was green (version-dependent oracle
+# behavior). These two cheap queries split the trajectory so a driver
+# CORRECTNESS row localizes any future divergence:
+#   * _features red            -> the feature CTE (tokenization / casts)
+#   * _features green, _round1 red -> the gradient/update integer math
+#   * both green, full query red   -> the multi-round z-scoring path
+
+
+def _logreg_spark_feat(spark, sf_dir):
+    d = _docs_spread(spark, sf_dir)
+    return d.selectExpr(
+        "CAST(1000 AS BIGINT) AS x0",
+        "CAST(least(n_chars, 1000) AS BIGINT) AS x1",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS x2",
+        "CAST(size(array_distinct(split(text, ' '))) * 1000 AS BIGINT) "
+        "DIV CAST(size(split(text, ' ')) AS BIGINT) AS x3",
+        "CASE WHEN lang = 'en' THEN CAST(1000000000 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS y9",
+    )
+
+
+@register(
+    "doc_quality_logreg_features",
+    oracle=f"""
+    WITH {_LOGREG_FEAT_SQL.strip()}
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(x1) AS BIGINT) AS sum_x1,
+           CAST(min(x1) AS BIGINT) AS min_x1,
+           CAST(max(x1) AS BIGINT) AS max_x1,
+           CAST(sum(x2) AS BIGINT) AS sum_x2,
+           CAST(sum(x3) AS BIGINT) AS sum_x3,
+           CAST(min(x3) AS BIGINT) AS min_x3,
+           CAST(max(x3) AS BIGINT) AS max_x3,
+           CAST(sum(y9) // 1000000000 AS BIGINT) AS n_pos
+    FROM feat
+    """,
+    doc="Gate diagnostic (bisection) for doc_quality_logreg: corpus-level "
+    "aggregates of the exact feature CTE the trainer consumes — if this "
+    "row hash-mismatches on the driver, the divergence is in feature "
+    "construction (tokenization / distinct-count / caps), not the GD "
+    "replay. All aggregates CAST to BIGINT so no HUGEINT reaches the "
+    "result set.",
+    tags=("llm", "text", "ml", "diagnostic"),
+)
+def doc_quality_logreg_features(spark, sf_dir):
+    feat = _logreg_spark_feat(spark, sf_dir)
+    return feat.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_docs",
+        "CAST(sum(x1) AS BIGINT) AS sum_x1",
+        "CAST(min(x1) AS BIGINT) AS min_x1",
+        "CAST(max(x1) AS BIGINT) AS max_x1",
+        "CAST(sum(x2) AS BIGINT) AS sum_x2",
+        "CAST(sum(x3) AS BIGINT) AS sum_x3",
+        "CAST(min(x3) AS BIGINT) AS min_x3",
+        "CAST(max(x3) AS BIGINT) AS max_x3",
+        "CAST(sum(y9) DIV 1000000000 AS BIGINT) AS n_pos",
+    )
+
+
+def _logreg_round1_oracle_sql() -> str:
+    """Round 1 of the GD replay only (initial weights are zero, so the
+    pre-activation is the constant 5e8 and err = 5e8 - y9)."""
+    p = "CAST(500000000 AS BIGINT)"
+    return f"""
+    WITH {_LOGREG_FEAT_SQL.strip()},
+    g1 AS (
+      SELECT sum(err * x0) AS s0, sum(err * x1) AS s1,
+             sum(err * x2) AS s2, sum(err * x3) AS s3,
+             sum(abs(err)) AS sa
+      FROM (SELECT ({p}) - y9 AS err, x0, x1, x2, x3 FROM feat)
+    )
+    SELECT {', '.join(
+        f"CAST(CAST(0 AS BIGINT) - "
+        f"{_tdiv_sql(_tdiv_sql(f's{k}', 'n * 1000'), '4')} "
+        f"AS BIGINT) AS w{k}" for k in range(4))},
+           CAST(sa // (n * 1000000) AS BIGINT) AS mean_abs_err_permille
+    FROM g1, nn
+    """
+
+
+@register(
+    "doc_quality_logreg_round1",
+    oracle=_logreg_round1_oracle_sql(),
+    doc="Gate diagnostic (bisection) for doc_quality_logreg: the round-1 "
+    "weight update only — with zero initial weights the activation is a "
+    "constant, so this isolates the gradient-sum + truncating-division "
+    "update step from both the feature CTE (covered by _features) and "
+    "the multi-round z path. Red here = the integer update math "
+    "diverges on the driver's DuckDB.",
+    tags=("llm", "text", "ml", "diagnostic"),
+)
+def doc_quality_logreg_round1(spark, sf_dir):
+    feat = _logreg_spark_feat(spark, sf_dir)
+    n = feat.count()
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    err = "((CAST(500000000 AS BIGINT)) - y9)"
+    s = feat.selectExpr(
+        f"sum({err} * x0) AS s0",
+        f"sum({err} * x1) AS s1",
+        f"sum({err} * x2) AS s2",
+        f"sum({err} * x3) AS s3",
+        f"sum(abs({err})) AS sa",
+    ).collect()[0]
+    row = tuple(
+        -tdiv(tdiv(s[f"s{k}"], n * 1000), 4) for k in range(4)
+    ) + (tdiv(s["sa"], n * 1000000),)
+    return spark.createDataFrame(
+        [row],
+        "w0 long, w1 long, w2 long, w3 long, mean_abs_err_permille long",
+    )
 
 
 # cross-engine 60-bit hash bucket (same idiom as simhash_md5):
@@ -9373,8 +9516,11 @@ def _logreg_weights_cte() -> str:
         )
         base = "CAST(0 AS BIGINT)" if prev_w is None else "w.w{k}"
         wcols = ", ".join(
-            f"{base.format(k=k)} - "
-            f"{_tdiv_sql(_tdiv_sql(f's{k}', 'n * 1000'), '4')} AS w{k}"
+            # CAST AS BIGINT — same HUGEINT quarantine as
+            # _logreg_oracle_sql (see comment there).
+            f"CAST({base.format(k=k)} - "
+            f"{_tdiv_sql(_tdiv_sql(f's{k}', 'n * 1000'), '4')} "
+            f"AS BIGINT) AS w{k}"
             for k in range(4)
         )
         from_w = "" if prev_w is None else f", {prev_w} w"
@@ -9388,15 +9534,17 @@ def _logreg_weights_cte() -> str:
     oracle=f"""
     WITH {_logreg_weights_cte()},
     scored AS (
-      SELECT least(greatest(CAST(500000000 AS BIGINT)
+      SELECT CAST(least(greatest(CAST(500000000 AS BIGINT)
                + {_tdiv_sql("w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3",
                             "4000")},
-               CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT)) AS p_nano,
+               CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT))
+             AS BIGINT) AS p_nano,
              y9
       FROM feat CROSS JOIN w{_LOGREG_ROUNDS} w
     ),
     binned AS (
-      SELECT least(p_nano * 10 // 1000000000, 9) AS bin, p_nano, y9
+      SELECT CAST(least(p_nano * 10 // 1000000000, 9) AS BIGINT) AS bin,
+             p_nano, y9
       FROM scored
     ),
     per_bin AS (

@@ -3775,8 +3775,14 @@ def events_apdex_score(spark, sf_dir):
       WHERE h.cnt * t.n_hours > 2 * t.total
     )
     SELECT event_type,
-           to_timestamp(min(hour_idx) * 3600) AS alert_start,
-           to_timestamp(max(hour_idx) * 3600) AS alert_end,
+           -- make_timestamp(micros), NOT to_timestamp(secs): DuckDB
+           -- to_timestamp returns TIMESTAMP WITH TIME ZONE, which the
+           -- driver's canonicalizer types tz-aware and schema-rejects
+           -- against Spark's naive TIMESTAMP (the r6 gate's only
+           -- schema-red). make_timestamp is plain TIMESTAMP and is the
+           -- idiom the hash-green timeseries_m4_downsample oracle uses.
+           make_timestamp(min(hour_idx) * 3600 * 1000000) AS alert_start,
+           make_timestamp(max(hour_idx) * 3600 * 1000000) AS alert_end,
            CAST(count(*) AS BIGINT)           AS breach_hours,
            CAST(max(cnt) AS BIGINT)           AS peak_cnt
     FROM breaches
