@@ -151,7 +151,32 @@ ROUND1_SET = [
 ]
 
 
+def _refresh_registry_index() -> None:
+    """Regenerate docs/REGISTRY.md. The driver runs bench.py before every
+    round close and commits uncommitted work afterwards, so refreshing
+    here guarantees the index can never be committed stale again (it went
+    stale in r5 AND r6 when late registry additions weren't re-indexed)."""
+    try:
+        import tools.gen_registry_md as gen
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "docs", "REGISTRY.md"
+        )
+        fresh = gen.render()
+        try:
+            with open(path) as f:
+                stale = f.read() != fresh
+        except OSError:
+            stale = True
+        if stale:
+            with open(path, "w") as f:
+                f.write(fresh)
+    except Exception as exc:  # never let doc hygiene break the bench
+        print(f"# registry-index refresh skipped: {exc}", file=sys.stderr)
+
+
 def main() -> None:
+    _refresh_registry_index()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # local profiling aid: run only a comma-separated subset (and skip the

@@ -59,3 +59,21 @@ def test_boilerplate_only_overlap_is_skipped_by_design(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_freq=5)
     assert out.count() == 0
+
+
+def test_recall_report_corpus_guard(spark, sf_dir):
+    """r6 VERDICT item 7: the recall reports' exact brute-force
+    ground-truth pass refuses oversized corpora loudly instead of
+    broadcasting/grinding through them."""
+    import pytest as _pytest
+
+    from transitdata_monitor_data_collector_spark.plans import table
+    from transitdata_monitor_data_collector_spark.plans.llm_data import (
+        _guard_recall_corpus,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    # gate-scale corpus passes through untouched
+    assert _guard_recall_corpus(e, "t") is e
+    with _pytest.raises(ValueError, match="refuses"):
+        _guard_recall_corpus(e, "t", max_rows=3)

@@ -570,15 +570,41 @@ def test_hashed_logreg_weights_stay_broadcast(spark, sf_dir):
     would shuffle the full feature set once per GD round, which is the
     exact failure mode the weights-as-data design exists to avoid. The
     gradient aggregates must be partial+final, and no plan node may be
-    a nested-loop or cartesian join."""
-    plan = _plan(spark, sf_dir, "doc_quality_logreg_hashed")
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-    # the only nested-loop joins allowed are the per-round stats
-    # crossJoins (1-row loss x 1-row weight aggregate — bounded at any
-    # corpus scale, same class as the audited 1-row global aggregates)
-    assert plan.count("BroadcastNestedLoopJoin") <= _HL_STATS_CROSSJOINS
-    # every h-keyed weight join must broadcast, and the feat->err doc_id
-    # joins resolve to broadcast under AQE at gate scale; a SortMergeJoin
-    # here means a weight-table shuffle leaked in
-    assert plan.count("SortMergeJoin") == 0, plan.count("SortMergeJoin")
+    a nested-loop or cartesian join.
+
+    The registered query now materializes its 3-row report (so it can
+    release the training cache — r6 ADVICE leak fix), which makes ITS
+    plan a LocalTableScan; the training DAG is asserted directly from
+    _hashed_logreg_run's lazy stats union. autoBroadcastJoinThreshold is
+    pinned (r6 ADVICE item 3) so the doc_id-side join shape doesn't flip
+    with fixture size — the h-keyed weight joins the test guards are
+    explicitly broadcast regardless."""
+    from transitdata_monitor_data_collector_spark.plans.llm_data import (
+        _hashed_logreg_run,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+    )
+    cached = []
+    try:
+        stats, _w, cached = _hashed_logreg_run(spark, sf_dir)
+        out = stats[0]
+        for s in stats[1:]:
+            out = out.unionByName(s)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # the only nested-loop joins allowed are the per-round stats
+        # crossJoins (1-row loss x 1-row weight aggregate — bounded at
+        # any corpus scale, same class as the audited 1-row global
+        # aggregates)
+        assert plan.count("BroadcastNestedLoopJoin") <= _HL_STATS_CROSSJOINS
+        # every h-keyed weight join must broadcast; a SortMergeJoin here
+        # means a weight-table shuffle leaked in
+        assert plan.count("SortMergeJoin") == 0, plan.count("SortMergeJoin")
+    finally:
+        for df in cached:
+            df.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -95,6 +95,14 @@ def rate_over_store(
     from transitdata_monitor_data_collector_spark.sinks.parquet import read_pruned
 
     samples = read_pruned(spark, store_path, date_from, date_to)
+    # The history writer is at-least-once in one narrow crash window
+    # (streaming/jobs.py stream_merge_counter_job: re-delivery after a
+    # crash between the append's job commit and its marker rename), so
+    # the store boundary drops exact (series key, ts) duplicates — a
+    # scrape sample is uniquely identified by them. Free at scale: the
+    # dedup shuffles on the same series keys the rate window shuffles
+    # on next, and duplicate rows are identical so first-wins is exact.
+    samples = samples.dropDuplicates([*keys, ts_col])
     return rate_windowed(samples, keys, window_duration, ts_col, counter_col)
 
 

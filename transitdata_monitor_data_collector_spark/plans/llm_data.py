@@ -1955,6 +1955,28 @@ def text_bigrams_topk(spark, sf_dir):
     )
 
 
+# Recall reports compute exact ground truth with an O(queries x corpus)
+# brute-force pass (10 query vectors broadcast against every candidate).
+# That is the right shape for a REPORT — bounded by the capped query set —
+# but a 100x corpus must fail loudly instead of grinding through a
+# quadratic-ish compare or OOMing the driver (r6 VERDICT item 7; same
+# contract as operators/similarity.cosine_neardup_pairs' refusal).
+_RECALL_REPORT_MAX_ROWS = 200_000
+
+
+def _guard_recall_corpus(e, what: str, max_rows: int = _RECALL_REPORT_MAX_ROWS):
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what} is a recall REPORT with an exact brute-force "
+            f"ground-truth pass and refuses {n:,} corpus rows "
+            f"(> {max_rows:,}): at this size compute recall on a "
+            f"deterministic sample (vec_id range slice) instead of the "
+            f"full corpus."
+        )
+    return e
+
+
 @register(
     "emb_ann_recall_report",
     oracle=f"""
@@ -2275,7 +2297,10 @@ def emb_ivf_recall_report(spark, sf_dir):
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    e = _guard_recall_corpus(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v")),
+        "emb_ivf_recall_report",
+    )
     cent, afin = _ivf_spark_train(e)
 
     q = e.filter(F.col("vec_id") < 10).select(
@@ -2991,9 +3016,10 @@ def emb_semantic_dedup(spark, sf_dir):
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     _cent, afin = _ivf_spark_train(e)
 
-    # Precompute each vector's sqrt-norm ONCE (the oracle's vec_norm CTE
-    # does the same): the within-cluster pairwise loop then evaluates one
-    # 64-dim pico_dot per pair instead of three — same doubles, same
+    # Precompute each vector's sqrt-norm ONCE: the oracle inlines
+    # pico_cosine_sql per pair, but sqrt/multiply/divide over identical
+    # doubles in the same association are bit-identical whether the
+    # sqrt-norms are hoisted or recomputed inline — same doubles, same
     # floor, identical hash; ~3x less work in the O(sum cluster^2) stage.
     withn = afin.select(
         "vec_id", "v", "cid", F.sqrt(pico_dot(F.col("v"), F.col("v"))).alias("nn")
@@ -3610,8 +3636,11 @@ def emb_matryoshka_recall(spark, sf_dir):
         pico_cosine,
     )
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    e = _guard_recall_corpus(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ),
+        "emb_matryoshka_recall",
     )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -5131,8 +5160,11 @@ def emb_binary_quantization_recall(spark, sf_dir):
         pico_cosine,
     )
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    e = _guard_recall_corpus(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ),
+        "emb_binary_quantization_recall",
     )
     dims = e.select(
         "vec_id", F.posexplode("v").alias("dim", "x")
@@ -6229,7 +6261,7 @@ def emb_pq_recall_report(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    return _pq_recall_body(e)
+    return _pq_recall_body(_guard_recall_corpus(e, "emb_pq_recall_report"))
 
 
 def _pq_recall_body(e):
@@ -6271,8 +6303,12 @@ def _pq_recall_body(e):
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     bf = (
-        q.join(e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv64")),
-               F.col("c_id") != F.col("q_id"))
+        # broadcast the 10-row QUERY side explicitly: without the hint
+        # Spark may broadcast the corpus side of this theta join
+        # (observed in PLAN_AUDIT r6), which is a driver OOM at 100x
+        F.broadcast(q)
+        .join(e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv64")),
+              F.col("c_id") != F.col("q_id"))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -6370,7 +6406,9 @@ def emb_pq_recall_clustered(spark, sf_dir):
         "vec_id",
         F.transform(F.sequence(F.lit(1), F.lit(dim)), mixed).alias("v"),
     )
-    return _pq_recall_body(e)
+    return _pq_recall_body(
+        _guard_recall_corpus(e, "emb_pq_recall_clustered")
+    )
 
 
 # --- compression-ladder tier separation on the clustered corpus ------------
@@ -7217,7 +7255,10 @@ def emb_ivf_nprobe_sweep(spark, sf_dir):
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    e = _guard_recall_corpus(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v")),
+        "emb_ivf_nprobe_sweep",
+    )
     cent, afin = _ivf_spark_train(e)
 
     q = e.filter(F.col("vec_id") < 10).select(
@@ -8050,17 +8091,31 @@ def _hashed_logreg_topk_oracle_sql() -> str:
     tags=("llm", "text", "ml"),
 )
 def doc_quality_logreg_hashed(spark, sf_dir):
-    stats, _w = _hashed_logreg_run(spark, sf_dir)
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("step")
+    stats, _w, cached = _hashed_logreg_run(spark, sf_dir)
+    try:
+        out = stats[0]
+        for s in stats[1:]:
+            out = out.unionByName(s)
+        out = out.orderBy("step")
+        # materialize the 3-row report, then release the training cache
+        # (corpus feat + per-round weight tables) — the rows are O(rounds)
+        # scalars, same driver-traffic class as the loss itself
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 def _hashed_logreg_run(spark, sf_dir):
     """Run the sparse GD; returns (per-round stats DataFrames, final
-    weight DataFrame) — shared by the trajectory report and the
-    top-features report."""
+    weight DataFrame, cached DataFrames) — shared by the trajectory
+    report and the top-features report. ``cached`` lists every persisted
+    DataFrame (the corpus-sized feat table + each round's weight table);
+    the CALLER must unpersist them all once its result rows are
+    materialized (both registered queries collect their tiny result and
+    rebuild it as a local DataFrame precisely so they can release the
+    cache in a finally — before r7 a full-registry run leaked one corpus
+    cache plus three weight tables per training query)."""
     d = _docs_spread(spark, sf_dir)
     docs_y = d.selectExpr(
         "doc_id",
@@ -8086,6 +8141,7 @@ def _hashed_logreg_run(spark, sf_dir):
         "doc_id", "y9", F.lit(_HL_H).cast("long").alias("h")
     )
     feat = grams.unionByName(bias).distinct().persist()
+    cached = [feat]
     n = docs_y.count()
     feat.count()  # materialize ONCE: every round references feat 2x
 
@@ -8127,6 +8183,7 @@ def _hashed_logreg_run(spark, sf_dir):
                 "h", f"CAST(coalesce(w, 0) - ({step}) AS LONG) AS w"
             )
         w = w.persist()
+        cached.append(w)
         # Materialize the (<= _HL_H + 1)-row weight table NOW: round r+1's
         # scoring join, the update join, and the stats aggregate all
         # reference it, and leaving it lazy makes the final DAG replay
@@ -8155,7 +8212,7 @@ def _hashed_logreg_run(spark, sf_dir):
                 "max_abs_w",
             )
         )
-    return stats, w
+    return stats, w, cached
 
 
 @register(
@@ -8173,16 +8230,22 @@ def _hashed_logreg_run(spark, sf_dir):
     tags=("llm", "text", "ml"),
 )
 def doc_quality_logreg_hashed_topfeatures(spark, sf_dir):
-    _stats, w = _hashed_logreg_run(spark, sf_dir)
-    return (
-        w.filter(F.col("w") != 0)
-        .select(
-            F.col("h").cast("long").alias("bucket"),
-            F.col("w").cast("long").alias("weight_nano"),
+    _stats, w, cached = _hashed_logreg_run(spark, sf_dir)
+    try:
+        out = (
+            w.filter(F.col("w") != 0)
+            .select(
+                F.col("h").cast("long").alias("bucket"),
+                F.col("w").cast("long").alias("weight_nano"),
+            )
+            .orderBy(F.abs("weight_nano").desc(), "bucket")
+            .limit(20)
         )
-        .orderBy(F.abs("weight_nano").desc(), "bucket")
-        .limit(20)
-    )
+        # materialize the 20-row report, then release the training cache
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -235,8 +235,12 @@ def measure_store_to_serving(
             for r in final.collect()
         }
         # conservation: journey/# and ongoing/vp/# match every message;
-        # the exact filter matches vehicle i%100==7 only
-        expected = 2 * n_msgs + n_msgs // 100
+        # the exact filter matches vehicle i%100==7 only, i.e. i in
+        # {7, 107, ...} — count is n//100 plus one more when the last
+        # partial block reaches index 7 (n%100 > 7), so the formula is
+        # exact for EVERY n, not just multiples of 100 (r6 ADVICE)
+        exact_matches = n_msgs // 100 + (1 if n_msgs % 100 > 7 else 0)
+        expected = 2 * n_msgs + exact_matches
         n_history = spark.read.parquet(history_path).count()
         return {
             "n_msgs": n_msgs,

@@ -282,8 +282,25 @@ def read_parquet_stream(
     if os.path.isfile(path):
         # The file streaming source requires a directory; expose a single
         # parquet file through a symlink in a temp dir (no data copy).
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        # The dir is DETERMINISTIC per source path: the file source's
+        # checkpoint log records processed files by absolute path, so a
+        # random dir per call would make every durable-checkpoint restart
+        # see the same bytes as brand-new files and replay them (double
+        # counting through stateful sinks).
+        import hashlib
+
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "stream_src_"
+            + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16],
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(path))
+        if not os.path.islink(link):
+            try:
+                os.symlink(path, link)
+            except FileExistsError:
+                pass
         path = d
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -637,7 +654,18 @@ def stream_merge_counter_job(
     the Prometheus scrape model, which makes the store directly queryable
     by functions/promql.rate_over_store. The append is per-batch delta
     keys only (update mode), so history volume tracks ACTIVE series, not
-    the full key space."""
+    the full key space.
+
+    History idempotency under foreachBatch re-delivery: the append runs
+    AFTER the ledger-guarded merge commits (so a failed merge never
+    leaves orphan samples), and is itself guarded by a per-ledger-id
+    marker file under ``<history_path>/_batches/`` created atomically
+    after the append job commits — a replayed batch whose samples
+    already landed is skipped. The one remaining window (crash between
+    the append's job commit and the marker rename) degrades to
+    at-least-once, which the read path absorbs: rate_over_store drops
+    exact (key, ts) duplicate samples at the store boundary, so the
+    'one sample per key per batch' contract holds for every consumer."""
     from transitdata_monitor_data_collector_spark.sinks.parquet import (
         merge_upsert,
         write_time_partitioned,
@@ -653,31 +681,48 @@ def stream_merge_counter_job(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # cheap: update mode emits only deltas
             return
+        ledger_id = f"{run_token}{batch_id}"
         if history_path is not None:
             batch_df = batch_df.persist()
-            write_time_partitioned(
-                batch_df.select(
-                    F.col("last_ts").alias("ts"),
-                    "broker",
-                    "topic_filter",
-                    F.col("messages_received_total")
-                    .cast("double")
-                    .alias("counter"),
-                ),
-                history_path,
-                ts_col="ts",
-                sort_cols=("broker", "topic_filter"),
-                mode="append",
+        try:
+            # merge FIRST: if it raises, no orphan history samples land;
+            # if it replays (ledger no-op), the marker below decides
+            # whether the history append already happened.
+            merge_upsert(
+                spark,
+                table_path,
+                batch_df.drop("last_ts"),
+                ["broker", "topic_filter"],
+                batch_id=ledger_id,
             )
-        merge_upsert(
-            spark,
-            table_path,
-            batch_df.drop("last_ts"),
-            ["broker", "topic_filter"],
-            batch_id=f"{run_token}{batch_id}",
-        )
-        if history_path is not None:
-            batch_df.unpersist()
+            if history_path is not None:
+                marker_dir = os.path.join(history_path, "_batches")
+                marker = os.path.join(
+                    marker_dir, ledger_id.replace(":", "_")
+                )
+                if not os.path.exists(marker):
+                    write_time_partitioned(
+                        batch_df.select(
+                            F.col("last_ts").alias("ts"),
+                            "broker",
+                            "topic_filter",
+                            F.col("messages_received_total")
+                            .cast("double")
+                            .alias("counter"),
+                        ),
+                        history_path,
+                        ts_col="ts",
+                        sort_cols=("broker", "topic_filter"),
+                        mode="append",
+                    )
+                    os.makedirs(marker_dir, exist_ok=True)
+                    tmp = marker + ".tmp"
+                    with open(tmp, "w"):
+                        pass
+                    os.rename(tmp, marker)  # atomic: marker appears last
+        finally:
+            if history_path is not None:
+                batch_df.unpersist()
 
     q = (
         totals.writeStream.foreachBatch(sink)
