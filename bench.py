@@ -221,6 +221,39 @@ def main() -> None:
         # inflation vs a clean re-run of the identical build)
         timings[name] = round(min(run_once(name), run_once(name)), 3)
 
+    # r6 VERDICT stretch item 8: the weights-as-DataFrame trainer at a
+    # REALISTIC classifier width (2^16 hash buckets vs the gate's 2^10) —
+    # bench-only (no oracle slot spent), demonstrating that the per-round
+    # cost is joins + aggregates over distributed weight/feature tables
+    # with the driver seeing only the corpus count.
+    if not only:
+        from transitdata_monitor_data_collector_spark.plans.llm_data import (
+            _hashed_logreg_run,
+        )
+
+        def run_wide_logreg() -> float:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            stats, _w, cached = _hashed_logreg_run(
+                spark, sf_dir, n_buckets=1 << 16
+            )
+            try:
+                out = stats[0]
+                for s in stats[1:]:
+                    out = out.unionByName(s)
+                out.write.format("noop").mode("overwrite").save()
+            finally:
+                for df in cached:
+                    df.unpersist()
+            return time.perf_counter() - t0
+
+        print("bench: doc_quality_logreg_hashed_2e16", file=sys.stderr,
+              flush=True)
+        run_wide_logreg()  # warm-up
+        timings["doc_quality_logreg_hashed_2e16"] = round(
+            min(run_wide_logreg(), run_wide_logreg()), 3
+        )
+
     # Streaming ingest budget (BASELINE.md row 1: >= 10,000 msg/s): replay
     # 200k synthetic messages through the mqtt-replay DataSource +
     # windowed_rate_job (fan-out, watermark, stateful window agg, update

@@ -608,3 +608,36 @@ def test_hashed_logreg_weights_stay_broadcast(spark, sf_dir):
         for df in cached:
             df.unpersist()
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_hashed_logreg_wide_width_same_plan_shape(spark, sf_dir):
+    """The 2^16-bucket bench run (r6 VERDICT stretch 8) must keep the
+    exact plan discipline of the gated 2^10 run: weight joins broadcast,
+    no cartesian join, no SortMergeJoin — i.e. widening the classifier
+    only widens the broadcast weight table, it never changes the shuffle
+    structure, and the driver still sees only the corpus count."""
+    from transitdata_monitor_data_collector_spark.plans.llm_data import (
+        _hashed_logreg_run,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+    )
+    cached = []
+    try:
+        stats, _w, cached = _hashed_logreg_run(
+            spark, sf_dir, n_buckets=1 << 16
+        )
+        out = stats[0]
+        for s in stats[1:]:
+            out = out.unionByName(s)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= _HL_STATS_CROSSJOINS
+        assert plan.count("SortMergeJoin") == 0, plan.count("SortMergeJoin")
+    finally:
+        for df in cached:
+            df.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -117,6 +117,10 @@ def run(k: int, queries: list[str]) -> int:
     from transitdata_monitor_data_collector_spark.plans import load_all
     from transitdata_monitor_data_collector_spark.session import get_spark
 
+    # r6 VERDICT item 6: name the oracle engine build in every stress log —
+    # the r5/r6 gate divergence was a DuckDB-version behavior difference
+    # invisible without knowing which build each side ran.
+    print(f"oracle engine: duckdb {duckdb.__version__}")
     sf_dir = build_stress_dir(k)
     spark = get_spark(
         master="local[16]",

@@ -135,6 +135,259 @@ def doc_minhash_lsh_neardup(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+# ---------------------------------------------------------------------------
+# Sketch-accuracy audit: MinHash-estimated vs exact Jaccard (r7).
+# ---------------------------------------------------------------------------
+# The production signature path hashes shingles with xxhash64 (JVM-only);
+# this audit uses the cross-engine md5-prefix hash so the ENTIRE sketch —
+# shingle hash -> 64 universal-hash minima -> per-pair signature-match
+# estimate — replays bit-exactly in the DuckDB oracle. Same (a_i, b_i)
+# universal-hash family as operators/dedup.minhash_signatures.
+
+_MH_AUDIT_P = 2147483647
+_MH_AUDIT_A = [40503, 121509, 202515, 283521, 364527, 445533, 526539, 607545, 688551, 769557, 850563, 931569, 1012575, 1093581, 1174587, 1255593, 1336599, 1417605, 1498611, 1579617, 1660623, 1741629, 1822635, 1903641, 1984647, 2065653, 2146659, 2227665, 2308671, 2389677, 2470683, 2551689, 2632695, 2713701, 2794707, 2875713, 2956719, 3037725, 3118731, 3199737, 3280743, 3361749, 3442755, 3523761, 3604767, 3685773, 3766779, 3847785, 3928791, 4009797, 4090803, 4171809, 4252815, 4333821, 4414827, 4495833, 4576839, 4657845, 4738851, 4819857, 4900863, 4981869, 5062875, 5143881]
+_MH_AUDIT_B = [15485863, 16785584, 18085305, 19385026, 20684747, 21984468, 23284189, 24583910, 25883631, 27183352, 28483073, 29782794, 31082515, 32382236, 33681957, 34981678, 36281399, 37581120, 38880841, 40180562, 41480283, 42780004, 44079725, 45379446, 46679167, 47978888, 49278609, 50578330, 51878051, 53177772, 54477493, 55777214, 57076935, 58376656, 59676377, 60976098, 62275819, 63575540, 64875261, 66174982, 67474703, 68774424, 70074145, 71373866, 72673587, 73973308, 75273029, 76572750, 77872471, 79172192, 80471913, 81771634, 83071355, 84371076, 85670797, 86970518, 88270239, 89569960, 90869681, 92169402, 93469123, 94768844, 96068565, 97368286]
+
+
+@register(
+    "doc_minhash_estimate_error",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DD_SHINGLES} AS shingles FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS xs,
+             CAST(len(shingles) AS BIGINT) AS sz
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sig AS (
+      SELECT doc_id, sz,
+           [list_min(list_transform(xs, x -> (x * 40503 + 15485863) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 121509 + 16785584) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 202515 + 18085305) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 283521 + 19385026) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 364527 + 20684747) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 445533 + 21984468) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 526539 + 23284189) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 607545 + 24583910) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 688551 + 25883631) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 769557 + 27183352) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 850563 + 28483073) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 931569 + 29782794) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1012575 + 31082515) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1093581 + 32382236) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1174587 + 33681957) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1255593 + 34981678) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1336599 + 36281399) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1417605 + 37581120) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1498611 + 38880841) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1579617 + 40180562) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1660623 + 41480283) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1741629 + 42780004) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1822635 + 44079725) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1903641 + 45379446) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 1984647 + 46679167) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2065653 + 47978888) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2146659 + 49278609) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2227665 + 50578330) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2308671 + 51878051) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2389677 + 53177772) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2470683 + 54477493) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2551689 + 55777214) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2632695 + 57076935) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2713701 + 58376656) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2794707 + 59676377) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2875713 + 60976098) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 2956719 + 62275819) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3037725 + 63575540) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3118731 + 64875261) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3199737 + 66174982) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3280743 + 67474703) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3361749 + 68774424) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3442755 + 70074145) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3523761 + 71373866) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3604767 + 72673587) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3685773 + 73973308) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3766779 + 75273029) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3847785 + 76572750) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 3928791 + 77872471) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4009797 + 79172192) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4090803 + 80471913) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4171809 + 81771634) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4252815 + 83071355) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4333821 + 84371076) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4414827 + 85670797) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4495833 + 86970518) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4576839 + 88270239) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4657845 + 89569960) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4738851 + 90869681) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4819857 + 92169402) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4900863 + 93469123) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 4981869 + 94768844) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 5062875 + 96068565) % 2147483647)),
+           list_min(list_transform(xs, x -> (x * 5143881 + 97368286) % 2147483647))] AS mh
+      FROM hs
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_filter(range(1, 65),
+                                  i -> a.mh[i] = b.mh[i])) * 1000 // 64
+                  AS BIGINT) AS est_permille,
+             CAST(c.n_common * 1000 // (a.sz + b.sz - c.n_common)
+                  AS BIGINT) AS exact_permille
+      FROM common c
+      JOIN sig a ON a.doc_id = c.doc_a
+      JOIN sig b ON b.doc_id = c.doc_b
+      WHERE round(c.n_common / CAST(a.sz + b.sz - c.n_common AS DOUBLE), 6)
+            >= 0.5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                ELSE sum(abs(est_permille - exact_permille)) // count(*) END
+                AS BIGINT) AS mean_abs_err_permille,
+           CAST(coalesce(max(abs(est_permille - exact_permille)), 0)
+                AS BIGINT) AS max_abs_err_permille,
+           CAST(coalesce(sum(CASE WHEN est_permille >= 500 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_est_over_threshold
+    FROM est
+    """,
+    doc="Sketch-accuracy audit for the MinHash dedup index: over the "
+    "exact-verified near-dup pairs (J >= 0.5), compare the 64-hash "
+    "MinHash signature estimate (matching-minima fraction) against "
+    "exact shingle Jaccard — mean/max absolute error and how many "
+    "pairs the sketch alone would keep at the 0.5 threshold. This is "
+    "the 'measure, don't guess' gate for the dedup index, the "
+    "dedup-side twin of emb_ann_recall_report: before trusting banding "
+    "parameters on a 100 TB corpus you read this table. The audit "
+    "hashes shingles with the cross-engine md5 prefix so signature "
+    "minima replay bit-exactly in DuckDB (the production path's "
+    "xxhash64 is JVM-only); the (a_i, b_i) universal-hash family is "
+    "identical. Scale: one narrow signature pass (numpy-vectorized "
+    "Pandas UDF, no shuffle), the inverted-index candidate join, and "
+    "a single-row aggregate.",
+    tags=("llm", "dedup", "approx", "quality"),
+)
+def doc_minhash_estimate_error(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from transitdata_monitor_data_collector_spark.operators.dedup import (
+        shingle_sets,
+    )
+    from transitdata_monitor_data_collector_spark.partitioning import (
+        spread_small_input,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sets = shingle_sets(
+        spread_small_input(docs, "doc_id"), "text", "doc_id", 3
+    ).withColumn(
+        "xs",
+        F.transform(
+            "shingles",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("long")
+            % _MH_AUDIT_P,
+        ),
+    ).cache()
+
+    A = np.array(_MH_AUDIT_A, dtype=np.int64)
+    B = np.array(_MH_AUDIT_B, dtype=np.int64)
+
+    def _mh(hs):
+        out = []
+        for a in hs:
+            arr = np.asarray(a, dtype=np.int64)
+            if len(arr) == 0:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            # (64, n) rehash then min per hash — same vectorized shape
+            # as operators/dedup.minhash_signatures
+            out.append(
+                ((arr[None, :] * A[:, None] + B[:, None]) % _MH_AUDIT_P)
+                .min(axis=1)
+            )
+        return pd.Series(out)
+
+    mh = pandas_udf(_mh, "array<long>")
+    sig = sets.filter(F.col("set_size") > 0).select(
+        "doc_id",
+        F.col("set_size").cast("long").alias("sz"),
+        mh(F.col("xs")).alias("mh"),
+    )
+
+    ex = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    common = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("mh").alias("mh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("mh").alias("mh_b"),
+    )
+    est = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            )
+            >= 0.5
+        )
+        .select(
+            F.expr(
+                "CAST(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), "
+                "m -> m)) * 1000 DIV 64 AS BIGINT)"
+            ).alias("est_permille"),
+            F.expr(
+                "CAST(n_common * 1000 DIV (sz_a + sz_b - n_common) "
+                "AS BIGINT)"
+            ).alias("exact_permille"),
+        )
+    )
+    out = est.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_pairs",
+        "CAST(CASE WHEN count(*) = 0 THEN 0 "
+        "ELSE sum(abs(est_permille - exact_permille)) DIV count(*) END "
+        "AS BIGINT) AS mean_abs_err_permille",
+        "CAST(coalesce(max(abs(est_permille - exact_permille)), 0) "
+        "AS BIGINT) AS max_abs_err_permille",
+        "CAST(coalesce(sum(CASE WHEN est_permille >= 500 THEN 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS n_est_over_threshold",
+    )
+    sets.unpersist()
+    return out
+
+
 # The recursive transitive-closure fragment shared by the cluster and
 # curation oracles (everything through `comp`: doc_id -> component min).
 _COMPONENT_CTES = f"""
@@ -8106,10 +8359,14 @@ def doc_quality_logreg_hashed(spark, sf_dir):
             df.unpersist()
 
 
-def _hashed_logreg_run(spark, sf_dir):
+def _hashed_logreg_run(spark, sf_dir, n_buckets: int = _HL_H):
     """Run the sparse GD; returns (per-round stats DataFrames, final
     weight DataFrame, cached DataFrames) — shared by the trajectory
-    report and the top-features report. ``cached`` lists every persisted
+    report and the top-features report. ``n_buckets`` widens the hash
+    space (bias rides in bucket ``n_buckets``); the oracle-gated
+    queries pin the default, while the bench drives a 2^16-bucket run
+    to demonstrate the weights-as-DataFrame shape at realistic
+    classifier width. ``cached`` lists every persisted
     DataFrame (the corpus-sized feat table + each round's weight table);
     the CALLER must unpersist them all once its result rows are
     materialized (both registered queries collect their tiny result and
@@ -8135,10 +8392,10 @@ def _hashed_logreg_run(spark, sf_dir):
         ).alias("gtok"),
     )
     grams = uni.unionByName(bi).select(
-        "doc_id", "y9", _md5_bucket_col(F.col("gtok"), _HL_H).alias("h")
+        "doc_id", "y9", _md5_bucket_col(F.col("gtok"), n_buckets).alias("h")
     )
     bias = docs_y.select(
-        "doc_id", "y9", F.lit(_HL_H).cast("long").alias("h")
+        "doc_id", "y9", F.lit(n_buckets).cast("long").alias("h")
     )
     feat = grams.unionByName(bias).distinct().persist()
     cached = [feat]
@@ -9710,6 +9967,132 @@ def doc_quality_calibration(spark, sf_dir):
         .drop("_wsum", "_n")
         .orderBy("bin")
     )
+
+
+# threshold sweep for the trained quality gate (r7): thresholds in nano
+# probability units; every stat is exact BIGINT with zero-guarded division
+_QT_THRESHOLDS = [300000000, 400000000, 480000000, 500000000, 600000000]
+
+
+@register(
+    "doc_quality_threshold_sweep",
+    oracle=f"""
+    WITH {_logreg_weights_cte()},
+    scored AS (
+      SELECT CAST(least(greatest(CAST(500000000 AS BIGINT)
+               + {_tdiv_sql("w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3",
+                            "4000")},
+               CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT))
+             AS BIGINT) AS p_nano,
+             y9
+      FROM feat CROSS JOIN w{_LOGREG_ROUNDS} w
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN y9 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_all
+      FROM scored
+    ),
+    sweep AS (
+      SELECT s.*, t.thr
+      FROM scored s
+      CROSS JOIN (SELECT unnest([{", ".join(
+          f"CAST({t} AS BIGINT)" for t in _QT_THRESHOLDS)}]) AS thr) t
+    )
+    SELECT thr AS threshold_nano,
+           CAST(count(*) FILTER (WHERE p_nano >= thr) AS BIGINT) AS n_keep,
+           CAST(count(*) FILTER (WHERE p_nano >= thr) * 1000 // n_all
+                AS BIGINT) AS keep_permille,
+           CAST(CASE WHEN count(*) FILTER (WHERE p_nano >= thr) = 0 THEN 0
+                ELSE sum(CASE WHEN p_nano >= thr AND y9 > 0 THEN 1 ELSE 0 END)
+                     * 1000 // count(*) FILTER (WHERE p_nano >= thr) END
+                AS BIGINT) AS precision_permille,
+           CAST(CASE WHEN n_pos_all = 0 THEN 0
+                ELSE sum(CASE WHEN p_nano >= thr AND y9 > 0 THEN 1 ELSE 0 END)
+                     * 1000 // n_pos_all END AS BIGINT) AS capture_permille
+    FROM sweep, tot
+    GROUP BY thr, n_all, n_pos_all
+    ORDER BY threshold_nano
+    """,
+    doc="Operating-point selection for the engine-trained quality gate: "
+    "documents are scored with the final doc_quality_logreg weights "
+    "(trajectory replayed identically on both engines) and swept over "
+    f"{len(_QT_THRESHOLDS)} fixed probability thresholds; each row "
+    "reports corpus keep-rate, precision (positives among kept) and "
+    "positive capture (kept positives over all positives) in exact "
+    "integer permille with zero-guarded division. This is the report a "
+    "curation pipeline reads to pick its cut before committing a 100 TB "
+    "filter pass — the complement of doc_quality_calibration's "
+    "reliability view. Scale: one training replay, one scoring pass, a "
+    "threshold-exploded aggregate (x5 rows, no extra shuffle key).",
+    tags=("llm", "text", "quality", "ml"),
+)
+def doc_quality_threshold_sweep(spark, sf_dir):
+    feat = _logreg_spark_feat(spark, sf_dir).cache()
+    n = feat.count()
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    w = [0, 0, 0, 0]
+    for _ in range(_LOGREG_ROUNDS):
+        z = f"({w[0]} * x0 + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3)"
+        p = (
+            f"least(greatest(CAST(500000000 AS BIGINT) + {z} DIV 4000, "
+            "CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT))"
+        )
+        err = f"(({p}) - y9)"
+        s = feat.selectExpr(
+            f"sum({err} * x0) AS s0",
+            f"sum({err} * x1) AS s1",
+            f"sum({err} * x2) AS s2",
+            f"sum({err} * x3) AS s3",
+        ).collect()[0]
+        for k in range(4):
+            w[k] = w[k] - tdiv(tdiv(s[f"s{k}"], n * 1000), 4)
+
+    z = f"({w[0]} * x0 + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3)"
+    scored = feat.selectExpr(
+        f"CAST(least(greatest(CAST(500000000 AS BIGINT) + {z} DIV 4000, "
+        "CAST(0 AS BIGINT)), CAST(1000000000 AS BIGINT)) AS BIGINT) "
+        "AS p_nano",
+        "y9",
+    )
+    thr_arr = ", ".join(f"CAST({t} AS BIGINT)" for t in _QT_THRESHOLDS)
+    swept = scored.select(
+        "p_nano", "y9", F.explode(F.expr(f"array({thr_arr})")).alias("thr")
+    )
+    agg = swept.groupBy("thr").agg(
+        F.sum(F.when(F.col("p_nano") >= F.col("thr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        F.sum(
+            F.when((F.col("p_nano") >= F.col("thr")) & (F.col("y9") > 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pos_keep"),
+    )
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.when(F.col("y9") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos_all"),
+    )
+    out = agg.crossJoin(F.broadcast(tot)).selectExpr(
+        "thr AS threshold_nano",
+        "n_keep",
+        "CAST(n_keep * 1000 DIV n_all AS BIGINT) AS keep_permille",
+        "CAST(CASE WHEN n_keep = 0 THEN 0 "
+        "ELSE n_pos_keep * 1000 DIV n_keep END AS BIGINT) "
+        "AS precision_permille",
+        "CAST(CASE WHEN n_pos_all = 0 THEN 0 "
+        "ELSE n_pos_keep * 1000 DIV n_pos_all END AS BIGINT) "
+        "AS capture_permille",
+    )
+    feat.unpersist()
+    return out.orderBy("threshold_nano")
 
 
 # ---------------------------------------------------------------------------

@@ -3751,9 +3751,10 @@ def events_apdex_score(spark, sf_dir):
     ).orderBy("day")
 
 
-@register(
-    "promql_alert_for_duration",
-    oracle="""
+# Shared by the batch query and its streaming twin (streaming_alert_for_
+# duration replays the same events through a real structured-streaming
+# hourly rollup and must equal this exact SQL).
+_ALERT_FOR_DURATION_ORACLE = """
     WITH hourly AS (
       SELECT event_type,
              CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
@@ -3789,7 +3790,12 @@ def events_apdex_score(spark, sf_dir):
     GROUP BY event_type, island
     HAVING count(*) >= 2
     ORDER BY event_type, alert_start
-    """,
+    """
+
+
+@register(
+    "promql_alert_for_duration",
+    oracle=_ALERT_FOR_DURATION_ORACLE,
     doc="Prometheus/Grafana alert-rule semantics with `for:` duration "
     "(the reference's dashboards alert on these panels; "
     "grafana/*.json): a per-hour count breaching 2x the series' own "
@@ -5724,3 +5730,81 @@ def events_bounce_rate(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_slo_burn_multiwindow",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS n_err,
+             CAST(count(*) AS BIGINT) AS n_tot
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT hour_idx, n_err, n_tot,
+             CAST(sum(n_err) OVER w6 AS BIGINT) AS err_6h,
+             CAST(sum(n_tot) OVER w6 AS BIGINT) AS tot_6h
+      FROM hourly
+      WINDOW w6 AS (ORDER BY hour_idx
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT make_timestamp(hour_idx * 3600 * 1000000) AS hour,
+           n_err, n_tot,
+           CAST(n_err * 10000 // n_tot AS BIGINT) AS burn_1h_permille,
+           CAST(err_6h * 10000 // tot_6h AS BIGINT) AS burn_6h_permille,
+           CASE WHEN n_err * 10 > 2 * n_tot AND err_6h * 10 > 2 * tot_6h
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS page
+    FROM win
+    ORDER BY hour
+    """,
+    doc="Multi-window error-budget burn-rate alerting (the SRE-workbook "
+    "recipe the reference's dashboards motivate): with a 10% error-ratio "
+    "objective, each hour reports its 1-hour and trailing-6-hour burn "
+    "rates (ratio / budget, exact integer permille — the trailing frame "
+    "is a RANGE window over hour_idx so data gaps shorten the window "
+    "instead of stretching it), and pages only when BOTH exceed 2x "
+    "budget — the fast window gives reaction time, the slow one "
+    "suppresses flappy pages. Integer cross-multiplied comparisons "
+    "(err * 10 > 2 * tot) keep the verdict exact on both engines. "
+    "Scale: one partial+final hourly rollup (the only corpus-sized "
+    "shuffle) and one window over the hours-sized rollup — the global "
+    "window input is rows-per-hour, bounded by the calendar, never by "
+    "event volume.",
+    tags=("monitoring", "alerting", "window"),
+)
+def events_slo_burn_multiwindow(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+            "event_type",
+        )
+        .groupBy("hour_idx")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_err"),
+            F.count("*").cast("long").alias("n_tot"),
+        )
+    )
+    w6 = W.orderBy("hour_idx").rangeBetween(-5, 0)
+    win = hourly.select(
+        "hour_idx",
+        "n_err",
+        "n_tot",
+        F.sum("n_err").over(w6).cast("long").alias("err_6h"),
+        F.sum("n_tot").over(w6).cast("long").alias("tot_6h"),
+    )
+    return win.selectExpr(
+        "timestamp_seconds(hour_idx * 3600) AS hour",
+        "n_err",
+        "n_tot",
+        "CAST(n_err * 10000 DIV n_tot AS BIGINT) AS burn_1h_permille",
+        "CAST(err_6h * 10000 DIV tot_6h AS BIGINT) AS burn_6h_permille",
+        "CAST(CASE WHEN n_err * 10 > 2 * n_tot "
+        "AND err_6h * 10 > 2 * tot_6h THEN 1 ELSE 0 END AS BIGINT) AS page",
+    ).orderBy("hour")

@@ -12,6 +12,7 @@ from pyspark.sql.window import Window as W
 
 from transitdata_monitor_data_collector_spark.plans import register
 from transitdata_monitor_data_collector_spark.plans.monitoring import (
+    _ALERT_FOR_DURATION_ORACLE,
     BROKER_SQL,
     DASHBOARD_FILTERS,
     TOPIC_SQL,
@@ -584,3 +585,63 @@ def streaming_holt_forecast(spark, sf_dir):
             for h in _HOLT_HS
         ],
     ).orderBy("event_type")
+
+
+@register(
+    "streaming_alert_for_duration",
+    oracle=_ALERT_FOR_DURATION_ORACLE,
+    doc="promql_alert_for_duration's `for:`-duration alert semantics on "
+    "a REAL structured-streaming run: events replay through a streaming "
+    "hourly rollup (window aggregate, complete mode, availableNow), and "
+    "the gaps-and-islands consecutive-breach detection runs as batch "
+    "post-processing over the streamed hours-sized rollup — exactly how "
+    "a serving layer evaluates alert rules against live-maintained "
+    "state. Shares the batch twin's DuckDB oracle verbatim, so the gate "
+    "proves stream-state + serving-side islands == one-shot batch SQL. "
+    "Scale: streaming state is (series x active hours) windows; the "
+    "islands window sees only the rollup, never raw events.",
+    tags=("streaming", "monitoring", "alerting"),
+)
+def streaming_alert_for_duration(spark, sf_dir):
+    stream = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", "ts"
+    )
+    hourly_stream = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    rollup = (
+        jobs.run_to_memory(spark, hourly_stream, output_mode="complete")
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("w.start")) / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+            "cnt",
+        )
+        # hours-sized; checkpoint breaks the memory-sink lineage so the
+        # totals self-join below doesn't trip conflicting references
+        .localCheckpoint(eager=True)
+    )
+    totals = rollup.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_hours")
+    )
+    w = W.partitionBy("event_type").orderBy("hour_idx")
+    breaches = (
+        rollup.join(F.broadcast(totals), "event_type")
+        .where(F.col("cnt") * F.col("n_hours") > 2 * F.col("total"))
+        .withColumn("island", F.col("hour_idx") - F.row_number().over(w))
+    )
+    return (
+        breaches.groupBy("event_type", "island")
+        .agg(
+            F.timestamp_seconds(F.min("hour_idx") * 3600).alias("alert_start"),
+            F.timestamp_seconds(F.max("hour_idx") * 3600).alias("alert_end"),
+            F.count("*").alias("breach_hours"),
+            F.max("cnt").alias("peak_cnt"),
+        )
+        .where(F.col("breach_hours") >= 2)
+        .drop("island")
+        .orderBy("event_type", "alert_start")
+    )
