@@ -392,8 +392,9 @@ def test_merge_counter_history_append_is_idempotent(spark, sf_dir, tmp_path):
 
     # belt-and-suspenders: even a raw duplicate sample (the remaining
     # crash window between append commit and marker rename) is absorbed
-    # at the store-read boundary — rates are identical before and after
-    # physically duplicating a sample
+    # by the reset-guarded delta algebra itself (an equal consecutive
+    # value yields delta 0) — rates are identical before and after
+    # physically duplicating a sample, with no dedup pass in the plan
     def rate_rows():
         return sorted(
             map(

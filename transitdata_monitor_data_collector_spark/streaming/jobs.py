@@ -663,9 +663,10 @@ def stream_merge_counter_job(
     after the append job commits — a replayed batch whose samples
     already landed is skipped. The one remaining window (crash between
     the append's job commit and the marker rename) degrades to
-    at-least-once, which the read path absorbs: rate_over_store drops
-    exact (key, ts) duplicate samples at the store boundary, so the
-    'one sample per key per batch' contract holds for every consumer."""
+    at-least-once, which the rate read path absorbs by construction:
+    an exact duplicate (key, ts, counter) sample contributes zero to
+    the reset-guarded delta (functions/promql.py), so rate/increase
+    results are duplicate-immune without any dedup pass."""
     from transitdata_monitor_data_collector_spark.sinks.parquet import (
         merge_upsert,
         write_time_partitioned,
