@@ -2218,7 +2218,10 @@ _RECALL_REPORT_MAX_ROWS = 200_000
 
 
 def _guard_recall_corpus(e, what: str, max_rows: int = _RECALL_REPORT_MAX_ROWS):
-    n = e.count()
+    # count over the id column only: counting the full frame evaluates
+    # the as_double vector transform on every row (measured 1.6 s vs
+    # 0.2 s at sf0.1) — the guard needs the row count, not the vectors
+    n = e.select(e.columns[0]).count()
     if n > max_rows:
         raise ValueError(
             f"{what} is a recall REPORT with an exact brute-force "
