@@ -5732,9 +5732,9 @@ def events_bounce_rate(spark, sf_dir):
     )
 
 
-@register(
-    "events_slo_burn_multiwindow",
-    oracle="""
+# Shared by the batch query and its streaming twin
+# (streaming_slo_burn_multiwindow).
+_SLO_BURN_ORACLE = """
     WITH hourly AS (
       SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
              CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
@@ -5758,7 +5758,12 @@ def events_bounce_rate(spark, sf_dir):
                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS page
     FROM win
     ORDER BY hour
-    """,
+    """
+
+
+@register(
+    "events_slo_burn_multiwindow",
+    oracle=_SLO_BURN_ORACLE,
     doc="Multi-window error-budget burn-rate alerting (the SRE-workbook "
     "recipe the reference's dashboards motivate): with a 10% error-ratio "
     "objective, each hour reports its 1-hour and trailing-6-hour burn "

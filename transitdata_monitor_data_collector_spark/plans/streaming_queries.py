@@ -13,6 +13,7 @@ from pyspark.sql.window import Window as W
 from transitdata_monitor_data_collector_spark.plans import register
 from transitdata_monitor_data_collector_spark.plans.monitoring import (
     _ALERT_FOR_DURATION_ORACLE,
+    _SLO_BURN_ORACLE,
     BROKER_SQL,
     DASHBOARD_FILTERS,
     TOPIC_SQL,
@@ -645,3 +646,62 @@ def streaming_alert_for_duration(spark, sf_dir):
         .drop("island")
         .orderBy("event_type", "alert_start")
     )
+
+
+@register(
+    "streaming_slo_burn_multiwindow",
+    oracle=_SLO_BURN_ORACLE,
+    doc="events_slo_burn_multiwindow on a REAL structured-streaming run: "
+    "the per-hour error/total counts are maintained as streaming window "
+    "state (two conditional aggregates per hour bucket, complete mode, "
+    "availableNow), and the multi-window burn computation — trailing "
+    "6-hour RANGE frame, integer cross-multiplied paging verdict — runs "
+    "as serving-side batch post-processing over the hours-sized rollup. "
+    "Shares the batch twin's oracle verbatim: stream-state + serving "
+    "math == one-shot batch SQL, hash-exact. Scale: streaming state is "
+    "one (err, tot) pair per active hour; the serving window never sees "
+    "raw events.",
+    tags=("streaming", "monitoring", "alerting"),
+)
+def streaming_slo_burn_multiwindow(spark, sf_dir):
+    stream = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", "ts"
+    )
+    hourly_stream = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_err"),
+            F.count("*").cast("long").alias("n_tot"),
+        )
+    )
+    rollup = (
+        jobs.run_to_memory(spark, hourly_stream, output_mode="complete")
+        .select(
+            F.floor(F.unix_timestamp(F.col("w.start")) / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+            "n_err",
+            "n_tot",
+        )
+        .localCheckpoint(eager=True)  # hours-sized serving rollup
+    )
+    w6 = W.orderBy("hour_idx").rangeBetween(-5, 0)
+    win = rollup.select(
+        "hour_idx",
+        "n_err",
+        "n_tot",
+        F.sum("n_err").over(w6).cast("long").alias("err_6h"),
+        F.sum("n_tot").over(w6).cast("long").alias("tot_6h"),
+    )
+    return win.selectExpr(
+        "timestamp_seconds(hour_idx * 3600) AS hour",
+        "n_err",
+        "n_tot",
+        "CAST(n_err * 10000 DIV n_tot AS BIGINT) AS burn_1h_permille",
+        "CAST(err_6h * 10000 DIV tot_6h AS BIGINT) AS burn_6h_permille",
+        "CAST(CASE WHEN n_err * 10 > 2 * n_tot "
+        "AND err_6h * 10 > 2 * tot_6h THEN 1 ELSE 0 END AS BIGINT) AS page",
+    ).orderBy("hour")
