@@ -5813,3 +5813,84 @@ def events_slo_burn_multiwindow(spark, sf_dir):
         "CAST(CASE WHEN n_err * 10 > 2 * n_tot "
         "AND err_6h * 10 > 2 * tot_6h THEN 1 ELSE 0 END AS BIGINT) AS page",
     ).orderBy("hour")
+
+
+@register(
+    "promql_resets_changes",
+    oracle=f"""
+    WITH {_COUNTER_CTE},
+    d AS (
+      SELECT event_type, counter,
+             lag(counter) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS prev
+      FROM counter_samples
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND counter < prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND counter <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changes
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+    doc="PromQL resets() and changes() over the synthesized wrap-around "
+    "counter series (same _COUNTER_CTE as the rate family): per series, "
+    "how many times the counter went backwards (restarts — the quantity "
+    "rate()'s reset guard exists for) and how many samples changed value "
+    "at all (liveness of the series). Counter values on both engines are "
+    "identical doubles built from the same exact BIGINT prefix sums, so "
+    "the comparisons are exact; outputs are BIGINT counts. Scale: one "
+    "per-series ordered window (total order via the event_id tiebreak, "
+    "the r5 stress discipline) + one partial+final aggregate.",
+    tags=("monitoring", "promql", "window"),
+)
+def promql_resets_changes(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    samples = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).over(wc)
+                % 100000
+            ).cast("double")
+            / 100.0
+        ).alias("counter"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = samples.select(
+        "event_type",
+        "counter",
+        F.lag("counter").over(w).alias("prev"),
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("counter") < F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("resets"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("counter") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("changes"),
+        )
+        .orderBy("event_type")
+    )
