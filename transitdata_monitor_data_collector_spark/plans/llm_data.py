@@ -2461,7 +2461,11 @@ def _ivf_spark_train(e):
     (final_centroids, final_assignment) — deterministic cross-engine."""
     cent = _seeded_rows(e, _IVF_K).select("cid", F.col("v").alias("cv"))
     for _ in range(_IVF_ROUNDS):
-        cent = _ivf_spark_update(_ivf_spark_assign(e, cent))
+        # materialize the K-row centroid table each round (same lazy-
+        # Lloyd replay hazard as _pq_spark_train — see comment there)
+        cent = _ivf_spark_update(
+            _ivf_spark_assign(e, cent)
+        ).localCheckpoint(eager=True)
     return cent, _ivf_spark_assign(e, cent)
 
 
@@ -6410,7 +6414,15 @@ def _pq_spark_train(e, es):
         seeds.select(F.col("cid").alias("vec_id"), "v")
     ).select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
     for _ in range(_PQ_ROUNDS):
-        cent = _pq_spark_update(_pq_spark_assign(es, cent))
+        # materialize the (K x M)-row codebook each round: the Lloyd DAG
+        # nests assign(update(assign(...))) and every downstream consumer
+        # (encode, ADC, recall ground truth) references it again — left
+        # lazy, Spark replays the whole training subtree per reference.
+        # localCheckpoint cuts the lineage at a 128-row table (values
+        # unchanged; all consumers re-verified hash-green).
+        cent = _pq_spark_update(
+            _pq_spark_assign(es, cent)
+        ).localCheckpoint(eager=True)
     return cent
 
 
