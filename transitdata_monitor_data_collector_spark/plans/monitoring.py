@@ -5894,3 +5894,63 @@ def promql_resets_changes(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "promql_offset_week_over_week",
+    # (a.cnt - b.cnt) can be negative, so the permille division is spelled
+    # sign-explicitly (the llm_data._tdiv_sql discipline: DuckDB // changed
+    # floor/truncate semantics on negatives between releases; Spark DIV
+    # always truncates) — counts are positive so only the numerator needs it
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    )
+    SELECT make_timestamp(a.hour_idx * 3600 * 1000000) AS hour,
+           a.cnt, b.cnt AS cnt_prev_week,
+           CAST(CASE WHEN (a.cnt - b.cnt) >= 0
+                     THEN (a.cnt - b.cnt) * 1000 // b.cnt
+                     ELSE -((-(a.cnt - b.cnt)) * 1000 // b.cnt) END
+                AS BIGINT) AS wow_delta_permille
+    FROM hourly a JOIN hourly b ON b.hour_idx = a.hour_idx - 168
+    ORDER BY hour
+    """,
+    doc="PromQL `offset 1w` semantics (the dashboards' week-over-week "
+    "compare): each hour's event count against the same hour one week "
+    "earlier, with the relative change in exact integer permille "
+    "(sign-explicit truncating division — negative deltas must divide "
+    "identically on both engines). The offset join is a self-equi-join "
+    "of the hours-sized rollup on a shifted key — at 100 TB the only "
+    "corpus-sized work is the partial+final hourly aggregate; the join "
+    "input is bounded by the calendar.",
+    tags=("monitoring", "promql", "join"),
+)
+def promql_offset_week_over_week(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_idx")
+        )
+        .groupBy("hour_idx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    a = hourly.alias("a")
+    b = hourly.select(
+        (F.col("hour_idx") + 168).alias("hour_idx"),
+        F.col("cnt").alias("cnt_prev_week"),
+    ).alias("b")
+    return (
+        a.join(b, "hour_idx")
+        .selectExpr(
+            "timestamp_seconds(hour_idx * 3600) AS hour",
+            "cnt",
+            "cnt_prev_week",
+            "CAST((cnt - cnt_prev_week) * 1000 DIV cnt_prev_week AS BIGINT) "
+            "AS wow_delta_permille",
+        )
+        .orderBy("hour")
+    )
