@@ -64,3 +64,19 @@ def test_new_queries_auto_queue_before_already_green_ones():
 def test_regate_names_exist_in_registry():
     for n in RE_GATE:
         assert n in REGISTRY, f"RE_GATE entry {n} is not a registered query"
+
+
+def test_already_green_tail_is_stalest_first():
+    """Once re-gates and never-gated queries are exhausted, window slots
+    re-certify the OLDEST driver rows first (r8 VERDICT item 1): the
+    engine under an r1-vintage green row has been rewritten far more
+    than under an r7 one."""
+    from transitdata_monitor_data_collector_spark.plans import _gated_rounds
+
+    rounds = _gated_rounds()
+    order = gate_order(REGISTRY)
+    tail = [n for n in order if n in rounds and n not in RE_GATE]
+    ages = [rounds[n] for n in tail]
+    assert ages == sorted(ages), (
+        "already-gated queries not in ascending newest-row-round order"
+    )

@@ -61,32 +61,26 @@ def register(
 # hand-maintained: ``gate_order`` leads with RE_GATE (explicit re-checks),
 # then every query with no row in ANY committed CORRECTNESS_r*.json (the
 # never-gated debt, oldest-priority names from GATE_ORDER_HINT first, the
-# rest in registration order), then everything else. Adding a query
-# auto-queues it for the next driver gate; a new CORRECTNESS file rotates
-# the window with zero edits here.
+# rest in registration order), then everything else ordered by the AGE of
+# its newest driver row (stalest certification first — round-1-vintage
+# rows re-certify before round-7 ones, since the engine underneath them
+# has been rewritten the most). Adding a query auto-queues it for the
+# next driver gate; a new CORRECTNESS file rotates the window with zero
+# edits here.
 
 # Queries whose oracle or plan changed AFTER their latest driver row —
 # their old green rows are stale, so they re-gate even though a row
 # exists. PRUNE an entry once a post-fix CORRECTNESS row lands (cost of
 # forgetting: a wasted window slot, not starvation).
 RE_GATE: list[str] = [
-    # round 7: the r5/r6 hash-red pair again — r6's _tdiv_sql fix did not
-    # clear the driver, and the remaining delta vs every hash-green query
-    # is uncast HUGEINT output/intermediate columns (DuckDB sum() returns
-    # HUGEINT, whose pandas-conversion dtype is version-dependent —
-    # float64 on local 1.0.0). r7 casts every weight/loss/bin to BIGINT
-    # and rewrites the feature CTE onto constructs the hash-green hashed
-    # twin proves stable (unnest + count DISTINCT instead of
-    # list_distinct/len, CASE instead of least-on-column). The two
-    # doc_quality_logreg_* diagnostics below bisect any residual red.
-    "doc_quality_logreg",
-    "doc_quality_calibration",
-    "doc_quality_logreg_features",
-    "doc_quality_logreg_round1",
-    # round 7: r6's only schema-red — the oracle's to_timestamp returns
-    # TIMESTAMPTZ on DuckDB; replaced with make_timestamp(micros), the
-    # idiom the hash-green timeseries_m4_downsample oracle uses.
-    "promql_alert_for_duration",
+    # round 8: both rows-only IVF queries migrated onto the
+    # engine-deterministic md5-seeded micro-quantized Lloyd dialect
+    # (the one that made emb_ivf_recall_report fully hash-checkable) and
+    # now carry a full oracle — their old rows-only rows are stale.
+    "emb_ann_ivf_topk",
+    "emb_ivf_store_topk",
+    # (r7's five RE_GATE entries pruned: all five landed green rows in
+    # CORRECTNESS_r07 — the HUGEINT-cast and make_timestamp fixes held.)
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era
@@ -180,46 +174,57 @@ GATE_ORDER_HINT: list[str] = [
 ]
 
 
-def _gated_names() -> frozenset[str]:
-    """Names holding a driver CORRECTNESS row in any committed
-    CORRECTNESS_r*.json at the repo root (missing/corrupt files are
-    skipped — worst case a query re-gates, never starves)."""
+def _gated_rounds() -> dict[str, int]:
+    """name -> NEWEST driver-CORRECTNESS round holding a row for it,
+    over every committed CORRECTNESS_r*.json at the repo root
+    (missing/corrupt files are skipped — worst case a query re-gates,
+    never starves)."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                for name in json.load(f):
+                    latest[name] = max(latest.get(name, 0), rnd)
         except (OSError, ValueError):
             continue
-    return frozenset(seen)
+    return latest
 
 
 def gate_order(names) -> list[str]:
     """Computed gate rotation over ``names`` (any iterable of registry
     names in registration order): RE_GATE first, then never-gated
-    (hint-ordered, then registration order), then the already-green rest.
+    (hint-ordered, then registration order), then the already-green rest
+    ordered stalest-certification-first (ascending newest-row round,
+    registration order as the tiebreak) so old green rows re-certify
+    against the current engine before recent ones repeat.
     """
     names = list(names)
     in_reg = set(names)
-    gated = _gated_names()
+    rounds = _gated_rounds()
     lead: list[str] = [n for n in RE_GATE if n in in_reg]
     seen = set(lead)
     for n in GATE_ORDER_HINT:
-        if n in in_reg and n not in gated and n not in seen:
+        if n in in_reg and n not in rounds and n not in seen:
             lead.append(n)
             seen.add(n)
     for n in names:
-        if n not in gated and n not in seen:
+        if n not in rounds and n not in seen:
             lead.append(n)
             seen.add(n)
-    return lead + [n for n in names if n not in seen]
+    rest = [n for n in names if n not in seen]
+    pos = {n: i for i, n in enumerate(rest)}
+    rest.sort(key=lambda n: (rounds.get(n, 0), pos[n]))
+    return lead + rest
 
 
 def load_all() -> dict[str, Query]:

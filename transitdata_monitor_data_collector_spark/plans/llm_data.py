@@ -1658,83 +1658,9 @@ def multimodal_frame_sample_counts(spark, sf_dir):
     )
 
 
-@register(
-    "emb_ann_ivf_topk",
-    oracle=None,  # iterative centroid training is not SQL-expressible
-    doc="IVF (inverted-file) ANN top-k: Lloyd-trained coarse centroids "
-    "(deterministic init), nprobe-list probe, exact cosine within probed "
-    "lists (operators/similarity.py). The 100 TB path: list_id as the "
-    "stored index's partition key -> probes become partition-pruned "
-    "sub-scans. Recall vs brute force is pinned in tests/test_ivf.py.",
-    tags=("llm", "similarity"),
-)
-def emb_ann_ivf_topk(spark, sf_dir):
-    return SIM.ivf_topk(
-        table(spark, sf_dir, "embeddings"),
-        _query_vec(spark, sf_dir),
-        k=10,
-        n_lists=16,
-        nprobe=4,
-    )
-
-
-@register(
-    "emb_ivf_store_topk",
-    oracle=None,  # approximate (nprobe < n_lists); pruning + recall pinned
-    # by tests/test_plans.py and tests/test_ivf.py
-    doc="IVF ANN over a STORED index: centroids trained once, every vector "
-    "written to a parquet index partitioned by its inverted-list id "
-    "(one-time build, _SUCCESS-guarded, centroids persisted as index "
-    "metadata); a probe then reads ONLY the nprobe nearest list "
-    "partitions — the list_id filter lands in PartitionFilters "
-    "(directory pruning, asserted in tests/test_plans.py), so query cost "
-    "scales with nprobe/n_lists of the corpus, not the corpus. This is "
-    "the production shape of emb_ann_ivf_topk.",
-    tags=("llm", "similarity", "store"),
-)
-def emb_ivf_store_topk(spark, sf_dir):
-    import hashlib
-    import json
-    import os
-    import tempfile
-
-    from transitdata_monitor_data_collector_spark.functions.vectors import (
-        as_double,
-    )
-
-    emb = table(spark, sf_dir, "embeddings")
-    store = os.path.join(
-        tempfile.gettempdir(),
-        "tmdc_ivf_store_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    meta_path = os.path.join(store, "_centroids.json")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
-        centroids = SIM.ivf_train_centroids(emb, n_lists=16, max_iter=2)
-        SIM.ivf_assign(emb, centroids).withColumn(
-            "embedding", as_double(F.col("embedding"))
-        ).write.partitionBy("list_id").mode("overwrite").parquet(store)
-        with open(meta_path, "w") as f:
-            json.dump(centroids, f)
-    with open(meta_path) as f:
-        centroids = json.load(f)
-
-    query_vec = _query_vec(spark, sf_dir)
-    order = sorted(
-        range(len(centroids)),
-        key=lambda i: sum(
-            (a - b) * (a - b) for a, b in zip(centroids[i], query_vec)
-        ),
-    )
-    probe = order[:4]
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    idx = spark.read.parquet(store).filter(F.col("list_id").isin(probe))
-    return (
-        idx.select(
-            "vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim")
-        )
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(10)
-    )
+# emb_ann_ivf_topk / emb_ivf_store_topk are registered after the
+# deterministic-Lloyd helper block below (they share its training dialect
+# and oracle-SQL builders, which must be defined first).
 
 
 _FEAT_DD = """
@@ -2456,11 +2382,11 @@ def _seeded_rows(e, k: int):
     )
 
 
-def _ivf_spark_train(e):
-    """md5-seeded init + _IVF_ROUNDS quantized Lloyd rounds; returns
+def _ivf_spark_train(e, k: int = _IVF_K, rounds: int = _IVF_ROUNDS):
+    """md5-seeded init + ``rounds`` quantized Lloyd rounds; returns
     (final_centroids, final_assignment) — deterministic cross-engine."""
-    cent = _seeded_rows(e, _IVF_K).select("cid", F.col("v").alias("cv"))
-    for _ in range(_IVF_ROUNDS):
+    cent = _seeded_rows(e, k).select("cid", F.col("v").alias("cv"))
+    for _ in range(rounds):
         # materialize the K-row centroid table each round (same lazy-
         # Lloyd replay hazard as _pq_spark_train — see comment there)
         cent = _ivf_spark_update(
@@ -2469,13 +2395,31 @@ def _ivf_spark_train(e):
     return cent, _ivf_spark_assign(e, cent)
 
 
-def _ivf_oracle_sql() -> str:
-    rounds = []
+def _ivf_train_ctes(k: int, rounds: int) -> tuple[str, str]:
+    """SQL twin of :func:`_ivf_spark_train`: returns (CTE text, final
+    centroid CTE name). Requires a CTE ``e(vec_id, v)`` in scope; emits
+    ``c0`` (md5-seeded init) then ``a{i}``/``c{i}`` per Lloyd round."""
+    parts = [
+        f"""c0 AS (
+        SELECT cid, cv FROM (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid,
+                   v AS cv
+            FROM e
+        ) WHERE cid < {k}
+    )"""
+    ]
     cent = "c0"
-    for i in range(1, _IVF_ROUNDS + 1):
-        rounds.append(_ivf_assign_cte(f"a{i}", cent))
-        rounds.append(_ivf_update_cte(f"c{i}", f"a{i}"))
+    for i in range(1, rounds + 1):
+        parts.append(_ivf_assign_cte(f"a{i}", cent))
+        parts.append(_ivf_update_cte(f"c{i}", f"a{i}"))
         cent = f"c{i}"
+    return ",".join(parts), cent
+
+
+def _ivf_oracle_sql() -> str:
+    train, cent = _ivf_train_ctes(_IVF_K, _IVF_ROUNDS)
     cos_rank = (
         f"floor({SIM.pico_cosine_sql('qv', 'cv', _IVF_DIM)} * 1e6 + 0.5)"
     )
@@ -2483,16 +2427,7 @@ def _ivf_oracle_sql() -> str:
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    c0 AS (
-        SELECT cid, cv FROM (
-            SELECT row_number() OVER (
-                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                   ) - 1 AS cid,
-                   v AS cv
-            FROM e
-        ) WHERE cid < {_IVF_K}
-    ),
-    {",".join(rounds)},
+    {train},
     {_ivf_assign_cte("afin", cent)},
     q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
     probe AS (
@@ -2626,6 +2561,170 @@ def emb_ivf_recall_report(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# --- deterministic IVF top-k (the former rows-only pair, migrated) ---------
+# emb_ann_ivf_topk / emb_ivf_store_topk predate the deterministic-Lloyd
+# dialect and were the registry's only closable rows-only entries (r7
+# VERDICT item 2): their float-Lloyd training was FP-iteration-order-
+# sensitive, so no oracle could replay it. Re-based onto the same
+# md5-seeded micro-quantized training as emb_ivf_recall_report, both now
+# carry a full DuckDB oracle and hash-gate like any other query.
+
+_IVF_TOPK_LISTS, _IVF_TOPK_NPROBE, _IVF_TOPK_K = 16, 4, 10
+
+
+def _ivf_topk_oracle() -> str:
+    train, cent = _ivf_train_ctes(_IVF_TOPK_LISTS, _IVF_ROUNDS)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {train},
+    {_ivf_assign_cte("afin", cent)},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cid, qv FROM (
+        SELECT c.cid, q.qv,
+               row_number() OVER (
+                   ORDER BY {SIM.pico_sqdist_sql("q.qv", "c.cv", _IVF_DIM)},
+                            c.cid) AS rn
+        FROM q CROSS JOIN {cent} c
+      ) WHERE rn <= {_IVF_TOPK_NPROBE}
+    )
+    SELECT a.vec_id AS vec_id,
+           floor({SIM.pico_cosine_sql("p.qv", "a.v", _IVF_DIM)}
+                 * 1e6 + 0.5) / 1e6 AS cos_sim
+    FROM probe p JOIN afin a USING (cid)
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {_IVF_TOPK_K}
+    """
+
+
+def _ivf_topk_rank(cand):
+    """Rank probed candidates by micro-quantized picounit cosine — the
+    cross-engine-stable ordering key both migrated top-k queries and
+    their shared oracle use (ties broken by vec_id)."""
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        pico_cosine,
+    )
+
+    return (
+        cand.select(
+            "vec_id",
+            (
+                F.floor(
+                    pico_cosine(F.col("qv"), F.col("v")) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(_IVF_TOPK_K)
+    )
+
+
+@register(
+    "emb_ann_ivf_topk",
+    oracle=_ivf_topk_oracle(),
+    doc="IVF (inverted-file) ANN top-k: deterministic-Lloyd coarse "
+    f"centroids (md5-seeded init, {_IVF_ROUNDS} micro-quantized rounds — "
+    "the emb_ivf_recall_report dialect, so the oracle replays training "
+    f"bit-exactly), nprobe={_IVF_TOPK_NPROBE}-of-{_IVF_TOPK_LISTS} list "
+    "probe, exact picounit cosine within probed lists. The 100 TB path: "
+    "list_id as the stored index's partition key -> probes become "
+    "partition-pruned sub-scans (emb_ivf_store_topk is that shape). "
+    "Recall vs brute force is pinned in tests/test_ivf.py.",
+    tags=("llm", "similarity", "embedding"),
+)
+def emb_ann_ivf_topk(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+        pico_sqdist,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cent, afin = _ivf_spark_train(e, k=_IVF_TOPK_LISTS)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    # nprobe nearest lists: 1 x k candidate rows, bounded window
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(pico_sqdist(F.col("qv"), F.col("cv")), "cid")
+            ),
+        )
+        .filter(F.col("rn") <= _IVF_TOPK_NPROBE)
+        .select("cid", "qv")
+    )
+    # probe is nprobe rows — broadcast it against the corpus-sized
+    # assignment (equi-join on cid prunes to nprobe/k of the corpus)
+    return _ivf_topk_rank(F.broadcast(probe).join(afin, "cid"))
+
+
+@register(
+    "emb_ivf_store_topk",
+    oracle=_ivf_topk_oracle(),
+    doc="IVF ANN over a STORED index — the production shape of "
+    "emb_ann_ivf_topk: the deterministic-Lloyd assignment is written "
+    "once to a parquet index partitioned by inverted-list id (one-time "
+    "build, _SUCCESS-guarded, centroids persisted as index metadata); a "
+    "probe then reads ONLY the nprobe nearest list partitions — the "
+    "list_id filter lands in PartitionFilters (directory pruning, "
+    "asserted in tests/test_plans.py), so query cost scales with "
+    "nprobe/n_lists of the corpus, not the corpus. Training shares "
+    "emb_ivf_recall_report's engine-deterministic dialect, so the same "
+    "oracle replays the stored index's content exactly.",
+    tags=("llm", "similarity", "store", "embedding"),
+)
+def emb_ivf_store_topk(spark, sf_dir):
+    import hashlib
+    import json
+    import math
+    import os
+    import tempfile
+
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        as_double,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # uid-scoped store dir: predictable world-shared /tmp names are
+    # hijackable on multi-user hosts (r7 ADVICE on read_parquet_stream)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "tmdc_ivf_store_det_%d_%s"
+        % (os.getuid(), hashlib.md5(sf_dir.encode()).hexdigest()[:12]),
+    )
+    meta_path = os.path.join(store, "_centroids.json")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        cent, afin = _ivf_spark_train(e, k=_IVF_TOPK_LISTS)
+        afin.withColumnRenamed("cid", "list_id").write.partitionBy(
+            "list_id"
+        ).mode("overwrite").parquet(store)
+        # k x dim doubles — bounded index metadata, never corpus-sized
+        rows = cent.orderBy("cid").collect()
+        with open(meta_path, "w") as f:
+            json.dump([list(r["cv"]) for r in rows], f)
+    with open(meta_path) as f:
+        centroids = json.load(f)
+
+    query_vec = _query_vec(spark, sf_dir)
+
+    def pico_sq(c):  # driver replay of functions.vectors.pico_sqdist
+        return sum(
+            math.floor((a - b) * (a - b) * 1e12 + 0.5)
+            for a, b in zip(c, query_vec)
+        )
+
+    order = sorted(range(len(centroids)), key=lambda i: (pico_sq(centroids[i]), i))
+    probe = order[:_IVF_TOPK_NPROBE]
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    idx = spark.read.parquet(store).filter(F.col("list_id").isin(probe))
+    return _ivf_topk_rank(idx.withColumn("qv", q))
 
 
 @register(
