@@ -1,12 +1,11 @@
 """docs/REGISTRY.md must stay in sync with the registry.
 
-Self-healing (round-6 VERDICT item 4 — the index went stale in two
-separate rounds when late registry additions weren't re-indexed): when
-the on-disk index is stale, this test REGENERATES it in place and then
-fails once with a commit instruction, so the very next run (and the
-round-close `git add -A`) picks up the fresh file instead of the staleness
-surviving the round. bench.py also regenerates at startup as
-belt-and-suspenders, since the driver always runs it before round close.
+A PURE comparison (r7 ADVICE: the former self-healing write raced with
+bench.py's startup regeneration under parallel runs and broke read-only
+checkouts): when stale, this fails with the regeneration command.
+Regeneration paths are ``python tools/gen_registry_md.py`` (run it after
+adding/renaming queries or when a new CORRECTNESS_r*.json lands) and
+bench.py startup — the single in-repo mutation points.
 """
 
 from __future__ import annotations
@@ -25,10 +24,7 @@ def test_registry_index_is_current():
             on_disk = f.read()
     except OSError:
         on_disk = ""
-    if on_disk != fresh:
-        with open(path, "w") as f:
-            f.write(fresh)
     assert on_disk == fresh, (
-        "docs/REGISTRY.md was stale — it has been REGENERATED in place; "
-        "commit the refreshed file (this test passes on the next run)"
+        "docs/REGISTRY.md is stale — run `python tools/gen_registry_md.py` "
+        "and commit the refreshed file"
     )
