@@ -57,6 +57,24 @@ def test_measure_ingest_budget_harness(spark):
     assert r["final_watermark"].startswith("2024-04-30T23:58:0")
 
 
+def test_replay_ingest_floor(spark):
+    """Regression floor on the bench's replay-ingest measurement (r7
+    VERDICT item 7): round-over-round throughput drifted 33.0 -> 30.9k
+    msg/s with nothing failing if it halved. 15k msg/s is conservative —
+    half the measured steady state, 1.5x the reference's 10k budget — so
+    a trip means a real regression, not test-box noise."""
+    from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
+        measure_ingest_budget,
+    )
+
+    r = measure_ingest_budget(spark)  # bench-shape defaults: 200k msgs
+    assert r["msgs_per_sec"] >= 15_000, (
+        f"replay ingest {r['msgs_per_sec']:,.0f} msg/s fell below the "
+        "15,000 msg/s floor (bench steady state is ~31k; the reference "
+        "design budget is 10k)"
+    )
+
+
 def test_replay_read_partitions_split(spark):
     """readPartitions splits a micro-batch's row range into parallel read
     tasks without changing the delivered rows."""

@@ -289,6 +289,12 @@ def doc_minhash_estimate_error(spark, sf_dir):
     )
 
     docs = table(spark, sf_dir, "documents")
+    # lazy localCheckpoint, not cache(): the builder returns a lazy
+    # DataFrame, so an in-function unpersist would fire before any action
+    # and the cache would never serve the two consumers (sig and ex) —
+    # the r7 ADVICE finding. The checkpoint materializes shingling+md5
+    # once at the caller's first action and both branches reuse it;
+    # leftover blocks are drained by bench._assert_cold between queries.
     sets = shingle_sets(
         spread_small_input(docs, "doc_id"), "text", "doc_id", 3
     ).withColumn(
@@ -299,7 +305,7 @@ def doc_minhash_estimate_error(spark, sf_dir):
             .cast("long")
             % _MH_AUDIT_P,
         ),
-    ).cache()
+    ).localCheckpoint(eager=False)
 
     A = np.array(_MH_AUDIT_A, dtype=np.int64)
     B = np.array(_MH_AUDIT_B, dtype=np.int64)
@@ -384,7 +390,6 @@ def doc_minhash_estimate_error(spark, sf_dir):
         "CAST(coalesce(sum(CASE WHEN est_permille >= 500 THEN 1 ELSE 0 END), 0) "
         "AS BIGINT) AS n_est_over_threshold",
     )
-    sets.unpersist()
     return out
 
 
@@ -10142,7 +10147,12 @@ _QT_THRESHOLDS = [300000000, 400000000, 480000000, 500000000, 600000000]
     tags=("llm", "text", "quality", "ml"),
 )
 def doc_quality_threshold_sweep(spark, sf_dir):
-    feat = _logreg_spark_feat(spark, sf_dir).cache()
+    # localCheckpoint, not cache(): the training collects below consumed
+    # the cache, but the returned scoring DataFrame is lazy — the former
+    # in-function unpersist fired before the caller's action, so the
+    # final pass recomputed the features (r7 ADVICE). The checkpoint
+    # (materialized here by count()) serves training AND final scoring.
+    feat = _logreg_spark_feat(spark, sf_dir).localCheckpoint(eager=False)
     n = feat.count()
 
     def tdiv(a: int, b: int) -> int:
@@ -10205,7 +10215,6 @@ def doc_quality_threshold_sweep(spark, sf_dir):
         "ELSE n_pos_keep * 1000 DIV n_pos_all END AS BIGINT) "
         "AS capture_permille",
     )
-    feat.unpersist()
     return out.orderBy("threshold_nano")
 
 

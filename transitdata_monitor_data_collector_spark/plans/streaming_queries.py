@@ -1,5 +1,5 @@
 """Streaming queries in the registry: real Structured Streaming runs
-(file-replay source, availableNow trigger, memory sink) whose final output
+(file-replay source, processAllAvailable replay, memory sink) whose final output
 is deterministic, so the windowed/counter jobs get full DuckDB oracles —
 the stream result must equal the batch computation.
 """
@@ -50,8 +50,9 @@ def _message_stream(spark, sf_dir):
     ORDER BY window_start, broker, topic_filter
     """,
     doc="T1/A1/A2 as a REAL streaming run: file-replay -> watermark -> "
-    "windowed fan-out rate -> memory sink (complete mode); availableNow "
-    "makes the final table equal the batch answer.",
+    "windowed fan-out rate -> memory sink (complete mode); the "
+    "processAllAvailable replay makes the final table equal the batch "
+    "answer.",
     tags=("streaming",),
 )
 def streaming_windowed_rate(spark, sf_dir):
@@ -593,7 +594,8 @@ def streaming_holt_forecast(spark, sf_dir):
     oracle=_ALERT_FOR_DURATION_ORACLE,
     doc="promql_alert_for_duration's `for:`-duration alert semantics on "
     "a REAL structured-streaming run: events replay through a streaming "
-    "hourly rollup (window aggregate, complete mode, availableNow), and "
+    "hourly rollup (window aggregate, complete mode, processAllAvailable "
+    "replay — see jobs.run_to_memory), and "
     "the gaps-and-islands consecutive-breach detection runs as batch "
     "post-processing over the streamed hours-sized rollup — exactly how "
     "a serving layer evaluates alert rules against live-maintained "
@@ -654,7 +656,8 @@ def streaming_alert_for_duration(spark, sf_dir):
     doc="events_slo_burn_multiwindow on a REAL structured-streaming run: "
     "the per-hour error/total counts are maintained as streaming window "
     "state (two conditional aggregates per hour bucket, complete mode, "
-    "availableNow), and the multi-window burn computation — trailing "
+    "processAllAvailable replay), and the multi-window burn computation "
+    "— trailing "
     "6-hour RANGE frame, integer cross-multiplied paging verdict — runs "
     "as serving-side batch post-processing over the hours-sized rollup. "
     "Shares the batch twin's oracle verbatim: stream-state + serving "

@@ -3,7 +3,7 @@
 Each job takes an unbounded DataFrame with at least
 ``broker, topic, ts`` columns (FIXTURES.md §1) and returns the transformed
 unbounded DataFrame; ``run_to_memory`` drives any of them deterministically
-(availableNow) into an in-memory table for tests and the driver gate.
+(processAllAvailable) into an in-memory table for tests and the driver gate.
 
 State posture at scale: windowed aggs are watermark-bounded (state evicted
 once the watermark passes); counters use update-mode keyed state — at 100 TB
@@ -289,16 +289,27 @@ def read_parquet_stream(
         # counting through stateful sinks).
         import hashlib
 
+        # uid-scoped name: a predictable world-shared /tmp dir could be
+        # pre-created (with a hostile symlink) by another local user
         d = os.path.join(
             tempfile.gettempdir(),
-            "stream_src_"
-            + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16],
+            "stream_src_%d_%s"
+            % (
+                os.getuid(),
+                hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16],
+            ),
         )
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, os.path.basename(path))
+        # never trust an existing link blindly: a stale one (source file
+        # deleted/recreated elsewhere) or an injected one would silently
+        # feed the stream different bytes — verify the target and recreate
+        target = os.path.abspath(path)
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.unlink(link)
         if not os.path.islink(link):
             try:
-                os.symlink(path, link)
+                os.symlink(target, link)
             except FileExistsError:
                 pass
         path = d
