@@ -128,6 +128,9 @@ HEADLINE = [
     # separation on the clustered corpus
     "doc_quality_logreg_hashed",
     "emb_compression_ladder_clustered",
+    # round-8: the K=64 PQ operating point (r7 VERDICT item 6) — tracked
+    # so the 4x-wider codebook's trainer cost stays visible
+    "emb_pq_k64_recall_clustered",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
