@@ -5896,13 +5896,12 @@ def promql_resets_changes(spark, sf_dir):
     )
 
 
-@register(
-    "promql_offset_week_over_week",
-    # (a.cnt - b.cnt) can be negative, so the permille division is spelled
-    # sign-explicitly (the llm_data._tdiv_sql discipline: DuckDB // changed
-    # floor/truncate semantics on negatives between releases; Spark DIV
-    # always truncates) — counts are positive so only the numerator needs it
-    oracle="""
+# (a.cnt - b.cnt) can be negative, so the permille division is spelled
+# sign-explicitly (the llm_data._tdiv_sql discipline: DuckDB // changed
+# floor/truncate semantics on negatives between releases; Spark DIV
+# always truncates) — counts are positive so only the numerator needs it.
+# Module-level: shared verbatim by streaming_offset_week_over_week.
+_OFFSET_WOW_ORACLE = """
     WITH hourly AS (
       SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
              CAST(count(*) AS BIGINT) AS cnt
@@ -5916,7 +5915,12 @@ def promql_resets_changes(spark, sf_dir):
                 AS BIGINT) AS wow_delta_permille
     FROM hourly a JOIN hourly b ON b.hour_idx = a.hour_idx - 168
     ORDER BY hour
-    """,
+    """
+
+
+@register(
+    "promql_offset_week_over_week",
+    oracle=_OFFSET_WOW_ORACLE,
     doc="PromQL `offset 1w` semantics (the dashboards' week-over-week "
     "compare): each hour's event count against the same hour one week "
     "earlier, with the relative change in exact integer permille "

@@ -13,6 +13,7 @@ from pyspark.sql.window import Window as W
 from transitdata_monitor_data_collector_spark.plans import register
 from transitdata_monitor_data_collector_spark.plans.monitoring import (
     _ALERT_FOR_DURATION_ORACLE,
+    _OFFSET_WOW_ORACLE,
     _SLO_BURN_ORACLE,
     BROKER_SQL,
     DASHBOARD_FILTERS,
@@ -647,6 +648,63 @@ def streaming_alert_for_duration(spark, sf_dir):
         .where(F.col("breach_hours") >= 2)
         .drop("island")
         .orderBy("event_type", "alert_start")
+    )
+
+
+@register(
+    "streaming_offset_week_over_week",
+    oracle=_OFFSET_WOW_ORACLE,
+    doc="promql_offset_week_over_week's `offset 1w` comparison on a REAL "
+    "structured-streaming run (r7 VERDICT stretch item 8 — the last "
+    "batch-only PromQL query-layer family gets a live form): events "
+    "replay through a streaming hourly count rollup (window aggregate, "
+    "complete mode, processAllAvailable replay), and the offset "
+    "comparison — the hours-sized rollup self-joined on a week-shifted "
+    "key with sign-explicit permille deltas — runs as serving-side "
+    "batch post-processing, exactly how a dashboard evaluates "
+    "week-over-week panels against live-maintained state. Shares the "
+    "batch twin's DuckDB oracle verbatim: stream-state + shifted-key "
+    "join == one-shot batch SQL, hash-exact. Scale: streaming state is "
+    "one count per active hour; the join input is bounded by the "
+    "calendar, never raw events.",
+    tags=("streaming", "monitoring", "promql"),
+)
+def streaming_offset_week_over_week(spark, sf_dir):
+    stream = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet").select(
+        "ts"
+    )
+    hourly_stream = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    rollup = (
+        jobs.run_to_memory(spark, hourly_stream, output_mode="complete")
+        .select(
+            F.floor(F.unix_timestamp(F.col("w.start")) / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+            "cnt",
+        )
+        # hours-sized; checkpoint breaks the memory-sink lineage so the
+        # shifted self-join below doesn't trip conflicting references
+        .localCheckpoint(eager=True)
+    )
+    a = rollup.alias("a")
+    b = rollup.select(
+        (F.col("hour_idx") + 168).alias("hour_idx"),
+        F.col("cnt").alias("cnt_prev_week"),
+    ).alias("b")
+    return (
+        a.join(b, "hour_idx")
+        .selectExpr(
+            "timestamp_seconds(hour_idx * 3600) AS hour",
+            "cnt",
+            "cnt_prev_week",
+            "CAST((cnt - cnt_prev_week) * 1000 DIV cnt_prev_week AS BIGINT) "
+            "AS wow_delta_permille",
+        )
+        .orderBy("hour")
     )
 
 
