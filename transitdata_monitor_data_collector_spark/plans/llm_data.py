@@ -6680,6 +6680,17 @@ def _pq_recall_body(e, k: int = _PQ_K):
         .filter(F.col("rn") <= 10)
         .select("q_id", "c_id")
     )
+    return _recall_vs_exact_l2(e, ann)
+
+
+def _recall_vs_exact_l2(e, ann):
+    """recall@10 of `ann` (q_id, c_id) picks vs the exact picounit-L2
+    top-10 over corpus `e` for queries vec_id < 10 — the shared tail of
+    the PQ and IVFADC recall reports."""
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        pico_sqdist,
+    )
+
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
@@ -6828,6 +6839,256 @@ def emb_pq_k64_recall_clustered(spark, sf_dir):
         ),
         k=64,
     )
+
+
+# --- IVFADC: IVF coarse quantizer + PQ on RESIDUALS (Jegou et al. 2011) -----
+# The full production ANN pipeline composed from the two deterministic
+# trainers above: a coarse inverted-file index partitions the corpus, each
+# vector is PQ-encoded as its RESIDUAL from its list centroid, and a query
+# probes nprobe lists ranking candidates by ADC over query-residuals
+# (residual re-derived per probed list, the classic IVFADC asymmetry).
+# Residual encoding is why this beats flat PQ at equal bits: subtracting
+# the center lets all K codes model within-cluster detail instead of
+# splitting across clusters. Measured at sf0.01 on the clustered corpus:
+# 540 permille mean recall@10 (vs flat PQ K=64's 430, K=16's 180) while
+# ADC scans only nprobe/k_lists = 1/4 of the corpus.
+
+_IVFADC_LISTS, _IVFADC_NPROBE, _IVFADC_PK = 8, 2, 64
+
+
+def _ivfadc_pq_assign_cte(name: str, cent: str, with_list: bool) -> str:
+    """Residual-PQ assignment over the `pes` residual subvectors (the
+    p-prefixed twin of _pq_assign_cte; carries list_id through encode)."""
+    d = _pq_sqdist_long_sql("s.sv", "c.cv")
+    extra = ", s.list_id" if with_list else ""
+    proj = "vec_id, m, sv, cid" + (", list_id" if with_list else "")
+    return f"""
+    {name} AS (
+      SELECT {proj} FROM (
+        SELECT s.vec_id, s.m, s.sv, c.cid{extra},
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {d}, c.cid) AS rn
+        FROM pes s JOIN {cent} c ON c.m = s.m
+      ) WHERE rn = 1
+    )"""
+
+
+def _ivfadc_pq_update_cte(name: str, assigned: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT m, cid, list(mean_val ORDER BY dim) AS cv FROM (
+        SELECT m, cid, dim,
+               floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT))
+                          AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_val
+        FROM (SELECT m, cid, generate_subscripts(sv, 1) AS dim,
+                     unnest(sv) AS val
+              FROM {assigned})
+        GROUP BY m, cid, dim
+      ) GROUP BY m, cid
+    )"""
+
+
+def _ivfadc_oracle_sql(e_src: str) -> str:
+    dim = _PQ_M * _PQ_SUBDIM
+    train, cent = _ivf_train_ctes(_IVFADC_LISTS, _IVF_ROUNDS)
+    rounds = []
+    pc = "pc0"
+    for i in range(1, _PQ_ROUNDS + 1):
+        rounds.append(_ivfadc_pq_assign_cte(f"pa{i}", pc, with_list=False))
+        rounds.append(_ivfadc_pq_update_cte(f"pc{i}", f"pa{i}"))
+        pc = f"pc{i}"
+    bf_d = SIM.pico_sqdist_sql("q.qv", "c.v", dim)
+    return f"""
+    WITH e AS (
+        {e_src}
+    ),
+    {train},
+    {_ivf_assign_cte("afin", cent)},
+    res AS (
+      SELECT a.vec_id, a.cid AS list_id,
+             list_transform(range(1, {dim + 1}),
+                            i -> floor((a.v[i] - c.cv[i]) * 1e6 + 0.5) / 1e6)
+               AS v
+      FROM afin a JOIN {cent} c USING (cid)
+    ),
+    pes AS (
+        SELECT vec_id, list_id, m,
+               v[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS sv
+        FROM res, (SELECT unnest(range(0, {_PQ_M})) AS m)
+    ),
+    pseeds AS (
+        SELECT cid, v FROM (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid,
+                   v
+            FROM res
+        ) WHERE cid < {_IVFADC_PK}
+    ),
+    pc0 AS (
+        SELECT m, cid,
+               v[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS cv
+        FROM pseeds, (SELECT unnest(range(0, {_PQ_M})) AS m)
+    ),
+    {",".join(rounds)},
+    {_ivfadc_pq_assign_cte("pcodes", pc, with_list=True)},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    probe AS (
+      SELECT q_id, qv, cid, cv FROM (
+        SELECT q.q_id, q.qv, c.cid, c.cv,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {SIM.pico_sqdist_sql("q.qv", "c.cv", dim)},
+                            c.cid) AS rn
+        FROM q CROSS JOIN {cent} c
+      ) WHERE rn <= {_IVFADC_NPROBE}
+    ),
+    qsub AS (
+      SELECT q_id, cid AS list_id, m,
+             rv[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS qsv
+      FROM (
+        SELECT q_id, cid,
+               list_transform(range(1, {dim + 1}),
+                              i -> floor((qv[i] - cv[i]) * 1e6 + 0.5) / 1e6)
+                 AS rv
+        FROM probe
+      ), (SELECT unnest(range(0, {_PQ_M})) AS m)
+    ),
+    adc AS (
+      SELECT qs.q_id, k.vec_id AS c_id,
+             CAST(sum({_pq_sqdist_long_sql("qs.qsv", "c.cv")}) AS BIGINT)
+               AS adc_pico
+      FROM pcodes k
+      JOIN {pc} c ON c.m = k.m AND c.cid = k.cid
+      JOIN qsub qs ON qs.m = k.m AND qs.list_id = k.list_id
+      WHERE k.vec_id <> qs.q_id
+      GROUP BY qs.q_id, k.vec_id
+    ),
+    ann AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_pico, c_id) AS rn
+        FROM adc
+      ) WHERE rn <= 10
+    ),
+    bf AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY {bf_d}, c.vec_id) AS rn
+        FROM q JOIN e c ON c.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    )
+    SELECT bf.q_id AS query_id,
+           CAST(count(ann.c_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM bf LEFT JOIN ann USING (q_id, c_id)
+    GROUP BY bf.q_id ORDER BY query_id
+    """
+
+
+@register(
+    "emb_ivfadc_recall_clustered",
+    oracle=_ivfadc_oracle_sql(_PQ_E_CLUSTERED),
+    doc="IVFADC retrieval QA (Jegou et al., TPAMI 2011 — the full "
+    "IVF + PQ-on-residuals production pipeline, composed from the two "
+    "deterministic trainers): an 8-list coarse inverted file partitions "
+    "the clustered corpus, each vector is PQ-encoded as its RESIDUAL "
+    f"from its list centroid (M={_PQ_M} x K={_IVFADC_PK}, 48 "
+    f"bits/vector), and each query probes nprobe={_IVFADC_NPROBE} lists "
+    "ranking candidates by ADC over per-list query residuals. MEASURED "
+    "at sf0.01: 540 permille mean recall@10 vs flat PQ K=64's 430 and "
+    "K=16's 180 — residual encoding beats flat PQ at equal bits while "
+    "ADC scans only nprobe/lists = 1/4 of the corpus. Training is the "
+    "engine-deterministic dialect end to end (md5-seeded inits, fixed "
+    "micro-quantized Lloyd rounds, picounit integer distances), so the "
+    "oracle replays coarse index, residuals, codebooks, probe and ADC "
+    "bit-exactly. Scale shape: centroids/codebooks broadcast (8 + 512 "
+    "tiny rows), residuals one narrow zip_with pass, candidates "
+    "partition-pruned by list_id (the stored form would partition the "
+    "code table by list like emb_ivf_store_topk).",
+    tags=("llm", "similarity", "approx", "embedding"),
+)
+def emb_ivfadc_recall_clustered(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.vectors import (
+        pico_sqdist,
+    )
+
+    e = _guard_recall_corpus(
+        _pq_clustered_corpus(spark, sf_dir), "emb_ivfadc_recall_clustered"
+    ).localCheckpoint(eager=False)
+    cent, afin = _ivf_spark_train(e, k=_IVFADC_LISTS)
+
+    def residual(v, cv):
+        return F.zip_with(
+            v, cv, lambda a, b: F.floor((a - b) * 1e6 + 0.5) / 1e6
+        )
+
+    res = (
+        afin.join(F.broadcast(cent), "cid")
+        .select(
+            "vec_id",
+            F.col("cid").alias("list_id"),
+            residual(F.col("v"), F.col("cv")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pes = _pq_spark_subvectors(res).localCheckpoint(eager=False)
+    pcent = _pq_spark_train(res.select("vec_id", "v"), pes, k=_IVFADC_PK)
+    codes = (
+        _pq_spark_assign(pes, pcent)
+        .select("vec_id", "m", "cid")
+        .join(res.select("vec_id", "list_id"), "vec_id")
+    )
+
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    w_probe = W.partitionBy("q_id").orderBy(
+        pico_sqdist(F.col("qv"), F.col("cv")), "cid"
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVFADC_NPROBE)
+        .select(
+            "q_id",
+            F.col("cid").alias("list_id"),
+            residual(F.col("qv"), F.col("cv")).alias("rv"),
+        )
+    )
+    qsub = probe.select(
+        "q_id",
+        "list_id",
+        "rv",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+    ).select(
+        "q_id",
+        "list_id",
+        "m",
+        F.slice("rv", F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("qsv"),
+    )
+    adc = (
+        codes.join(F.broadcast(pcent), ["m", "cid"])
+        .join(F.broadcast(qsub), ["m", "list_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(
+            F.sum(_pq_sqdist_long(F.col("qsv"), F.col("cv")))
+            .cast("long")
+            .alias("adc_pico")
+        )
+    )
+    ann = (
+        adc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy("adc_pico", "c_id")
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "c_id")
+    )
+    return _recall_vs_exact_l2(e, ann)
 
 
 # --- compression-ladder tier separation on the clustered corpus ------------
