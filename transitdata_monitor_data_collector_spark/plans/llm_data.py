@@ -2698,11 +2698,17 @@ def emb_ivf_store_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     # uid-scoped store dir: predictable world-shared /tmp names are
-    # hijackable on multi-user hosts (r7 ADVICE on read_parquet_stream)
+    # hijackable on multi-user hosts (r7 ADVICE on read_parquet_stream).
+    # The key fingerprints the SOURCE parquet (size + mtime_ns), not just
+    # the path: stress_parity rebuilds its sf_dir in place per k, and a
+    # path-only key would silently serve the previous k's index (the
+    # rate_over_store staleness bug, docs/STRESS.md finding 5).
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    fingerprint = f"{sf_dir}:v1:{st.st_size}:{st.st_mtime_ns}"
     store = os.path.join(
         tempfile.gettempdir(),
         "tmdc_ivf_store_det_%d_%s"
-        % (os.getuid(), hashlib.md5(sf_dir.encode()).hexdigest()[:12]),
+        % (os.getuid(), hashlib.md5(fingerprint.encode()).hexdigest()[:12]),
     )
     meta_path = os.path.join(store, "_centroids.json")
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
