@@ -35,6 +35,10 @@ SENSITIVE = [
     "emb_compression_ladder_clustered",
     "events_concurrent_sessions",
     "doc_weighted_sample_es",
+    # round-8 additions: the migrated deterministic-IVF top-k and the
+    # two-trainer IVFADC composition (coarse assign + residual PQ + ADC)
+    "emb_ann_ivf_topk",
+    "emb_ivfadc_recall_clustered",
 ]
 
 
