@@ -168,9 +168,15 @@ def run(k: int, queries: list[str]) -> int:
             msg = str(exc).splitlines()[0][:200]
             print(f"{name}: ERROR (spark side: {msg})")
             continue
-        ores = con.execute(q.oracle)
-        ocols = sorted(d[0] for d in ores.description)
-        all_rows = ores.fetchall()
+        try:
+            ores = con.execute(q.oracle)
+            ocols = sorted(d[0] for d in ores.description)
+            all_rows = ores.fetchall()
+        except Exception as exc:  # oracle-side failure must not kill the
+            failures += 1  # sweep (events_anomaly_zscore's sqrt(<0) did)
+            msg = str(exc).splitlines()[0][:200]
+            print(f"{name}: ERROR (oracle side: {msg})")
+            continue
         names = [d[0] for d in ores.description]
         idx = [names.index(c) for c in ocols]
         orows = sorted(

@@ -79,6 +79,12 @@ RE_GATE: list[str] = [
     # now carry a full oracle — their old rows-only rows are stale.
     "emb_ann_ivf_topk",
     "emb_ivf_store_topk",
+    # round 8: the k=20 sweep found the z-score oracle RAISING on
+    # sqrt(negative variance) for near-constant windows (Spark side
+    # silently NaN-excluded); both sides now guard with a lazy CASE —
+    # values identical where the old form worked, but the oracle text
+    # changed after its last driver row.
+    "events_anomaly_zscore",
     # (r7's five RE_GATE entries pruned: all five landed green rows in
     # CORRECTNESS_r07 — the HUGEINT-cast and make_timestamp fixes held.)
 ]

@@ -1483,13 +1483,25 @@ def timeseries_gap_fill_locf(spark, sf_dir):
                    ORDER BY epoch_us(ts)
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     )
-    SELECT event_type, event_id, round(value, 4) AS value,
-           round((value - s1 / n)
-                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore
-    FROM scored
-    WHERE n >= 30
-      AND abs(round((value - s1 / n)
-                    / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)) > 3.0
+    SELECT event_type, event_id, value, zscore
+    FROM (
+      SELECT event_type, event_id, round(value, 4) AS value, n,
+             -- CASE guards the sqrt LAZILY (guaranteed by the SQL
+             -- standard on both engines): the rounded-sum moments can go
+             -- slightly NEGATIVE for near-constant windows (s2 sums
+             -- round(v*v, 4) while s1 sums round(v, 4) — the two
+             -- roundings need not agree within ~1e-4 of zero variance),
+             -- where Spark's sqrt returns NaN (row silently excluded)
+             -- but DuckDB RAISES — first tripped at stress k=20, where
+             -- 20x duplication creates many such windows. A non-positive
+             -- variance window has no meaningful z anyway -> NULL.
+             CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0
+                  THEN round((value - s1 / n)
+                             / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+             END AS zscore
+      FROM scored
+    )
+    WHERE n >= 30 AND abs(zscore) > 3.0
     ORDER BY event_type, event_id
     """,
     doc="Trailing-1h z-score anomaly detector per metric series (the "
@@ -1528,13 +1540,18 @@ def events_anomaly_zscore(spark, sf_dir):
         n.alias("n"),
         F.col("value").alias("raw_value"),
     )
-    z = F.round(
-        (F.col("raw_value") - F.col("s1") / F.col("n"))
-        / F.sqrt(
-            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-            / (F.col("n") - 1)
+    # F.when mirrors the oracle's CASE: NULL z for non-positive variance
+    # windows (near-constant data where the two moment roundings disagree
+    # within ~1e-4 of zero) — Spark's sqrt(negative) is NaN, not an
+    # error, but the guard keeps the excluded-row semantics identical
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.when(
+        var > 0,
+        F.round(
+            (F.col("raw_value") - F.col("s1") / F.col("n")) / F.sqrt(var), 6
         ),
-        6,
     )
     return (
         scored.withColumn("zscore", z)
