@@ -128,9 +128,11 @@ HEADLINE = [
     # separation on the clustered corpus
     "doc_quality_logreg_hashed",
     "emb_compression_ladder_clustered",
-    # round-8: the K=64 PQ operating point (r7 VERDICT item 6) — tracked
-    # so the 4x-wider codebook's trainer cost stays visible
+    # round-8: the K=64 PQ operating point (r7 VERDICT item 6) and the
+    # IVFADC composition — tracked so the 4x-wider codebook and the
+    # two-trainer pipeline's iterative cost stay visible round-over-round
     "emb_pq_k64_recall_clustered",
+    "emb_ivfadc_recall_clustered",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
