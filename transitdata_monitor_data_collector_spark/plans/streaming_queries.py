@@ -766,3 +766,143 @@ def streaming_slo_burn_multiwindow(spark, sf_dir):
         "CAST(CASE WHEN n_err * 10 > 2 * n_tot "
         "AND err_6h * 10 > 2 * tot_6h THEN 1 ELSE 0 END AS BIGINT) AS page",
     ).orderBy("hour")
+
+
+@register(
+    "streaming_deriv_predict_linear",
+    oracle="""
+    WITH sec AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 AS abs_s,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sy_p
+      FROM events GROUP BY 1, 2
+    ),
+    rel AS (
+      SELECT event_type,
+             abs_s - (SELECT min(abs_s) FROM sec) AS x_s,
+             cnt, sy_p
+      FROM sec
+    ),
+    agg AS (
+      SELECT event_type, x_s,
+             CAST(sum(cnt) OVER w AS BIGINT) AS n,
+             CAST(sum(x_s * cnt) OVER w AS BIGINT) AS sx,
+             CAST(sum(sy_p) OVER w AS BIGINT) AS sy,
+             CAST(sum(x_s * sy_p) OVER w AS BIGINT) AS sxy,
+             CAST(sum(x_s * x_s * cnt) OVER w AS BIGINT) AS sxx
+      FROM rel
+      WINDOW w AS (PARTITION BY event_type ORDER BY x_s
+                   RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(x_s AS BIGINT) AS x_s, n AS n_samples,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx) / 1e4 * 1e6 + 0.5) / 1e6
+               AS deriv_per_sec,
+           floor((CAST(sy AS DOUBLE) / n
+                  + (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+                    * (CAST(x_s + 600 AS DOUBLE) - CAST(sx AS DOUBLE) / n))
+                 / 1e4 * 1e6 + 0.5) / 1e6
+               AS predict_10m
+    FROM agg
+    WHERE n * sxx - sx * sx > 0
+    ORDER BY event_type, x_s
+    """,
+    doc="promql_deriv_predict_linear's deriv()/predict_linear(v, 600s) on "
+    "a REAL structured-streaming run — the live form of the last PromQL "
+    "query-layer family (rate/offset/alert/SLO twins landed r5-r8). The "
+    "stream maintains per-(event_type, 1-second window) moment PARTIALS "
+    "(sample count + 1e-4-quantized value sum) as update-mode state — "
+    "the two integers per active second from which every OLS moment "
+    "derives (sx = x*cnt, sxy = x*sy, sxx = x^2*cnt), exactly how a "
+    "TSDB stores a scrape grid — and the trailing-900s least-squares "
+    "slope + 10-minute extrapolation evaluate at serving time over the "
+    "seconds-sized rollup. Wall-clock-aligned grid (PromQL evaluates on "
+    "absolute time, so the twin's x axis is epoch seconds rebased to "
+    "the corpus start at serving; the batch sibling rebases to the "
+    "corpus-start MICROsecond, so outputs are per-grid-point here vs "
+    "per-sample there — same moments, same expression, own oracle). "
+    "All moments are EXACT BIGINT window sums; slope/prediction derive "
+    "through a structurally identical double expression on both "
+    "engines, floor-micro'd. Scale: state is two longs per active "
+    "(series, second); the serving window never sees raw events.",
+    tags=("streaming", "monitoring", "promql", "timeseries"),
+)
+def streaming_deriv_predict_linear(spark, sf_dir):
+    stream = jobs.read_parquet_stream(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", "ts", "value"
+    )
+    per_sec_stream = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 second").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1e4 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sy_p"),
+        )
+    )
+    rollup = (
+        jobs.run_to_memory(spark, per_sec_stream, output_mode="complete")
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("abs_s"),
+            "cnt",
+            "sy_p",
+        )
+        # seconds-sized serving rollup; checkpoint breaks the memory-sink
+        # lineage so the t0 self-aggregate below is conflict-free
+        .localCheckpoint(eager=True)
+    )
+    t0 = rollup.agg(F.min("abs_s").alias("t0"))
+    rel = rollup.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        (F.col("abs_s") - F.col("t0")).alias("x_s"),
+        "cnt",
+        "sy_p",
+    )
+    w = W.partitionBy("event_type").orderBy("x_s").rangeBetween(-900, 0)
+    agg = rel.select(
+        "event_type",
+        "x_s",
+        F.sum("cnt").over(w).cast("long").alias("n"),
+        F.sum(F.col("x_s") * F.col("cnt")).over(w).cast("long").alias("sx"),
+        F.sum("sy_p").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x_s") * F.col("sy_p")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x_s") * F.col("x_s") * F.col("cnt"))
+        .over(w)
+        .cast("long")
+        .alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    slope = num.cast("double") / den
+    deriv = F.floor(slope / 1e4 * 1e6 + 0.5) / 1e6
+    predict = (
+        F.floor(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                + slope
+                * (
+                    (F.col("x_s") + 600).cast("double")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            )
+            / 1e4
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    return (
+        agg.filter(den > 0)
+        .select(
+            "event_type",
+            F.col("x_s").cast("long").alias("x_s"),
+            F.col("n").alias("n_samples"),
+            deriv.alias("deriv_per_sec"),
+            predict.alias("predict_10m"),
+        )
+        .orderBy("event_type", "x_s")
+    )
