@@ -39,6 +39,10 @@ SENSITIVE = [
     # two-trainer IVFADC composition (coarse assign + residual PQ + ADC)
     "emb_ann_ivf_topk",
     "emb_ivfadc_recall_clustered",
+    # round-8 late additions: IVM state merge (bitmap OR + partial-agg
+    # algebra) and the streamed OLS-moment serving window
+    "rollup_incremental_merge",
+    "streaming_deriv_predict_linear",
 ]
 
 
