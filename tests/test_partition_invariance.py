@@ -43,6 +43,7 @@ SENSITIVE = [
     # algebra) and the streamed OLS-moment serving window
     "rollup_incremental_merge",
     "streaming_deriv_predict_linear",
+    "streaming_incremental_rollup",
 ]
 
 

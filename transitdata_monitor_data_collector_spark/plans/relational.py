@@ -3036,9 +3036,10 @@ def scalar_try_arithmetic(spark, sf_dir):
     ).orderBy("event_id")
 
 
-@register(
-    "rollup_incremental_merge",
-    oracle="""
+# Incremental-view-maintenance oracle: the FULL recompute. Shared by the
+# batch merge proof (rollup_incremental_merge) and its live twin
+# (streaming_incremental_rollup) — both must hash-equal this.
+_IVM_ORACLE = """
     SELECT event_type,
            CAST(date_trunc('week', ts) AS DATE) AS week,
            CAST(count(*) AS BIGINT) AS n_rows,
@@ -3052,7 +3053,77 @@ def scalar_try_arithmetic(spark, sf_dir):
     FROM events
     GROUP BY 1, 2
     ORDER BY event_type, week
-    """,
+    """
+
+
+def ivm_scalar_state(df):
+    """Mergeable scalar partial state per (event_type, week):
+    count/sum add across states, min/max combine."""
+    return df.groupBy("event_type", "week").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("centi").cast("long").alias("sum_centi"),
+        F.min("centi").cast("long").alias("min_centi"),
+        F.max("centi").cast("long").alias("max_centi"),
+    )
+
+
+def ivm_bitmap_state(df):
+    """Exact-distinct partial state: (key, user_id/32) bitmap words —
+    bit_or-mergeable, popcount only AFTER the final merge."""
+    return (
+        df.select(
+            "event_type",
+            "week",
+            (F.col("user_id") / 32).cast("long").alias("word_i"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("event_type", "week", "word_i")
+        .agg(F.bit_or("b").alias("mask"))
+    )
+
+
+def ivm_merge(scalar_states, bitmap_states):
+    """Merge any number of partial states into the serving view:
+    the partial-aggregation algebra Spark itself uses map-side."""
+    from functools import reduce
+
+    scalars = (
+        reduce(lambda a, b: a.unionByName(b), scalar_states)
+        .groupBy("event_type", "week")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_centi").cast("long").alias("sum_centi"),
+            F.min("min_centi").cast("long").alias("min_centi"),
+            F.max("max_centi").cast("long").alias("max_centi"),
+        )
+    )
+    users = (
+        reduce(lambda a, b: a.unionByName(b), bitmap_states)
+        .groupBy("event_type", "week", "word_i")
+        .agg(F.bit_or("mask").alias("mask"))
+        .groupBy("event_type", "week")
+        .agg(F.sum(F.bit_count("mask")).cast("long").alias("n_users"))
+    )
+    return (
+        scalars.join(users, ["event_type", "week"])
+        .select(
+            "event_type",
+            "week",
+            "n_rows",
+            "sum_centi",
+            "min_centi",
+            "max_centi",
+            "n_users",
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+@register(
+    "rollup_incremental_merge",
+    oracle=_IVM_ORACLE,
     doc="Incremental materialized-view maintenance: the per-(event_type, "
     "week) rollup is NOT recomputed from raw events — the corpus splits "
     "at a data-derived mid-week cutoff (max day - 10) into a 'base' "
@@ -3086,64 +3157,11 @@ def rollup_incremental_merge(spark, sf_dir):
         (F.to_date("ts") <= F.col("cutoff_day")).alias("is_base"),
     )
 
-    def scalar_state(df):
-        return df.groupBy("event_type", "week").agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum("centi").cast("long").alias("sum_centi"),
-            F.min("centi").cast("long").alias("min_centi"),
-            F.max("centi").cast("long").alias("max_centi"),
-        )
-
-    def bitmap_state(df):
-        return (
-            df.select(
-                "event_type",
-                "week",
-                (F.col("user_id") / 32).cast("long").alias("word_i"),
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
-                ).alias("b"),
-            )
-            .groupBy("event_type", "week", "word_i")
-            .agg(F.bit_or("b").alias("mask"))
-        )
-
     base = tagged.filter(F.col("is_base"))
     delta = tagged.filter(~F.col("is_base"))
-    # the merge: counts/sums ADD, min/min and max/max COMBINE --
-    # the partial-aggregation algebra Spark itself uses map-side
-    scalars = (
-        scalar_state(base)
-        .unionByName(scalar_state(delta))
-        .groupBy("event_type", "week")
-        .agg(
-            F.sum("n_rows").cast("long").alias("n_rows"),
-            F.sum("sum_centi").cast("long").alias("sum_centi"),
-            F.min("min_centi").cast("long").alias("min_centi"),
-            F.max("max_centi").cast("long").alias("max_centi"),
-        )
-    )
-    # distinct users: OR the word states, popcount AFTER the merge
-    users = (
-        bitmap_state(base)
-        .unionByName(bitmap_state(delta))
-        .groupBy("event_type", "week", "word_i")
-        .agg(F.bit_or("mask").alias("mask"))
-        .groupBy("event_type", "week")
-        .agg(F.sum(F.bit_count("mask")).cast("long").alias("n_users"))
-    )
-    return (
-        scalars.join(users, ["event_type", "week"])
-        .select(
-            "event_type",
-            "week",
-            "n_rows",
-            "sum_centi",
-            "min_centi",
-            "max_centi",
-            "n_users",
-        )
-        .orderBy("event_type", "week")
+    return ivm_merge(
+        [ivm_scalar_state(base), ivm_scalar_state(delta)],
+        [ivm_bitmap_state(base), ivm_bitmap_state(delta)],
     )
 
 

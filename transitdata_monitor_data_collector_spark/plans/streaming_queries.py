@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from transitdata_monitor_data_collector_spark.plans import register
+from transitdata_monitor_data_collector_spark.plans.relational import (
+    _IVM_ORACLE,
+)
 from transitdata_monitor_data_collector_spark.plans.monitoring import (
     _ALERT_FOR_DURATION_ORACLE,
     _OFFSET_WOW_ORACLE,
@@ -905,4 +908,72 @@ def streaming_deriv_predict_linear(spark, sf_dir):
             predict.alias("predict_10m"),
         )
         .orderBy("event_type", "x_s")
+    )
+
+
+@register(
+    "streaming_incremental_rollup",
+    oracle=_IVM_ORACLE,
+    doc="rollup_incremental_merge's incremental-view maintenance with the "
+    "delta side LIVE: the base state (days up to the mid-week cutoff) "
+    "is a batch-materialized partial-state table — yesterday's view — "
+    "and the delta (the last 10 days) replays through TWO real "
+    "update-surface streaming aggregations in complete mode: the "
+    "scalar state (count/sum/min/max per (event_type, week)) and the "
+    "exact-distinct bitmap-word state (bit_or per (key, user_id/32) — "
+    "constant words per key regardless of traffic). Serving merges "
+    "batch state with streamed state through the same partial-agg "
+    "algebra (sums add, min/max combine, bitmaps OR then popcount) and "
+    "must hash-equal the FULL-recompute DuckDB oracle shared verbatim "
+    "with the batch twin — the lakehouse serving pattern (compacted "
+    "history + live tail) proven exact, including distinct counts "
+    "across the batch/stream boundary. Scale: streaming state is "
+    "weeks x types scalar rows plus domain/32 bitmap words; raw "
+    "events never reach the serving merge.",
+    tags=("streaming", "aggregation", "incremental", "sketch"),
+)
+def streaming_incremental_rollup(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.plans import table
+    from transitdata_monitor_data_collector_spark.plans.relational import (
+        ivm_bitmap_state,
+        ivm_merge,
+        ivm_scalar_state,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    # planning constant (a catalog lookup at scale): the compaction
+    # horizon between the materialized base state and the live tail
+    cutoff_day = ev.agg(
+        F.date_sub(F.max(F.to_date("ts")), 10).alias("c")
+    ).first()["c"]
+
+    def prep(df):
+        return df.select(
+            "event_type",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("centi"),
+            "user_id",
+            F.to_date("ts").alias("day"),
+        )
+
+    base = prep(ev).filter(F.col("day") <= F.lit(cutoff_day))
+
+    def delta_stream():
+        raw = jobs.read_parquet_stream(
+            spark, f"{sf_dir}/events.parquet"
+        ).select("event_type", "ts", "value", "user_id")
+        return prep(raw).filter(F.col("day") > F.lit(cutoff_day))
+
+    # two live states (a streaming query allows one aggregation chain):
+    # complete mode == the memory table IS the current state
+    scal_delta = jobs.run_to_memory(
+        spark, ivm_scalar_state(delta_stream()), output_mode="complete"
+    ).localCheckpoint(eager=True)
+    word_delta = jobs.run_to_memory(
+        spark, ivm_bitmap_state(delta_stream()), output_mode="complete"
+    ).localCheckpoint(eager=True)
+
+    return ivm_merge(
+        [ivm_scalar_state(base), scal_delta],
+        [ivm_bitmap_state(base), word_delta],
     )
