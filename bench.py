@@ -133,6 +133,10 @@ HEADLINE = [
     # two-trainer pipeline's iterative cost stay visible round-over-round
     "emb_pq_k64_recall_clustered",
     "emb_ivfadc_recall_clustered",
+    # round-8 (late): the IVM state-merge proof (bitmap OR + partial-agg
+    # algebra over two state tables) and the Z-order layout planner
+    "rollup_incremental_merge",
+    "layout_zorder_pruning",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
