@@ -3146,15 +3146,18 @@ def ivm_merge(scalar_states, bitmap_states):
 )
 def rollup_incremental_merge(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    cutoff = ev.agg(
-        F.date_sub(F.max(F.to_date("ts")), 10).alias("cutoff_day")
-    )
-    tagged = ev.crossJoin(F.broadcast(cutoff)).select(
+    # driver scalar (a catalog lookup at scale: the compaction horizon) —
+    # as a literal it pushes into every branch's scan instead of planning
+    # a 1-row crossJoin per state branch
+    cutoff_day = ev.agg(
+        F.date_sub(F.max(F.to_date("ts")), 10).alias("c")
+    ).first()["c"]
+    tagged = ev.select(
         "event_type",
         F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("centi"),
         "user_id",
-        (F.to_date("ts") <= F.col("cutoff_day")).alias("is_base"),
+        (F.to_date("ts") <= F.lit(cutoff_day)).alias("is_base"),
     )
 
     base = tagged.filter(F.col("is_base"))
