@@ -127,7 +127,14 @@ def run(k: int, queries: list[str]) -> int:
         shuffle_partitions=16,
         # 5x sf0.1 with window/collect-heavy plans needs real heap — the
         # 1g local default OOMs (observed on the full sweep)
-        extra_conf={"spark.driver.memory": "24g"},
+        extra_conf={
+            "spark.driver.memory": "24g",
+            # a 280-query sweep in ONE context accumulates every query's
+            # shuffle files until the JVM happens to GC the RDD handles;
+            # at k=20 that exhausted the disk mid-sweep. Force the
+            # ContextCleaner to run on a clock.
+            "spark.cleaner.periodicGC.interval": "5min",
+        },
     )
     registry = load_all()
     con = duckdb.connect()

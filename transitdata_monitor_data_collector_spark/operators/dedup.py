@@ -74,29 +74,19 @@ def shingle_sets(
 DEFAULT_MAX_SHINGLE_FREQ = 1000
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.6,
-    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+def _jaccard_pairs_over_sets(
+    sets: DataFrame,
+    threshold: float,
+    max_shingle_freq: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs, candidate + verify.
+    """Candidate + verify over a (doc_id, shingles, set_size) table.
 
     plan: explode shingles -> drop shingles with df > ``max_shingle_freq``
     (candidate generation ONLY — the skew/blowup guard) -> self-join on
     shingle (equi-join, shuffle on shingle) -> DISTINCT candidate pairs ->
     exact verify by joining each candidate back to both full shingle sets
     and computing |A∩B| with ``array_intersect`` -> |A∩B|/(|A|+|B|-|A∩B|).
-
-    Because verification uses the FULL uncapped sets, the cap never alters
-    a reported jaccard value; it can only skip pairs whose every common
-    shingle exceeds the cap (boilerplate-only overlap). Pass
-    ``max_shingle_freq=None`` to disable the guard (exhaustive mode for
-    small corpora / oracle comparison).
     """
-    sets = shingle_sets(spread_small_input(df, id_col), text_col, id_col, n).cache()
     exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_freq is not None:
         freq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -139,6 +129,97 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    dedup_exact_first: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs, candidate + verify
+    (see :func:`_jaccard_pairs_over_sets` for the inverted-index plan).
+
+    Because verification uses the FULL uncapped sets, the df cap never
+    alters a reported jaccard value; it can only skip pairs whose every
+    common shingle exceeds the cap (boilerplate-only overlap). Pass
+    ``max_shingle_freq=None`` to disable the guard (exhaustive mode for
+    small corpora / oracle comparison).
+
+    ``dedup_exact_first`` (default): Jaccard is a function of the shingle
+    SET, not the copy — so exact-duplicate sets collapse to one
+    representative BEFORE the quadratic candidate/verify work, and pairs
+    expand back to doc ids afterwards through integer-only joins. On a
+    duplicate-heavy corpus this is the difference between verifying
+    O(distinct²) array pairs and O(docs²): the k=20 stress corpus (20
+    exact copies of every doc) spilled the naive verify join past a
+    252 GB disk, while the collapsed form verifies exactly the base
+    corpus's pairs and only the final (int, int, double) expansion sees
+    the multiplied output. The df cap then counts DISTINCT contents, not
+    copies — strictly closer to exhaustive behavior.
+    """
+    sets = shingle_sets(spread_small_input(df, id_col), text_col, id_col, n)
+    if not dedup_exact_first:
+        return _jaccard_pairs_over_sets(
+            sets.cache(), threshold, max_shingle_freq
+        )
+    keyed = (
+        sets.filter(F.col("set_size") > 0)  # empty sets never pair (as in
+        # the exploded path: no shingle rows -> no candidates)
+        .withColumn(
+            "ckey", F.md5(F.concat_ws("\x1e", F.array_sort("shingles")))
+        )
+        .cache()
+    )
+    members = keyed.select("ckey", "doc_id")
+    reps = keyed.groupBy("ckey").agg(F.min("doc_id").alias("doc_id"))
+    rep_key = keyed.join(reps, ["ckey", "doc_id"]).select("doc_id", "ckey")
+    rep_sets = keyed.join(reps, ["ckey", "doc_id"]).select(
+        "doc_id", "shingles", "set_size"
+    )
+    rep_pairs = _jaccard_pairs_over_sets(rep_sets, threshold, max_shingle_freq)
+    cross = (
+        rep_pairs.join(
+            rep_key.select(
+                F.col("doc_id").alias("doc_a"), F.col("ckey").alias("ka")
+            ),
+            "doc_a",
+        )
+        .join(
+            rep_key.select(
+                F.col("doc_id").alias("doc_b"), F.col("ckey").alias("kb")
+            ),
+            "doc_b",
+        )
+        .join(
+            members.select(
+                F.col("ckey").alias("ka"), F.col("doc_id").alias("ida")
+            ),
+            "ka",
+        )
+        .join(
+            members.select(
+                F.col("ckey").alias("kb"), F.col("doc_id").alias("idb")
+            ),
+            "kb",
+        )
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # identical sets: jaccard is exactly 1.0, which passes any threshold
+    intra = (
+        members.select("ckey", F.col("doc_id").alias("doc_a"))
+        .join(members.select("ckey", F.col("doc_id").alias("doc_b")), "ckey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
 
 
 def cross_corpus_neardup(
