@@ -190,11 +190,12 @@ def _assert_cold(spark, name: str) -> None:
     r6 recorded doc_quality_logreg_hashed at 1.48 s because the warm-up
     pass leaked corpus-sized cached plans that the timed runs silently
     reused via the cache manager's logical-plan matching (honest cold:
-    3.37 s). There is deliberately NO clearCache between a query's
-    warm-up and its timed runs (same-plan reuse is what cacheManager
-    does), so the only safe state is EMPTY: any cached plan still
-    registered here means some query cached without releasing — fail the
-    whole bench run rather than record a warm number.
+    3.37 s). Callers clearCache first (the headline loop) or release
+    their caches in a finally block (the trainer path); this assert then
+    PROVES the timed sample starts with an empty cache manager — any
+    plan still registered means a cache survived the caller's hygiene
+    (a pinned/foreign cache), and the bench fails rather than record a
+    warm number.
 
     localCheckpoint leftovers (IVF/PQ Lloyd rounds) are different: a
     fresh build() constructs new lineage and cannot reuse a dead
@@ -259,8 +260,17 @@ def main() -> None:
         run_once(name)  # untimed warm-up: JVM codegen compile amortizes
 
         def timed() -> float:
-            # every timed sample starts provably cold (_assert_cold fails
-            # the bench if the warm-up leaked cached plans)
+            # structurally cold: drop the warm-up's (or previous sample's)
+            # cached plans, then PROVE the state is empty before timing.
+            # The first full guarded run exposed that queries caching
+            # internally BY DESIGN (the minhash/simhash shingle frames,
+            # registered lazily at build time) can never satisfy a
+            # no-clearCache EMPTY policy — and had therefore been timed
+            # WARM (reusing the warm-up's materialized cache) since round
+            # 1. Clearing here makes warm-up->timed reuse impossible while
+            # intra-run cache reuse (the operator's own design) is billed
+            # to the run that builds it.
+            spark.catalog.clearCache()
             _assert_cold(spark, name)
             return run_once(name)
 
