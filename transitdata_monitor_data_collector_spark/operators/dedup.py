@@ -166,9 +166,21 @@ def ngram_jaccard_pairs(
         return _jaccard_pairs_over_sets(
             sets.cache(), threshold, max_shingle_freq
         )
+    rep_sets, rep_key, members = _collapse_exact_sets(sets)
+    rep_pairs = _jaccard_pairs_over_sets(rep_sets, threshold, max_shingle_freq)
+    return _expand_content_pairs(rep_pairs, rep_key, members)
+
+
+def _collapse_exact_sets(sets: DataFrame):
+    """Collapse exact-duplicate shingle sets to one representative
+    (min doc_id) per distinct set. Returns (rep_sets, rep_key, members):
+    the representative rows (all input columns), the rep -> content-key
+    map, and the content-key -> every doc id map. Empty sets are dropped
+    — they never pair in the exploded path (no shingle rows -> no
+    candidates), so collapsing must not invent 1.0-Jaccard pairs for
+    them."""
     keyed = (
-        sets.filter(F.col("set_size") > 0)  # empty sets never pair (as in
-        # the exploded path: no shingle rows -> no candidates)
+        sets.filter(F.col("set_size") > 0)
         .withColumn(
             "ckey", F.md5(F.concat_ws("\x1e", F.array_sort("shingles")))
         )
@@ -177,10 +189,17 @@ def ngram_jaccard_pairs(
     members = keyed.select("ckey", "doc_id")
     reps = keyed.groupBy("ckey").agg(F.min("doc_id").alias("doc_id"))
     rep_key = keyed.join(reps, ["ckey", "doc_id"]).select("doc_id", "ckey")
-    rep_sets = keyed.join(reps, ["ckey", "doc_id"]).select(
-        "doc_id", "shingles", "set_size"
-    )
-    rep_pairs = _jaccard_pairs_over_sets(rep_sets, threshold, max_shingle_freq)
+    rep_sets = keyed.join(reps, ["ckey", "doc_id"]).drop("ckey")
+    return rep_sets, rep_key, members
+
+
+def _expand_content_pairs(
+    rep_pairs: DataFrame, rep_key: DataFrame, members: DataFrame
+) -> DataFrame:
+    """Expand representative-level (doc_a, doc_b, jaccard) pairs back to
+    doc-id level through integer-only joins: every cross-content pair of
+    copies inherits the content pair's jaccard, and identical sets pair
+    at exactly 1.0 (which passes any threshold <= 1)."""
     cross = (
         rep_pairs.join(
             rep_key.select(
@@ -212,7 +231,6 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
-    # identical sets: jaccard is exactly 1.0, which passes any threshold
     intra = (
         members.select("ckey", F.col("doc_id").alias("doc_a"))
         .join(members.select("ckey", F.col("doc_id").alias("doc_b")), "ckey")
@@ -393,6 +411,7 @@ def minhash_lsh_neardup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
+    dedup_exact_first: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidates + EXACT Jaccard verification: same output as
     brute-force Jaccard (the DuckDB oracle), at inverted-index cost only
@@ -403,29 +422,49 @@ def minhash_lsh_neardup_pairs(
     the whole narrow pipeline to one core; the (doc_id-hashed) exchange is
     tiny relative to the compute it parallelizes. The shingle+hash frame
     is computed once, cached, and shared by signature generation and
-    verification."""
+    verification.
+
+    ``dedup_exact_first`` (default): identical shingle sets produce
+    identical signatures, so k exact copies of a document collide in
+    every band — the hot-bucket straggler the k=20 sweep observed, plus
+    k²-multiplied verify pairs carrying full shingle arrays. Collapsing
+    to one representative per distinct set before banding removes both
+    (same technique and expansion joins as :func:`ngram_jaccard_pairs`);
+    LSH recall applies to the content pair once instead of k² times."""
+
+    def _verify(candidates, sets):
+        sa = sets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("set_size").alias("size_a"),
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("set_size").alias("size_b"),
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = inter / (F.col("size_a") + F.col("size_b") - inter).cast(
+            "double"
+        )
+        return (
+            candidates.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
     spread = spread_small_input(df, id_col)
-    sets = with_shingle_hashes(shingle_sets(spread, text_col, id_col, n)).cache()
-    candidates = minhash_lsh_candidates(df, text_col, id_col, n, sets=sets)
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("set_size").alias("size_a"),
-    )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("set_size").alias("size_b"),
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.col("size_a") + F.col("size_b") - inter).cast("double")
-    return (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    all_sets = with_shingle_hashes(shingle_sets(spread, text_col, id_col, n))
+    if not dedup_exact_first:
+        sets = all_sets.cache()
+        return _verify(
+            minhash_lsh_candidates(df, text_col, id_col, n, sets=sets), sets
+        )
+    rep_sets, rep_key, members = _collapse_exact_sets(all_sets)
+    candidates = minhash_lsh_candidates(df, text_col, id_col, n, sets=rep_sets)
+    return _expand_content_pairs(_verify(candidates, rep_sets), rep_key, members)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
