@@ -161,36 +161,46 @@ def ngram_jaccard_pairs(
     the multiplied output. The df cap then counts DISTINCT contents, not
     copies — strictly closer to exhaustive behavior.
     """
-    sets = shingle_sets(spread_small_input(df, id_col), text_col, id_col, n)
     if not dedup_exact_first:
+        sets = shingle_sets(
+            spread_small_input(df, id_col), text_col, id_col, n
+        )
         return _jaccard_pairs_over_sets(
             sets.cache(), threshold, max_shingle_freq
         )
-    rep_sets, rep_key, members = _collapse_exact_sets(sets)
+    rep_docs, rep_key, members = _collapse_exact_docs(df, text_col, id_col)
+    rep_sets = shingle_sets(
+        spread_small_input(rep_docs, id_col), text_col, id_col, n
+    ).cache()
     rep_pairs = _jaccard_pairs_over_sets(rep_sets, threshold, max_shingle_freq)
-    return _expand_content_pairs(rep_pairs, rep_key, members)
+    # empty-set docs never pair (no shingle rows -> no candidates), so
+    # their duplicate groups must not expand into 1.0-jaccard pairs
+    ok = rep_sets.filter(F.col("set_size") > 0).select("doc_id")
+    rep_key_ok = rep_key.join(ok, "doc_id", "left_semi")
+    members_ok = members.join(rep_key_ok.select("ckey"), "ckey", "left_semi")
+    return _expand_content_pairs(rep_pairs, rep_key_ok, members_ok)
 
 
-def _collapse_exact_sets(sets: DataFrame):
-    """Collapse exact-duplicate shingle sets to one representative
-    (min doc_id) per distinct set. Returns (rep_sets, rep_key, members):
-    the representative rows (all input columns), the rep -> content-key
-    map, and the content-key -> every doc id map. Empty sets are dropped
-    — they never pair in the exploded path (no shingle rows -> no
-    candidates), so collapsing must not invent 1.0-Jaccard pairs for
-    them."""
-    keyed = (
-        sets.filter(F.col("set_size") > 0)
-        .withColumn(
-            "ckey", F.md5(F.concat_ws("\x1e", F.array_sort("shingles")))
-        )
-        .cache()
+def _collapse_exact_docs(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Collapse exact-duplicate documents to one representative (min id)
+    per RAW text (md5 of the text byte-for-byte — raw-equal implies
+    shingle-set-equal under any tokenization, so the collapse is sound
+    without knowing the shingling's normalization). Returns (rep_docs,
+    reps, members): the representative documents (for downstream
+    shingling — the expensive per-row work shrinks to distinct texts),
+    the (doc_id, ckey) rep map, and the (ckey, doc_id) full-membership
+    map. All three are narrow (two columns + the rep texts); no shingle
+    array is ever keyed, shuffled, or joined here."""
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("ckey")
     )
-    members = keyed.select("ckey", "doc_id")
     reps = keyed.groupBy("ckey").agg(F.min("doc_id").alias("doc_id"))
-    rep_key = keyed.join(reps, ["ckey", "doc_id"]).select("doc_id", "ckey")
-    rep_sets = keyed.join(reps, ["ckey", "doc_id"]).drop("ckey")
-    return rep_sets, rep_key, members
+    rep_docs = df.join(
+        reps.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )
+    return rep_docs, reps.select("doc_id", "ckey"), keyed.select("ckey", "doc_id")
 
 
 def _expand_content_pairs(
@@ -455,16 +465,24 @@ def minhash_lsh_neardup_pairs(
             .select("doc_a", "doc_b", "jaccard")
         )
 
-    spread = spread_small_input(df, id_col)
-    all_sets = with_shingle_hashes(shingle_sets(spread, text_col, id_col, n))
     if not dedup_exact_first:
-        sets = all_sets.cache()
+        spread = spread_small_input(df, id_col)
+        sets = with_shingle_hashes(
+            shingle_sets(spread, text_col, id_col, n)
+        ).cache()
         return _verify(
             minhash_lsh_candidates(df, text_col, id_col, n, sets=sets), sets
         )
-    rep_sets, rep_key, members = _collapse_exact_sets(all_sets)
+    rep_docs, rep_key, members = _collapse_exact_docs(df, text_col, id_col)
+    rep_sets = with_shingle_hashes(
+        shingle_sets(spread_small_input(rep_docs, id_col), text_col, id_col, n)
+    ).cache()
     candidates = minhash_lsh_candidates(df, text_col, id_col, n, sets=rep_sets)
-    return _expand_content_pairs(_verify(candidates, rep_sets), rep_key, members)
+    rep_pairs = _verify(candidates, rep_sets)
+    ok = rep_sets.filter(F.col("set_size") > 0).select("doc_id")
+    rep_key_ok = rep_key.join(ok, "doc_id", "left_semi")
+    members_ok = members.join(rep_key_ok.select("ckey"), "ckey", "left_semi")
+    return _expand_content_pairs(rep_pairs, rep_key_ok, members_ok)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
