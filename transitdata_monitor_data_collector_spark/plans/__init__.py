@@ -73,20 +73,9 @@ def register(
 # exists. PRUNE an entry once a post-fix CORRECTNESS row lands (cost of
 # forgetting: a wasted window slot, not starvation).
 RE_GATE: list[str] = [
-    # round 8: both rows-only IVF queries migrated onto the
-    # engine-deterministic md5-seeded micro-quantized Lloyd dialect
-    # (the one that made emb_ivf_recall_report fully hash-checkable) and
-    # now carry a full oracle — their old rows-only rows are stale.
-    "emb_ann_ivf_topk",
-    "emb_ivf_store_topk",
-    # round 8: the k=20 sweep found the z-score oracle RAISING on
-    # sqrt(negative variance) for near-constant windows (Spark side
-    # silently NaN-excluded); both sides now guard with a lazy CASE —
-    # values identical where the old form worked, but the oracle text
-    # changed after its last driver row.
-    "events_anomaly_zscore",
-    # (r7's five RE_GATE entries pruned: all five landed green rows in
-    # CORRECTNESS_r07 — the HUGEINT-cast and make_timestamp fixes held.)
+    # (r8's three RE_GATE entries pruned: emb_ann_ivf_topk,
+    # emb_ivf_store_topk and events_anomaly_zscore all landed fully
+    # hash-green rows in CORRECTNESS_r08 under their new oracles.)
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era
