@@ -641,3 +641,16 @@ def test_hashed_logreg_wide_width_same_plan_shape(spark, sf_dir):
         for df in cached:
             df.unpersist()
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_langid_tokenizes_once_per_row(spark, sf_dir):
+    """The langid consumers project split(trim(text)) ONCE and score the
+    attribute (functions/text.langid_tokens): the two-stage projection is
+    not collapsed by Catalyst (split is non-cheap + multiply-referenced),
+    so one-split-per-row is structural, not codegen-CSE luck (r8 VERDICT
+    item 8)."""
+    for name in ("text_langid", "text_quality_scores"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        n_splits = opt.count("split(")
+        assert n_splits == 1, f"{name}: {n_splits} split() in plan\n{opt}"

@@ -45,19 +45,41 @@ def bpe_ish_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_ISH)).cast("long")
 
 
-def marker_hits(text: Column, markers: list[str]) -> Column:
-    """How many tokens of ``text`` are in the marker list."""
+def marker_hits_tokens(toks: Column, markers: list[str]) -> Column:
+    """How many elements of a pre-split token array are in the marker list."""
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(
-        F.filter(tokens(text), lambda t: F.array_contains(arr, F.lower(t)))
+        F.filter(toks, lambda t: F.array_contains(arr, F.lower(t)))
     ).cast("long")
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    """How many tokens of ``text`` are in the marker list."""
+    return marker_hits_tokens(tokens(text), markers)
 
 
 def langid(text: Column) -> Column:
     """Greedy argmax over marker-hit scores, ties broken by LANG_PREFERENCE
     order. A real system would use character n-gram profiles; the operator
-    shape (vectorized scoring + argmax) is what matters at scale."""
-    scores = {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    shape (vectorized scoring + argmax) is what matters at scale.
+
+    NOTE: the CASE references each language score several times, so this
+    form re-derives ``split(trim(text))`` ~20x in the expression tree and
+    leans on codegen subexpression elimination to stay cheap. Hot-path
+    consumers should project :func:`tokens` once and call
+    :func:`langid_tokens` on the attribute instead (the projection is not
+    collapsed by Catalyst because ``split`` is non-cheap and
+    multiply-referenced), making the one-split-per-row shape structural
+    rather than CSE-dependent.
+    """
+    return langid_tokens(tokens(text))
+
+
+def langid_tokens(toks: Column) -> Column:
+    """:func:`langid` over a pre-split token array attribute — the same
+    CASE, but every score references the cheap attribute, not a fresh
+    ``split(trim(text))``."""
+    scores = {lang: marker_hits_tokens(toks, m) for lang, m in LANG_MARKERS.items()}
     result = F.lit("und")
     # build CASE from lowest preference upward so earlier langs win ties
     for lang in reversed(LANG_PREFERENCE):
@@ -79,28 +101,46 @@ def punct_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    tc = token_count(text)
-    sw = marker_hits(text, EN_STOPWORDS)
+    return stopword_ratio_tokens(tokens(text))
+
+
+def stopword_ratio_tokens(toks: Column) -> Column:
+    tc = F.size(toks).cast("long")
+    sw = marker_hits_tokens(toks, EN_STOPWORDS)
     return F.when(tc > 0, sw.cast("double") / tc).otherwise(F.lit(0.0))
 
 
 def mean_token_len(text: Column) -> Column:
-    tc = token_count(text)
+    return mean_token_len_tokens(tokens(text))
+
+
+def mean_token_len_tokens(toks: Column) -> Column:
+    tc = F.size(toks).cast("long")
     total = F.aggregate(
-        tokens(text), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     return F.when(tc > 0, total.cast("double") / tc).otherwise(F.lit(0.0))
 
 
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0, 1]: favors mid-length docs with
-    word-like tokens, low punctuation noise, some stopwords (prose-ness)."""
-    tc = token_count(text).cast("double")
+    word-like tokens, low punctuation noise, some stopwords (prose-ness).
+
+    Same projection note as :func:`langid` — hot paths should pre-split
+    and call :func:`quality_score_tokens`."""
+    return quality_score_tokens(text, tokens(text))
+
+
+def quality_score_tokens(text: Column, toks: Column) -> Column:
+    """:func:`quality_score` with the token array passed as an attribute
+    (``text`` is still needed for the punctuation ratio, which is
+    character- not token-based)."""
+    tc = F.size(toks).cast("double")
     len_score = F.least(tc / 100.0, F.lit(1.0))
-    mtl = mean_token_len(text)
+    mtl = mean_token_len_tokens(toks)
     shape_score = F.when((mtl >= 3.0) & (mtl <= 10.0), 1.0).otherwise(0.5)
     noise_score = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
-    prose_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    prose_score = F.least(stopword_ratio_tokens(toks) * 4.0, F.lit(1.0))
     return F.round(
         0.3 * len_score + 0.2 * shape_score + 0.3 * noise_score + 0.2 * prose_score,
         6,

@@ -535,11 +535,17 @@ _CURATION_ORACLE = f"""
 def doc_curation(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     # the feature stage is CPU-heavy narrow compute (langid markers,
-    # quality, repetition) — spread a single-split corpus across cores
-    feat = _docs_spread(spark, sf_dir).select(
+    # quality, repetition) — spread a single-split corpus across cores.
+    # The token array is projected ONCE in a separate stage: langid's CASE
+    # references the scores ~20x, and Catalyst keeps the projection (split
+    # is non-cheap + multiply-referenced, so CollapseProject leaves it),
+    # making one-split-per-row structural instead of codegen-CSE luck.
+    feat = _docs_spread(spark, sf_dir).withColumn(
+        "_toks", TX.tokens(F.col("text"))
+    ).select(
         "doc_id",
-        TX.langid(F.col("text")).alias("lang_pred"),
-        TX.quality_score(F.col("text")).alias("quality"),
+        TX.langid_tokens(F.col("_toks")).alias("lang_pred"),
+        TX.quality_score_tokens(F.col("text"), F.col("_toks")).alias("quality"),
         F.round(TX.dup_ngram_frac(F.col("text"), 1), 6).alias("dup_word_frac"),
         TX.content_fingerprint(F.col("text")).alias("content_md5"),
     )
@@ -757,9 +763,16 @@ _QUALITY_EXPR = """round(0.3 * least(tc / 100.0, 1.0)
 )
 def text_quality_scores(spark, sf_dir):
     d = _docs_spread(spark, sf_dir)
-    return d.select(
-        "doc_id", TX.quality_score(F.col("text")).alias("quality")
-    ).orderBy("doc_id")
+    return (
+        d.withColumn("_toks", TX.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            TX.quality_score_tokens(F.col("text"), F.col("_toks")).alias(
+                "quality"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -834,9 +847,12 @@ def text_repetition_scores(spark, sf_dir):
 )
 def text_langid(spark, sf_dir):
     d = _docs_spread(spark, sf_dir)
-    return d.select(
-        "doc_id", TX.langid(F.col("text")).alias("pred_lang")
-    ).orderBy("doc_id")
+    # two-stage projection: split once, score the attribute (see doc_curation)
+    return (
+        d.withColumn("_toks", TX.tokens(F.col("text")))
+        .select("doc_id", TX.langid_tokens(F.col("_toks")).alias("pred_lang"))
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -2082,8 +2098,10 @@ def emb_quantize_int8(spark, sf_dir):
 )
 def doc_quality_weighted_sample(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
+    scored = d.withColumn("_toks", TX.tokens(F.col("text"))).select(
+        "doc_id",
+        "lang",
+        TX.quality_score_tokens(F.col("text"), F.col("_toks")).alias("quality"),
     )
     return (
         scored.filter(F.expr(_MD5_PPM) < F.col("quality") * 500000)
@@ -2952,11 +2970,11 @@ def doc_containment_pairs(spark, sf_dir):
 )
 def doc_token_budget_trim(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    scored = d.select(
+    scored = d.withColumn("_toks", TX.tokens(F.col("text"))).select(
         "doc_id",
         "source",
-        TX.quality_score(F.col("text")).alias("quality"),
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        TX.quality_score_tokens(F.col("text"), F.col("_toks")).alias("quality"),
+        F.size(F.col("_toks")).cast("long").alias("n_tokens"),
     )
     w = (
         W.partitionBy("source")
@@ -4242,8 +4260,8 @@ def text_typo_pairs_symdelete(spark, sf_dir):
 )
 def text_langid_confusion(spark, sf_dir):
     d = _docs_spread(spark, sf_dir)
-    pred = d.select(
-        "lang", TX.langid(F.col("text")).alias("pred_lang")
+    pred = d.withColumn("_toks", TX.tokens(F.col("text"))).select(
+        "lang", TX.langid_tokens(F.col("_toks")).alias("pred_lang")
     )
     cm = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
     wl = W.partitionBy("lang")
