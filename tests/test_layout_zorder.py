@@ -79,3 +79,28 @@ def test_partition_pruning_end_to_end(spark, oracle_sf_dir, tmp_path):
     assert pruned.count() == expect
     assert cand_only.count() == expect
     assert back.filter(box).count() == expect
+
+
+def test_write_zorder_rejects_out_of_domain(spark, tmp_path):
+    """morton_sql interleaves only the low BITS bits, so a negative or
+    >= 2**BITS dimension value would land in an unrelated partition and
+    candidate-filtered reads would silently drop it — the write must fail
+    loudly instead (r8 ADVICE, medium)."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(100, 200, 1), (-3, 50, 2)], "x long, y long, k long"
+    )
+    with pytest.raises(Exception, match="zorder dimension out of"):
+        layout.write_zorder(bad, str(tmp_path / "z_bad"), "x", "y")
+
+    big = spark.createDataFrame(
+        [(100, 1 << layout.BITS, 1)], "x long, y long, k long"
+    )
+    with pytest.raises(Exception, match="zorder dimension out of"):
+        layout.write_zorder(big, str(tmp_path / "z_big"), "x", "y")
+
+    # in-domain rows still write fine with validation on
+    ok = spark.createDataFrame([(100, 200, 1)], "x long, y long, k long")
+    layout.write_zorder(ok, str(tmp_path / "z_ok"), "x", "y")
+    assert spark.read.parquet(str(tmp_path / "z_ok")).count() == 1

@@ -10,7 +10,8 @@ the planning arithmetic against DuckDB): ``write_zorder`` lays data out
 for real via ``partitionBy(zfile)``, and ``zorder_candidates`` derives
 the partition-filter list a reader pushes down for a box query — Spark
 then prunes partitions at planning time (asserted in
-tests/test_layout_zorder.py via ``inputFiles``).
+tests/test_layout_zorder.py via the ``PartitionFilters`` line of the
+executed plan).
 
 The curve matches the reference-free public construction (Morton 1966);
 no reference-engine counterpart exists — the reference delegates storage
@@ -42,12 +43,35 @@ def zfile_expr(
     ycol: str = "y",
     bits: int = BITS,
     file_bits: int = FILE_BITS,
+    validate: bool = False,
 ):
     """Column: the file/partition id = top ``file_bits`` bits of the
-    Morton code."""
-    return F.shiftright(
+    Morton code.
+
+    ``morton_sql`` interleaves only the low ``bits`` bits, so an
+    out-of-domain value (negative, or >= 2**bits — e.g. a shipdate before
+    the layout epoch giving a negative datediff) would land in an
+    UNRELATED partition and a reader pushing down ``zorder_candidates``
+    as the partition filter would silently drop those rows. With
+    ``validate=True`` the expression raises per-row on any dimension
+    outside [0, 2**bits) instead — the write fails loudly rather than
+    misplacing data."""
+    z = F.shiftright(
         F.expr(morton_sql(xcol, ycol, bits)), 2 * bits - file_bits
     ).cast("int")
+    if not validate:
+        return z
+    hi = 1 << bits
+    return F.when(
+        F.expr(
+            f"{xcol} < 0 OR {xcol} >= {hi} OR {ycol} < 0 OR {ycol} >= {hi}"
+        ),
+        F.expr(
+            f"raise_error(concat('zorder dimension out of [0, {hi}):"
+            f" {xcol}=', CAST({xcol} AS STRING),"
+            f" ' {ycol}=', CAST({ycol} AS STRING)))"
+        ).cast("int"),
+    ).otherwise(z)
 
 
 def _split_file_id(f: int, file_bits: int) -> tuple[int, int]:
@@ -108,9 +132,16 @@ def write_zorder(
     one hive partition per file id. At cluster scale the same zfile
     column feeds ``repartitionByRange(zfile).sortWithinPartitions(zv)``
     for row-group-level locality inside each partition; partitionBy is
-    the directory-pruning form the candidate filter exploits."""
+    the directory-pruning form the candidate filter exploits.
+
+    Dimension values are validated per-row against [0, 2**bits): an
+    out-of-domain value fails the write (raise_error) instead of landing
+    in an unrelated partition where candidate-filter reads would silently
+    drop it. The check is a cheap codegen CASE relative to the write."""
     (
-        df.withColumn("zfile", zfile_expr(xcol, ycol, bits, file_bits))
+        df.withColumn(
+            "zfile", zfile_expr(xcol, ycol, bits, file_bits, validate=True)
+        )
         .write.mode("overwrite")
         .partitionBy("zfile")
         .parquet(path)
