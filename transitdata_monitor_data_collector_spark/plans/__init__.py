@@ -76,6 +76,12 @@ RE_GATE: list[str] = [
     # (r8's three RE_GATE entries pruned: emb_ann_ivf_topk,
     # emb_ivf_store_topk and events_anomaly_zscore all landed fully
     # hash-green rows in CORRECTNESS_r08 under their new oracles.)
+    # round 9: ivm_bitmap_state/ivm_merge hardened for negative/NULL
+    # user_ids (pmod + floor-div word slots, LEFT join + coalesce 0 —
+    # r8 ADVICE); values on the fixtures are unchanged (local parity
+    # green) but both consumers' plans changed after their r8 rows.
+    "rollup_incremental_merge",
+    "streaming_incremental_rollup",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era

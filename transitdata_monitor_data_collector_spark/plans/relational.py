@@ -3068,15 +3068,23 @@ def ivm_scalar_state(df):
 
 
 def ivm_bitmap_state(df):
-    """Exact-distinct partial state: (key, user_id/32) bitmap words —
-    bit_or-mergeable, popcount only AFTER the final merge."""
+    """Exact-distinct partial state: (key, floor(user_id/32)) bitmap
+    words — bit_or-mergeable, popcount only AFTER the final merge.
+
+    Domain-robust (r8 ADVICE): floor-division + pmod keep negative ids in
+    their own well-defined (word, bit) slot (Spark's ``%`` returns
+    negative remainders and ``/``+cast truncates toward zero, which would
+    collide negative ids into wrong words); NULL user_ids are dropped to
+    match ``count(DISTINCT user_id)`` semantics — the merge side then
+    LEFT-joins and coalesces to 0 so an all-NULL key still serves."""
     return (
-        df.select(
+        df.filter(F.col("user_id").isNotNull())
+        .select(
             "event_type",
             "week",
-            (F.col("user_id") / 32).cast("long").alias("word_i"),
+            F.floor(F.col("user_id") / 32).cast("long").alias("word_i"),
             F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))"
             ).alias("b"),
         )
         .groupBy("event_type", "week", "word_i")
@@ -3107,7 +3115,9 @@ def ivm_merge(scalar_states, bitmap_states):
         .agg(F.sum(F.bit_count("mask")).cast("long").alias("n_users"))
     )
     return (
-        scalars.join(users, ["event_type", "week"])
+        # LEFT join: a key whose user_ids are all NULL has no bitmap rows
+        # but must still serve with n_users=0 (count DISTINCT semantics)
+        scalars.join(users, ["event_type", "week"], "left")
         .select(
             "event_type",
             "week",
@@ -3115,7 +3125,9 @@ def ivm_merge(scalar_states, bitmap_states):
             "sum_centi",
             "min_centi",
             "max_centi",
-            "n_users",
+            F.coalesce(F.col("n_users"), F.lit(0).cast("long")).alias(
+                "n_users"
+            ),
         )
         .orderBy("event_type", "week")
     )
