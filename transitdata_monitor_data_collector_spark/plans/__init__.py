@@ -82,6 +82,12 @@ RE_GATE: list[str] = [
     # green) but both consumers' plans changed after their r8 rows.
     "rollup_incremental_merge",
     "streaming_incremental_rollup",
+    # round 9: OLS moment PRODUCTS moved to double on both engines (the
+    # long products wrapped silently in Spark where DuckDB raises — r8
+    # ADVICE); values unchanged on the fixtures (parity green) but the
+    # oracle text changed after both queries' r8 rows.
+    "promql_deriv_predict_linear",
+    "streaming_deriv_predict_linear",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era

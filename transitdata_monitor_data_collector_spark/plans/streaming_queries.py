@@ -800,16 +800,23 @@ def streaming_slo_burn_multiwindow(spark, sf_dir):
                    RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, CAST(x_s AS BIGINT) AS x_s, n AS n_samples,
-           floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (n * sxx - sx * sx) / 1e4 * 1e6 + 0.5) / 1e6
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / 1e4 * 1e6 + 0.5) / 1e6
                AS deriv_per_sec,
            floor((CAST(sy AS DOUBLE) / n
-                  + (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+                  + ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
                     * (CAST(x_s + 600 AS DOUBLE) - CAST(sx AS DOUBLE) / n))
                  / 1e4 * 1e6 + 0.5) / 1e6
                AS predict_10m
     FROM agg
-    WHERE n * sxx - sx * sx > 0
+    WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
     ORDER BY event_type, x_s
     """,
     doc="promql_deriv_predict_linear's deriv()/predict_linear(v, 600s) on "
@@ -878,9 +885,21 @@ def streaming_deriv_predict_linear(spark, sf_dir):
         .cast("long")
         .alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
-    slope = num.cast("double") / den
+    # moment PRODUCTS in double (r8 ADVICE): n*sxy / sx*sy reach ~2.3e15
+    # at sf0.1 and scale with span^2 — Spark's non-ANSI long arithmetic
+    # would WRAP silently where the DuckDB oracle raises. The window sums
+    # themselves stay exact BIGINT; the products are IEEE binary64 on both
+    # engines (bit-identical scalar ops), and precision is already capped
+    # by the final floor-micro rounding.
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    slope = num / den
     deriv = F.floor(slope / 1e4 * 1e6 + 0.5) / 1e6
     predict = (
         F.floor(
