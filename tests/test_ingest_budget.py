@@ -28,15 +28,23 @@ def test_streaming_replay_meets_ingest_budget(spark, oracle_sf_dir):
     # wall-clock floor => contention-sensitive; best-of-3 so a transient
     # co-tenant (another Spark job on the box) can't fail a healthy engine
     best = 0.0
+    samples: list[float] = []
     for _ in range(3):
         t0 = time.monotonic()
         out = q.build(spark, SF01)
         n_out = out.count()
         elapsed = time.monotonic() - t0
         assert n_out > 0
-        best = max(best, n_events / elapsed)
+        samples.append(n_events / elapsed)
+        best = max(best, samples[-1])
         if best >= 10_000:
             break
+    # log every sample on pass too, so a creeping regression that still
+    # clears the floor stays visible in CI output (r8 ADVICE)
+    print(
+        "\nstreaming replay ingest samples (msg/s): "
+        + ", ".join(f"{s:,.0f}" for s in samples)
+    )
     assert best >= 10_000, (
         f"streaming replay ingested {n_events} events at best "
         f"{best:,.0f} msg/s over 3 attempts — below the 10,000 msg/s budget"
@@ -74,11 +82,17 @@ def test_replay_ingest_floor(spark):
     )
 
     best = 0.0
+    samples: list[float] = []
     for _ in range(3):  # best-of-3: wall-clock floors must survive a busy box
         r = measure_ingest_budget(spark)  # bench-shape defaults: 200k msgs
-        best = max(best, r["msgs_per_sec"])
+        samples.append(r["msgs_per_sec"])
+        best = max(best, samples[-1])
         if best >= 15_000:
             break
+    print(
+        "\nreplay ingest samples (msg/s): "
+        + ", ".join(f"{s:,.0f}" for s in samples)
+    )
     assert best >= 15_000, (
         f"replay ingest best {best:,.0f} msg/s over 3 attempts fell below "
         "the 15,000 msg/s floor (bench steady state is ~31k; the reference "
