@@ -88,6 +88,13 @@ RE_GATE: list[str] = [
     # oracle text changed after both queries' r8 rows.
     "promql_deriv_predict_linear",
     "streaming_deriv_predict_linear",
+    # round 9: the two inherently rows-only HLL queries now carry an
+    # EMBEDDED accuracy gate — the exact twin rides the same aggregates
+    # and the row raises if |approx - exact| > 6*rsd*exact (r8 VERDICT
+    # item 4) — so their rows-only driver check became a real bound
+    # check. Schema changed after their old rows.
+    "agg_approx_count_distinct",
+    "events_dau_wau_stickiness_approx",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era

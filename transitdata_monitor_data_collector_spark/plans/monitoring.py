@@ -1997,17 +1997,24 @@ def events_dau_wau_stickiness(spark, sf_dir):
     "sketches that merge associatively — partial aggregation the exact "
     "distinct cannot have. Rows-only by design: HLL estimates are not "
     "reproducible across engines (same reason as "
-    "agg_approx_count_distinct); correctness of the shared join shape "
-    "is carried by the exact twin's green row.",
+    "agg_approx_count_distinct) — but the estimates have published "
+    "error bounds, so each row carries its own accuracy gate (r8 "
+    "VERDICT item 4): the exact distinct rides the SAME aggregates and "
+    "the row RAISES if either |dau-exact| or |wau-exact| exceeds "
+    "6*rsd*exact. The *_exact columns are the embedded audit, not the "
+    "serving path — at 100 TB they are what this query exists to "
+    "avoid, and the audit would run on a sampled partition.",
     tags=("monitoring", "agg", "timeseries", "approx"),
 )
 def events_dau_wau_stickiness_approx(spark, sf_dir):
+    rsd = 0.005
     ev = table(spark, sf_dir, "events")
     day_user = ev.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
     dau = day_user.groupBy("day").agg(
-        F.approx_count_distinct("user_id", 0.005).alias("dau")
+        F.approx_count_distinct("user_id", rsd).alias("dau"),
+        F.count_distinct("user_id").cast("long").alias("dau_exact"),
     )
     days = day_user.select("day").distinct()
     pairs = day_user.select(
@@ -2021,8 +2028,22 @@ def events_dau_wau_stickiness_approx(spark, sf_dir):
             & (F.col("active_day") <= F.col("day")),
         )
         .groupBy("day")
-        .agg(F.approx_count_distinct("user_id", 0.005).alias("wau"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("wau"),
+            F.count_distinct("user_id").cast("long").alias("wau_exact"),
+        )
     )
+
+    def _within(approx: str, exact: str):
+        err = F.abs(F.col(approx) - F.col(exact)).cast("double")
+        bound = 6.0 * rsd * F.col(exact).cast("double")
+        return F.when(err <= bound, F.lit(True)).otherwise(
+            F.expr(
+                f"raise_error(concat('HLL {approx} out of 6*rsd bounds"
+                f" on day ', CAST(day AS STRING)))"
+            ).cast("boolean")
+        )
+
     return (
         dau.join(wau, "day")
         .select(
@@ -2033,6 +2054,10 @@ def events_dau_wau_stickiness_approx(spark, sf_dir):
                 F.floor(F.col("dau").cast("double") / F.col("wau") * 1e6 + 0.5)
                 / 1e6
             ).alias("stickiness"),
+            "dau_exact",
+            "wau_exact",
+            _within("dau", "dau_exact").alias("dau_within_6rsd"),
+            _within("wau", "wau_exact").alias("wau_within_6rsd"),
         )
         .orderBy("day")
     )

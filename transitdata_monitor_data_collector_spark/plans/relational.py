@@ -593,16 +593,49 @@ def agg_count_distinct(spark, sf_dir):
 @register(
     "agg_approx_count_distinct",
     oracle=None,  # approximate — sketch values are engine-specific (rows-only check)
-    doc="A11 approx_count_distinct (HLL) — the 100 TB path for label-cardinality monitoring.",
+    doc="A11 approx_count_distinct (HLL) — the 100 TB path for label-"
+    "cardinality monitoring. HLL internals can't hash cross-engine, but "
+    "the estimate has a published error bound, so the query output "
+    "carries its own accuracy gate (r8 VERDICT item 4): the exact "
+    "distinct is computed beside the sketch and the row RAISES if "
+    "|approx - exact| > 6*rsd*exact — the driver's rows-only check then "
+    "fails loudly on a real accuracy regression instead of recording "
+    "whatever the sketch said. (The *_exact / audit columns are the "
+    "embedded check, not the serving path: at 100 TB the exact distinct "
+    "is what this query exists to avoid, and the audit would run on a "
+    "sampled partition.)",
     tags=("agg", "approx"),
 )
 def agg_approx_count_distinct(spark, sf_dir):
-    return (
+    rsd = 0.01
+    est = (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("n_cust_approx"))
-        .orderBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd).alias("n_cust_approx"),
+            F.count_distinct("o_custkey").cast("long").alias("n_cust_exact"),
+        )
     )
+    abs_err = F.abs(F.col("n_cust_approx") - F.col("n_cust_exact")).cast(
+        "double"
+    )
+    bound = 6.0 * rsd * F.col("n_cust_exact").cast("double")
+    return est.select(
+        "o_orderstatus",
+        "n_cust_approx",
+        "n_cust_exact",
+        F.floor(abs_err / F.col("n_cust_exact") * 1e6 + 0.5)
+        .cast("long")
+        .alias("rel_err_ppm"),
+        F.when(abs_err <= bound, F.lit(True))
+        .otherwise(
+            F.expr(
+                "raise_error(concat('HLL estimate out of 6*rsd bounds: ',"
+                " o_orderstatus))"
+            ).cast("boolean")
+        )
+        .alias("within_6rsd"),
+    ).orderBy("o_orderstatus")
 
 
 @register(
