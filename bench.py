@@ -321,15 +321,28 @@ def main() -> None:
     # windowed_rate_job (fan-out, watermark, stateful window agg, update
     # sink) and record SUSTAINED throughput + micro-batch latency.
     if only:
-        ingest = live = store_serving = None
+        ingest = live = store_serving = multibroker = None
     else:
         from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
             measure_ingest_budget,
             measure_live_ingest,
+            measure_multibroker_ingest,
             measure_store_to_serving,
         )
 
         ingest = measure_ingest_budget(spark)
+
+        # Multi-broker fan-in (r8 VERDICT item 5): union N replay sources
+        # (one per broker — the reference runs one listener per broker,
+        # Main.java:76-85) through ONE windowed_rate_job and record total
+        # msg/s vs N. Backs the "34k single-source, ~linear to the budget
+        # x N" scaling claim with measured numbers.
+        multibroker = {
+            f"N{n}": measure_multibroker_ingest(
+                spark, n_sources=n, n_msgs_per_source=100_000
+            )
+            for n in (2, 4, 8)
+        }
 
         # Live TCP path (loopback broker -> vendored MQTT client -> source
         # -> raw append sink): isolates network ingest from the agg path.

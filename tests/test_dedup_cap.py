@@ -77,3 +77,38 @@ def test_recall_report_corpus_guard(spark, sf_dir):
     assert _guard_recall_corpus(e, "t") is e
     with _pytest.raises(ValueError, match="refuses"):
         _guard_recall_corpus(e, "t", max_rows=3)
+
+
+def test_collapse_precheck_auto(spark):
+    """Auto mode (r8 VERDICT item 1 follow-through): the exact-duplicate
+    collapse is gated on a cheap distinct-content-ratio precheck — a
+    dedup-light corpus skips the rep-map/expansion machinery (measured
+    1.3-1.6x overhead at sf0.1), a duplicate-heavy one collapses (the
+    k=20 38 GB spill fix)."""
+    from transitdata_monitor_data_collector_spark.operators import dedup
+
+    light = spark.createDataFrame(
+        [(i, f"unique text number {i} with words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    heavy = spark.createDataFrame(
+        [(i, f"copy family {i % 5} shared text") for i in range(50)],
+        "doc_id long, text string",
+    )
+    assert dedup._should_collapse(light, "text") is False
+    assert dedup._should_collapse(heavy, "text") is True
+    # explicit flags force the shape regardless of the data
+    assert dedup._resolve_collapse(True, light, "text") is True
+    assert dedup._resolve_collapse(False, heavy, "text") is False
+    # both shapes produce identical pairs on the same corpus
+    on = sorted(
+        dedup.minhash_lsh_neardup_pairs(
+            heavy, threshold=0.5, dedup_exact_first=True
+        ).collect()
+    )
+    off = sorted(
+        dedup.minhash_lsh_neardup_pairs(
+            heavy, threshold=0.5, dedup_exact_first=False
+        ).collect()
+    )
+    assert on == off and len(on) > 0

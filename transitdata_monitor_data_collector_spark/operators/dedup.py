@@ -30,10 +30,58 @@ from transitdata_monitor_data_collector_spark.functions.text import (
 # far from int64 overflow (Spark 4 ANSI mode errors on overflow).
 _P = 2_147_483_647
 
+#: Process-wide default for ``dedup_exact_first`` (the r8 exact-duplicate
+#: collapse before the quadratic candidate/verify work). "auto" = decide
+#: per corpus via the distinct-content-ratio precheck below; True/False
+#: force it (the bench-attribution tool, tools/attrib_collapse.py, times
+#: the UNCHANGED registry builders under each forced shape).
+DEDUP_EXACT_FIRST_DEFAULT: bool | str = "auto"
+
+#: Auto mode collapses only when the corpus is duplicate-heavy enough to
+#: pay for the rep-map + expansion joins: distinct-content ratio at or
+#: below this threshold (>= ~10% exact copies). Attribution at sf0.1
+#: (r9, tools/attrib_collapse.py) measured the collapse costing 1.3-1.6x
+#: on a dedup-LIGHT corpus (doc_dedup_clusters 6.10 s vs 3.74 s cold)
+#: while the k=20 sweep showed it is the difference between completing
+#: and a 38 GB spill on a duplicate-heavy one — so the cheap precheck
+#: (one approx-distinct aggregate over the content hash, partial-agg'd
+#: map-side, no shingling) picks the shape the data deserves.
+DEDUP_COLLAPSE_MAX_DISTINCT_RATIO = 0.9
+
 
 from transitdata_monitor_data_collector_spark.partitioning import (  # noqa: E402
     spread_small_input,
 )
+
+
+def _should_collapse(df: DataFrame, text_col: str) -> bool:
+    """The auto-mode precheck: collapse exact duplicates first only when
+    the corpus is duplicate-heavy (distinct-content ratio <=
+    ``DEDUP_COLLAPSE_MAX_DISTINCT_RATIO``). One aggregate over md5(text)
+    — approx_count_distinct partial-aggregates map-side, so the precheck
+    is a single cheap pass with a 2-long driver result; the collapse path
+    it decides re-derives the same hash anyway."""
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct(F.md5(F.col(text_col)), 0.02).alias("d"),
+    ).first()
+    return (
+        r["n"] > 0
+        and r["d"] <= DEDUP_COLLAPSE_MAX_DISTINCT_RATIO * r["n"]
+    )
+
+
+def _resolve_collapse(
+    dedup_exact_first: bool | str | None, df: DataFrame, text_col: str
+) -> bool:
+    v = (
+        DEDUP_EXACT_FIRST_DEFAULT
+        if dedup_exact_first is None
+        else dedup_exact_first
+    )
+    if v == "auto":
+        return _should_collapse(df, text_col)
+    return bool(v)
 
 
 def exact_dedup(
@@ -138,7 +186,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
-    dedup_exact_first: bool = True,
+    dedup_exact_first: bool | str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs, candidate + verify
     (see :func:`_jaccard_pairs_over_sets` for the inverted-index plan).
@@ -161,6 +209,7 @@ def ngram_jaccard_pairs(
     the multiplied output. The df cap then counts DISTINCT contents, not
     copies — strictly closer to exhaustive behavior.
     """
+    dedup_exact_first = _resolve_collapse(dedup_exact_first, df, text_col)
     if not dedup_exact_first:
         sets = shingle_sets(
             spread_small_input(df, id_col), text_col, id_col, n
@@ -421,7 +470,7 @@ def minhash_lsh_neardup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    dedup_exact_first: bool = True,
+    dedup_exact_first: bool | str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates + EXACT Jaccard verification: same output as
     brute-force Jaccard (the DuckDB oracle), at inverted-index cost only
@@ -465,6 +514,7 @@ def minhash_lsh_neardup_pairs(
             .select("doc_a", "doc_b", "jaccard")
         )
 
+    dedup_exact_first = _resolve_collapse(dedup_exact_first, df, text_col)
     if not dedup_exact_first:
         spread = spread_small_input(df, id_col)
         sets = with_shingle_hashes(

@@ -39,17 +39,19 @@ def generate_replay_file(
     event_rate_per_sec: int = 10_000,
     n_brokers: int = 2,
     start: datetime | None = None,
+    broker_prefix: str = "broker",
 ) -> None:
     """Write a deterministic JSONL replay corpus: ``n_msgs`` messages whose
     EVENT time advances at ``event_rate_per_sec`` (so watermark/window
     semantics see a realistic 10 kHz feed), round-robin over brokers and a
-    100-vehicle topic fan."""
+    100-vehicle topic fan. ``broker_prefix`` distinguishes per-source
+    corpora in the multi-broker fan-in measurement."""
     start = start or datetime(2024, 5, 1, tzinfo=timezone.utc)
     with open(path, "w") as f:
         for i in range(n_msgs):
             ts = start + timedelta(seconds=i / event_rate_per_sec)
             rec = {
-                "broker": f"broker-{i % n_brokers}",
+                "broker": f"{broker_prefix}-{i % n_brokers}",
                 "topic": f"/hfp/v2/journey/ongoing/vp/bus/0018/00423/{i % 100}",
                 "payload": f"m{i}",
                 "ts": ts.isoformat(),
@@ -146,6 +148,109 @@ def measure_ingest_budget(
     finally:
         if owns_file:
             os.unlink(replay_path)
+
+
+def measure_multibroker_ingest(
+    spark: SparkSession,
+    n_sources: int = 4,
+    n_msgs_per_source: int = 100_000,
+    rows_per_batch: int = 25_000,
+    read_partitions: int = 8,
+    warmup: bool = True,
+) -> dict:
+    """Fan-in ``n_sources`` independent replay sources — the reference's
+    one-listener-per-broker deployment shape (Main.java:76-85 starts one
+    MqttTopicMonitor per configured broker) — UNIONed into a single
+    windowed_rate_job, and measure sustained total msg/s.
+
+    Each source is its own ``mqtt-replay`` DataSource instance over its
+    own corpus (distinct broker ids), so every micro-batch plans one read
+    per source (N x ``read_partitions`` read tasks) feeding one shared
+    fan-out + watermark + window aggregate — the fan-in a multi-broker
+    MQTT estate actually produces. The claim under test (r8 VERDICT item
+    5): single-source ingest is ~34k msg/s and the unioned form should
+    hold a per-estate budget ~linear in N until cores saturate, because
+    sources read in parallel and the aggregate is partial-agg'd.
+
+    Message conservation is asserted: the union must deliver exactly
+    ``n_sources * n_msgs_per_source`` input rows (StreamingQueryProgress
+    numInputRows summed over batches)."""
+    from transitdata_monitor_data_collector_spark.sources.mqtt import (
+        register_sources,
+    )
+    from transitdata_monitor_data_collector_spark.streaming.jobs import (
+        last_progress,
+        run_to_memory,
+        windowed_rate_job,
+    )
+
+    register_sources(spark)
+    paths: list[str] = []
+    try:
+        for s in range(n_sources):
+            fd, path = tempfile.mkstemp(
+                suffix=".jsonl", prefix=f"ingest_mb{s}_"
+            )
+            os.close(fd)
+            generate_replay_file(
+                path, n_msgs_per_source, broker_prefix=f"b{s}"
+            )
+            paths.append(path)
+
+        def source(path: str):
+            return (
+                spark.readStream.format("mqtt-replay")
+                .option("path", path)
+                .option("rowsPerBatch", str(rows_per_batch))
+                .option("readPartitions", str(read_partitions))
+                .load()
+            )
+
+        def run(ps: list[str]) -> tuple:
+            stream = source(ps[0])
+            for p in ps[1:]:
+                stream = stream.unionByName(source(p))
+            job = windowed_rate_job(stream, BENCH_FILTERS)
+            t0 = time.perf_counter()
+            out = run_to_memory(spark, job, output_mode="update")
+            n_out = out.count()
+            return n_out, time.perf_counter() - t0
+
+        if warmup:
+            wpaths = []
+            for s in range(n_sources):
+                wfd, wpath = tempfile.mkstemp(
+                    suffix=".jsonl", prefix=f"ingest_mbw{s}_"
+                )
+                os.close(wfd)
+                generate_replay_file(wpath, 1_000, broker_prefix=f"b{s}")
+                wpaths.append(wpath)
+            try:
+                run(wpaths)
+            finally:
+                for p in wpaths:
+                    os.unlink(p)
+
+        n_out, elapsed = run(paths)
+        total = n_sources * n_msgs_per_source
+        in_rows = sum(
+            p.get("numInputRows", 0) for p in last_progress()
+        )
+        if in_rows != total:
+            raise AssertionError(
+                f"multibroker fan-in lost messages: {in_rows} processed "
+                f"of {total} replayed"
+            )
+        return {
+            "n_sources": n_sources,
+            "n_msgs_total": total,
+            "elapsed_sec": round(elapsed, 3),
+            "msgs_per_sec": round(total / elapsed, 1),
+            "n_out_rows": n_out,
+        }
+    finally:
+        for p in paths:
+            os.unlink(p)
 
 
 def measure_store_to_serving(
