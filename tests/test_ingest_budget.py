@@ -127,3 +127,42 @@ def test_replay_read_partitions_split(spark):
     rows = [row for p in parts for row in rdr.read(p)]
     assert len(rows) == 10
     assert [r[1] for r in rows] == [f"t/{i}" for i in range(10)]
+
+
+def test_multibroker_fanin_floor(spark):
+    """Multi-broker fan-in (r8 VERDICT item 5): union 4 replay sources —
+    one per broker, the reference's one-listener-per-broker deployment
+    (Main.java:76-85) — through ONE windowed_rate_job. Measured steady
+    state on an idle box: N1 31.9k, N2 37.7k, N4 55.2k, N8 65.1k msg/s
+    total (r9), i.e. the 4-broker estate clears its 4 x 10k msg/s
+    reference budget with ~1.4x headroom — bench.py records those
+    numbers per round. THIS test runs on the shared local[4] session
+    (measured ~25k there: 4 sources' read tasks share 4 cores), so its
+    floor is 18k — above the single-source floor, because the one
+    regression a fan-in can uniquely introduce is serializing the
+    sources, which would drop the union BELOW one source's throughput.
+    Message conservation is asserted inside the measurement itself."""
+    from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
+        measure_multibroker_ingest,
+    )
+
+    best = 0.0
+    samples: list[float] = []
+    for _ in range(3):
+        r = measure_multibroker_ingest(
+            spark, n_sources=4, n_msgs_per_source=50_000
+        )
+        samples.append(r["msgs_per_sec"])
+        best = max(best, samples[-1])
+        if best >= 18_000:
+            break
+    print(
+        "\nmultibroker N=4 ingest samples (msg/s): "
+        + ", ".join(f"{s:,.0f}" for s in samples)
+    )
+    assert best >= 18_000, (
+        f"4-broker fan-in best {best:,.0f} msg/s over 3 attempts fell "
+        "below the 18,000 msg/s floor (local[4] steady state ~25k, "
+        "local[32] bench ~55k; a union that serializes its sources "
+        "would land at or below one source's rate)"
+    )
