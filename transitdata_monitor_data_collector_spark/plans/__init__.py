@@ -265,12 +265,25 @@ _NANO_COLS_CACHE: dict[str, list[str]] = {}
 def _nano_ts_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark's reader rejects
     those outright, so they're read as long and truncated to micros
-    (matching DuckDB's ns -> us truncation)."""
+    (matching DuckDB's ns -> us truncation). ``path`` may also be a
+    DIRECTORY of parquet files (e.g. the disorder-replay test fixtures
+    name a slice dir ``events.parquet``): the footer of any one member
+    file carries the shared schema."""
     if path not in _NANO_COLS_CACHE:
+        import glob
+        import os
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(path)
+        probe = path
+        if os.path.isdir(path):
+            members = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not members:
+                _NANO_COLS_CACHE[path] = []
+                return []
+            probe = members[0]
+        schema = pq.read_schema(probe)
         _NANO_COLS_CACHE[path] = [
             f.name
             for f in schema

@@ -270,8 +270,19 @@ def read_parquet_stream(
     """File-replay source: stream an existing parquet file/dir with its
     batch schema (the deterministic stand-in for live MQTT). Nano-precision
     timestamp columns are read as long and truncated to micros (same
-    handling as plans.table)."""
+    handling as plans.table).
+
+    ``SPARK_GRAFT_REPLAY_MAX_FILES`` (env) supplies a default
+    ``maxFilesPerTrigger`` when the caller passes none — the
+    disorder-replay suite uses it to force one-file micro-batches through
+    the UNCHANGED registry builders so out-of-order slice delivery is
+    exercised across real batch boundaries."""
     import os
+
+    if max_files_per_trigger is None:
+        env_mft = os.environ.get("SPARK_GRAFT_REPLAY_MAX_FILES")
+        if env_mft:
+            max_files_per_trigger = int(env_mft)
 
     from transitdata_monitor_data_collector_spark.plans import _nano_ts_cols
 
