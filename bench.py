@@ -368,6 +368,7 @@ def main() -> None:
             sum(timings[q] for q in ROUND1_SET if q in timings), 3
         ),
         "streaming_ingest": ingest,
+        "streaming_ingest_multibroker": multibroker,
         "live_ingest": live,
         "store_serving": store_serving,
         "sf": sf_val,

@@ -106,6 +106,50 @@ def store_pruning_evidence(spark, sf_dir: str) -> list[str]:
     return lines
 
 
+def zorder_scale_section() -> list[str]:
+    """Render docs/zorder_scale.json (tools/zorder_scale_probe.py) — the
+    PHYSICAL z-order pruning evidence at two data scales (r8 VERDICT item
+    7). Read from the committed JSON so regenerating this doc never needs
+    the k-stress corpus on disk."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "zorder_scale.json",
+    )
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        results = json.load(f)
+    lines = [
+        "## Z-order physical pruning at scale",
+        "",
+        "Measured by tools/zorder_scale_probe.py: the REAL partitionBy "
+        "layout (one file per partition), the same 2-D box query "
+        "(ship-day in [1024, 3071] x part-bucket in [0, 255]) read "
+        "through the derived candidate partition filter, vs a date-only "
+        "(64-day block) physical layout at the same scale.",
+        "",
+        "| scale | rows | layout | files touched / total | rows scanned"
+        " | rows matched | amplification |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        for layout in ("zorder", "linear"):
+            d = r.get(layout)
+            if not d:
+                continue
+            lines.append(
+                f"| {r['scale']} | {r['n_rows']:,} | {layout} "
+                f"| {d['files_touched']}/{d['n_files']} "
+                f"| {d['rows_scanned']:,} | {d['rows_matched']:,} "
+                f"| {d['amplification']}x |"
+            )
+    lines.append("")
+    return lines
+
+
 def render(sf_dir: str) -> str:
     import bench
     from transitdata_monitor_data_collector_spark.plans import load_all
@@ -135,6 +179,7 @@ def render(sf_dir: str) -> str:
         "emb_ivf_store_topk",
         "emb_ivfadc_recall_clustered",
     ]
+    lines += zorder_scale_section()
     for name in bench.HEADLINE + audit_extra:
         q = registry[name]
         if "streaming" in q.tags:

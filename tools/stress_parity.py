@@ -240,10 +240,33 @@ def all_oracle_queries() -> list[str]:
     ]
 
 
+def run_invariants(k: int) -> int:
+    """Spark-side value checks for the SWEEP_SKIP queries at k (r8
+    VERDICT item 2): no DuckDB, the k-fold replication structure itself
+    is the oracle. Logic lives in tools/stress_invariants.py."""
+    from transitdata_monitor_data_collector_spark.plans import load_all
+    from transitdata_monitor_data_collector_spark.session import get_spark
+
+    from tools.stress_invariants import run_invariants as _run
+
+    sf_dir = build_stress_dir(k)
+    spark = get_spark(
+        master="local[16]",
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.cleaner.periodicGC.interval": "5min",
+        },
+    )
+    return _run(spark, load_all(), k, sf_dir)
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     k = int(args[0]) if args and args[0].isdigit() else 5
     rest = [a for a in args if not a.isdigit()]
+    if rest == ["--invariants"]:
+        sys.exit(1 if run_invariants(k) else 0)
     if rest == ["--all"]:
         qs = all_oracle_queries()
     else:

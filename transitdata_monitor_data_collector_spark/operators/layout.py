@@ -127,6 +127,7 @@ def write_zorder(
     ycol: str,
     bits: int = BITS,
     file_bits: int = FILE_BITS,
+    one_file_per_partition: bool = False,
 ) -> None:
     """Write ``df`` clustered on the Morton curve of (xcol, ycol):
     one hive partition per file id. At cluster scale the same zfile
@@ -137,12 +138,15 @@ def write_zorder(
     Dimension values are validated per-row against [0, 2**bits): an
     out-of-domain value fails the write (raise_error) instead of landing
     in an unrelated partition where candidate-filter reads would silently
-    drop it. The check is a cheap codegen CASE relative to the write."""
-    (
-        df.withColumn(
-            "zfile", zfile_expr(xcol, ycol, bits, file_bits, validate=True)
-        )
-        .write.mode("overwrite")
-        .partitionBy("zfile")
-        .parquet(path)
+    drop it. The check is a cheap codegen CASE relative to the write.
+
+    ``one_file_per_partition`` shuffles on zfile first so each partition
+    directory holds exactly one parquet file — the compacted form whose
+    file count the pruning evidence measures (otherwise every write task
+    emits a file into every partition it sees)."""
+    out = df.withColumn(
+        "zfile", zfile_expr(xcol, ycol, bits, file_bits, validate=True)
     )
+    if one_file_per_partition:
+        out = out.repartition(F.col("zfile"))
+    out.write.mode("overwrite").partitionBy("zfile").parquet(path)
