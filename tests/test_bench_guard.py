@@ -24,6 +24,10 @@ def test_leaked_cache_fails_the_bench(spark, sf_dir):
 
 
 def test_clean_session_passes_and_drains_checkpoint_leftovers(spark, sf_dir):
+    # order-independence: an earlier test module may have built queries
+    # that .cache() at build time (the bench loop clearCaches the same
+    # way before this guard runs)
+    spark.catalog.clearCache()
     # a dead localCheckpoint RDD (the IVF/PQ Lloyd-round shape) is memory
     # pressure, not warm-cache reuse — the guard drains it, not fails
     spark.read.parquet(f"{sf_dir}/nation.parquet").localCheckpoint(
