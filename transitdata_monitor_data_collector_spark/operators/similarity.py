@@ -382,6 +382,17 @@ def rp_lsh_neardup_pairs(
     direction, where every pair collides in some band: histogram-like
     features). The brute-force :func:`cosine_neardup_pairs` is the
     small-data baseline/oracle."""
+    from transitdata_monitor_data_collector_spark.partitioning import (
+        spread_small_input,
+    )
+
+    # A single-file corpus arrives as ONE split, which would pin the
+    # signature matmul AND the banded candidate self-join + distinct to a
+    # single task (the k=20 invariant sweep caught exactly this: the
+    # small banded side broadcast, the whole quadratic candidate
+    # enumeration on one core for an hour). Spread first — a no-op on
+    # already-parallel inputs at real scale.
+    df = spread_small_input(df, id_col)
     base = _rp_signatures(
         df, dim, n_bands, band_planes, vec_col, id_col, seed
     ).cache()  # one UDF pass: both join sides + both refine sides

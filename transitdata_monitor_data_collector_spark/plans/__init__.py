@@ -95,6 +95,14 @@ RE_GATE: list[str] = [
     # check. Schema changed after their old rows.
     "agg_approx_count_distinct",
     "events_dau_wau_stickiness_approx",
+    # round 9: rp_lsh_neardup_pairs now spreads single-split inputs
+    # before the signature matmul + banded self-join (the k=20 invariant
+    # sweep caught the whole candidate enumeration running in ONE task);
+    # values unchanged (parity + partition-invariance green) but the
+    # consumers' plans changed after their last rows.
+    "emb_neardup_lsh",
+    "emb_neardup_planted",
+    "multimodal_feature_neardup",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era

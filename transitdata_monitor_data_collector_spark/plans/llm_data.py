@@ -1738,7 +1738,10 @@ def multimodal_feature_neardup(spark, sf_dir):
         rp_lsh_neardup_pairs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # spread BEFORE the Arrow-batched feature UDF: a single-file corpus
+    # would otherwise compute every histogram in one task (rp_lsh's own
+    # spread exchange sits downstream of this projection in the lineage)
+    docs = _docs_spread(spark, sf_dir)
     feats = extract_features(synthesize_image_payloads(docs)).filter(
         F.col("feature").isNotNull()
     )
