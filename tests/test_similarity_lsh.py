@@ -120,3 +120,44 @@ def test_simhash_banded_rejects_bad_band_count(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_banded_neardup_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_rp_lsh_vector_collapse_equivalence(spark):
+    """The exact-duplicate vector collapse (r9: the k=20 invariant sweep
+    caught identical vectors colliding in every band, k^2-multiplying the
+    candidate distinct) must be output-identical to the uncollapsed
+    pipeline, and zero-norm duplicate groups must NOT expand into 1.0
+    intra pairs (brute-force cosine is NULL for them)."""
+    from transitdata_monitor_data_collector_spark.operators.similarity import (
+        rp_lsh_neardup_pairs,
+    )
+
+    base = [[1.0, 0.0, 0.0, 0.1], [0.99, 0.01, 0.0, 0.1],
+            [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0]]
+    rows = []
+    vid = 0
+    for copy in range(4):  # 4 exact copies of each vector
+        for v in base:
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    on = sorted(
+        rp_lsh_neardup_pairs(
+            df, dim=4, threshold=0.9, dedup_exact_first=True
+        ).collect()
+    )
+    off = sorted(
+        rp_lsh_neardup_pairs(
+            df, dim=4, threshold=0.9, dedup_exact_first=False
+        ).collect()
+    )
+    assert on == off and len(on) > 0
+    # every pair involving the zero vector's copies is absent
+    zero_ids = {3, 7, 11, 15}
+    assert all(
+        r["id_a"] not in zero_ids and r["id_b"] not in zero_ids for r in on
+    )
+    # intra-copy pairs of a nonzero vector are present at exactly 1.0
+    assert any(r["id_a"] == 0 and r["id_b"] == 4 and r["cos_sim"] == 1.0
+               for r in on)

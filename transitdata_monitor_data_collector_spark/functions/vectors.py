@@ -29,7 +29,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI divide-by-zero crash) when either norm is 0 —
+    matching the oracle's NULL-on-zero-division, so zero vectors fall out
+    of >= threshold filters instead of killing the job (latent until a
+    zero-norm pair reached an LSH verify under ANSI mode)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def pico_dot(a: Column, b: Column) -> Column:

@@ -253,24 +253,30 @@ def _collapse_exact_docs(
 
 
 def _expand_content_pairs(
-    rep_pairs: DataFrame, rep_key: DataFrame, members: DataFrame
+    rep_pairs: DataFrame,
+    rep_key: DataFrame,
+    members: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    val_col: str = "jaccard",
 ) -> DataFrame:
-    """Expand representative-level (doc_a, doc_b, jaccard) pairs back to
-    doc-id level through integer-only joins: every cross-content pair of
-    copies inherits the content pair's jaccard, and identical sets pair
-    at exactly 1.0 (which passes any threshold <= 1)."""
+    """Expand representative-level (a, b, value) pairs back to doc-id
+    level through integer-only joins: every cross-content pair of copies
+    inherits the content pair's value, and identical contents pair at
+    exactly 1.0 (which passes any threshold <= 1 — true for jaccard AND
+    cosine of identical vectors, the two users of this helper)."""
     cross = (
         rep_pairs.join(
             rep_key.select(
-                F.col("doc_id").alias("doc_a"), F.col("ckey").alias("ka")
+                F.col("doc_id").alias(a_col), F.col("ckey").alias("ka")
             ),
-            "doc_a",
+            a_col,
         )
         .join(
             rep_key.select(
-                F.col("doc_id").alias("doc_b"), F.col("ckey").alias("kb")
+                F.col("doc_id").alias(b_col), F.col("ckey").alias("kb")
             ),
-            "doc_b",
+            b_col,
         )
         .join(
             members.select(
@@ -285,16 +291,16 @@ def _expand_content_pairs(
             "kb",
         )
         .select(
-            F.least("ida", "idb").alias("doc_a"),
-            F.greatest("ida", "idb").alias("doc_b"),
-            "jaccard",
+            F.least("ida", "idb").alias(a_col),
+            F.greatest("ida", "idb").alias(b_col),
+            val_col,
         )
     )
     intra = (
-        members.select("ckey", F.col("doc_id").alias("doc_a"))
-        .join(members.select("ckey", F.col("doc_id").alias("doc_b")), "ckey")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+        members.select("ckey", F.col("doc_id").alias(a_col))
+        .join(members.select("ckey", F.col("doc_id").alias(b_col)), "ckey")
+        .filter(F.col(a_col) < F.col(b_col))
+        .select(a_col, b_col, F.lit(1.0).alias(val_col))
     )
     return cross.unionByName(intra)
 

@@ -358,6 +358,7 @@ def rp_lsh_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    dedup_exact_first: bool | str | None = None,
 ) -> DataFrame:
     """Banded-LSH candidates + hamming refinement + EXACT cosine
     verification: same output as the brute-force all-pairs join (the
@@ -382,6 +383,7 @@ def rp_lsh_neardup_pairs(
     direction, where every pair collides in some band: histogram-like
     features). The brute-force :func:`cosine_neardup_pairs` is the
     small-data baseline/oracle."""
+    from transitdata_monitor_data_collector_spark.operators import dedup as DD
     from transitdata_monitor_data_collector_spark.partitioning import (
         spread_small_input,
     )
@@ -393,6 +395,82 @@ def rp_lsh_neardup_pairs(
     # enumeration on one core for an hour). Spread first — a no-op on
     # already-parallel inputs at real scale.
     df = spread_small_input(df, id_col)
+
+    # ``dedup_exact_first`` (default: the dedup module's auto mode):
+    # identical vectors produce identical signatures, so k exact copies
+    # collide in EVERY band and multiply candidate pairs by k^2 — the
+    # same quadratic-in-copies blowup the r8 shingle-set collapse fixed
+    # for MinHash (the k=20 invariant sweep found this path still paying
+    # it: ~400x the base candidate volume through one distinct). On a
+    # duplicate-heavy corpus, collapse to one representative per DISTINCT
+    # vector (exact: groupBy the vector column itself, min-id rep) before
+    # banding, then expand pairs back through integer-only joins — cross
+    # pairs inherit the content pair's cosine (identical doubles), intra
+    # copies pair at exactly 1.0. Gated on the same cheap distinct-ratio
+    # precheck as the text pipelines.
+    decide = (
+        DD.DEDUP_EXACT_FIRST_DEFAULT
+        if dedup_exact_first is None
+        else dedup_exact_first
+    )
+    if decide == "auto":
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct(F.xxhash64(vec_col), 0.02).alias("d"),
+        ).first()
+        decide = (
+            r["n"] > 0
+            and r["d"] <= DD.DEDUP_COLLAPSE_MAX_DISTINCT_RATIO * r["n"]
+        )
+    if decide:
+        keyed = df.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_cv")
+        )
+        reps = keyed.groupBy("_cv").agg(F.min("doc_id").alias("ckey"))
+        members = keyed.join(reps, "_cv").select("ckey", "doc_id")
+        rep_key = members.filter(F.col("doc_id") == F.col("ckey"))
+        rep_df = df.join(
+            rep_key.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        )
+        rep_pairs = _rp_lsh_pairs_core(
+            rep_df, dim, threshold, n_bands, band_planes, vec_col, id_col,
+            seed,
+        )
+        # zero-norm vectors never self-pair (brute-force cosine is NULL),
+        # so their duplicate groups must not expand into 1.0 intra pairs
+        ok = rep_df.filter(
+            F.aggregate(
+                as_double(F.col(vec_col)),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+            > 0
+        ).select(F.col(id_col).alias("doc_id"))
+        rep_key_ok = rep_key.join(ok, "doc_id", "left_semi")
+        members_ok = members.join(
+            rep_key_ok.select("ckey"), "ckey", "left_semi"
+        )
+        return DD._expand_content_pairs(
+            rep_pairs, rep_key_ok, members_ok,
+            a_col="id_a", b_col="id_b", val_col="cos_sim",
+        )
+    return _rp_lsh_pairs_core(
+        df, dim, threshold, n_bands, band_planes, vec_col, id_col, seed
+    )
+
+
+def _rp_lsh_pairs_core(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    n_bands: int,
+    band_planes: int,
+    vec_col: str,
+    id_col: str,
+    seed: int,
+) -> DataFrame:
+    """The banding + hamming + verify pipeline over an already-spread,
+    already-collapsed frame (see :func:`rp_lsh_neardup_pairs`)."""
     base = _rp_signatures(
         df, dim, n_bands, band_planes, vec_col, id_col, seed
     ).cache()  # one UDF pass: both join sides + both refine sides

@@ -103,6 +103,14 @@ RE_GATE: list[str] = [
     "emb_neardup_lsh",
     "emb_neardup_planted",
     "multimodal_feature_neardup",
+    # round 9: functions.vectors.cosine became try_divide (a zero-norm
+    # candidate pair crashed the LSH verify with an ANSI divide-by-zero
+    # where the oracle yields NULL); values unchanged on all fixtures
+    # (parity green) but every cosine() consumer's plan changed.
+    "emb_cosine_topk",
+    "emb_ann_lsh_topk",
+    "retrieval_hybrid_rrf",
+    "retrieval_mmr_diversify",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era
