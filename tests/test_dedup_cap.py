@@ -112,3 +112,32 @@ def test_collapse_precheck_auto(spark):
         ).collect()
     )
     assert on == off and len(on) > 0
+
+
+def test_simhash_collapse_equivalence(spark):
+    """The simhash banded pipeline's duplicate collapse (r9) must be
+    output-identical to the uncollapsed form, with intra-copy pairs at
+    hamming 0 (identical texts legitimately pair in the brute-force
+    oracle — no empty-set exclusion, unlike Jaccard)."""
+    from transitdata_monitor_data_collector_spark.operators import dedup
+
+    rows = []
+    vid = 0
+    for copy in range(4):
+        for fam in range(5):
+            rows.append((vid, f"shared family {fam} text with many words here"))
+            vid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    on = sorted(
+        dedup.simhash_banded_neardup_pairs(
+            df, dedup_exact_first=True
+        ).collect()
+    )
+    off = sorted(
+        dedup.simhash_banded_neardup_pairs(
+            df, dedup_exact_first=False
+        ).collect()
+    )
+    assert on == off and len(on) > 0
+    assert any(r["doc_a"] == 0 and r["doc_b"] == 5 and r["hamming"] == 0
+               for r in on)

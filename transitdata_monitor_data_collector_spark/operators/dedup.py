@@ -259,12 +259,16 @@ def _expand_content_pairs(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     val_col: str = "jaccard",
+    intra_val=None,
 ) -> DataFrame:
     """Expand representative-level (a, b, value) pairs back to doc-id
     level through integer-only joins: every cross-content pair of copies
     inherits the content pair's value, and identical contents pair at
-    exactly 1.0 (which passes any threshold <= 1 — true for jaccard AND
-    cosine of identical vectors, the two users of this helper)."""
+    ``intra_val`` — default 1.0, which passes any threshold <= 1 (true
+    for jaccard AND cosine of identical inputs); the simhash pipeline
+    passes hamming 0."""
+    if intra_val is None:
+        intra_val = F.lit(1.0)
     cross = (
         rep_pairs.join(
             rep_key.select(
@@ -300,7 +304,7 @@ def _expand_content_pairs(
         members.select("ckey", F.col("doc_id").alias(a_col))
         .join(members.select("ckey", F.col("doc_id").alias(b_col)), "ckey")
         .filter(F.col(a_col) < F.col(b_col))
-        .select(a_col, b_col, F.lit(1.0).alias(val_col))
+        .select(a_col, b_col, intra_val.alias(val_col))
     )
     return cross.unionByName(intra)
 
@@ -660,6 +664,7 @@ def simhash_banded_neardup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     n_bits: int = 60,
+    dedup_exact_first: bool | str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming`` —
     EXACT (not probabilistic) via the pigeonhole band trick: split the
@@ -674,6 +679,25 @@ def simhash_banded_neardup_pairs(
     if n_bands <= max_hamming:
         raise ValueError(
             f"pigeonhole needs n_bands > max_hamming, got {n_bands} <= {max_hamming}"
+        )
+    # identical texts have identical signatures, so k exact copies
+    # collide in EVERY band (k^2 candidate pressure — same class the
+    # MinHash/Jaccard/RP-LSH pipelines collapse away, r8/r9): on a
+    # duplicate-heavy corpus, band only the distinct-content reps and
+    # expand pairs back afterwards; intra-copy pairs carry hamming 0.
+    # (No empty-set guard needed: EVERY doc has a simhash, and identical
+    # texts legitimately pair at hamming 0 in the brute-force oracle.)
+    if _resolve_collapse(dedup_exact_first, df, text_col):
+        rep_docs, rep_key, members = _collapse_exact_docs(
+            df, text_col, id_col
+        )
+        rep_pairs = simhash_banded_neardup_pairs(
+            rep_docs, text_col, id_col, max_hamming, n_bands, n_bits,
+            dedup_exact_first=False,
+        )
+        return _expand_content_pairs(
+            rep_pairs, rep_key, members,
+            val_col="hamming", intra_val=F.lit(0).cast("long"),
         )
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1

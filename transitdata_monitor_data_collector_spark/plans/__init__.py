@@ -111,6 +111,10 @@ RE_GATE: list[str] = [
     "emb_ann_lsh_topk",
     "retrieval_hybrid_rrf",
     "retrieval_mmr_diversify",
+    # round 9: simhash banded pipeline gained the same duplicate collapse
+    # (auto-gated; intra-copy pairs at hamming 0); plan changed after its
+    # last row, values unchanged on the fixtures (parity green).
+    "doc_simhash_neardup",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era
