@@ -210,6 +210,12 @@ def _assert_cold(spark, name: str) -> None:
             "doc_quality_logreg_hashed mismeasurement class); unpersist "
             "in a finally block inside the query"
         )
+    # the auto-collapse precheck memoizes per input frame (r10): clear it
+    # so every timed sample bills its OWN precheck — the honest per-build
+    # cost a fresh 100 TB pipeline invocation pays
+    from transitdata_monitor_data_collector_spark.operators import dedup
+
+    dedup.clear_precheck_memo()
     import gc
 
     gc.collect()  # release driver refs so dead checkpoint RDDs unpin
@@ -233,6 +239,23 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
     registry = load_all()
+
+    # Contention canary reference (r9 VERDICT item 3): the PREVIOUS
+    # committed full run's q1 time, read before this run overwrites the
+    # file. Two contaminated runs in two rounds were caught by hand (a
+    # lingering stress-sweep JVM inflating every query ~5x); the canary
+    # makes the check structural — q1 runs first, and a hot ratio marks
+    # the whole run "contended" in the output JSON.
+    canary_query = "q1_pricing_summary"
+    canary_ref = None
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json")
+        ) as f:
+            canary_ref = json.load(f)["queries"].get(canary_query)
+    except (OSError, ValueError, KeyError):
+        pass
 
     # Warm-up: prime codegen/classloading on a tiny scan so per-query
     # timings measure the plan, not JVM startup.
@@ -278,6 +301,16 @@ def main() -> None:
         # load spikes on a shared machine (BENCH_r02 recorded ~2x uniform
         # inflation vs a clean re-run of the identical build)
         timings[name] = round(min(timed(), timed()), 3)
+        if name == canary_query and canary_ref:
+            ratio = round(timings[name] / canary_ref, 3)
+            if ratio > 1.5:
+                print(
+                    f"bench: CONTENTION CANARY HOT — {canary_query} "
+                    f"{timings[name]} s vs committed {canary_ref} s "
+                    f"(x{ratio}); this run is marked contended and its "
+                    "numbers should not be promoted to a baseline",
+                    file=sys.stderr, flush=True,
+                )
 
     # r6 VERDICT stretch item 8: the weights-as-DataFrame trainer at a
     # REALISTIC classifier width (2^16 hash buckets vs the gate's 2^10) —
@@ -359,11 +392,27 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    canary_run = timings.get(canary_query)
+    canary_ratio = (
+        round(canary_run / canary_ref, 3)
+        if canary_ref and canary_run is not None
+        else None
+    )
     payload = {
         "metric": "headline_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # contention canary (r9 VERDICT item 3): q1 vs the previous
+        # committed run; >1.5x means a co-running process likely inflated
+        # every number in this run
+        "canary": {
+            "query": canary_query,
+            "ref_sec": canary_ref,
+            "run_sec": canary_run,
+            "ratio": canary_ratio,
+            "contended": bool(canary_ratio and canary_ratio > 1.5),
+        },
         "round1_set_sec": round(
             sum(timings[q] for q in ROUND1_SET if q in timings), 3
         ),
@@ -377,10 +426,18 @@ def main() -> None:
     # The driver records only the stdout TAIL, which truncates per-query
     # attribution once the headline set is large (r5 VERDICT item 4). A
     # full copy next to BENCH_r*.json keeps regressions attributable.
+    # A CONTENDED run is diverted to BENCH_LOCAL_CONTENDED.json so the
+    # clean committed baseline (and the next run's canary reference)
+    # survives — promoting inflated numbers is exactly the failure the
+    # canary exists to stop.
     if not only:
+        fname = (
+            "BENCH_LOCAL_CONTENDED.json"
+            if payload["canary"]["contended"]
+            else "BENCH_LOCAL.json"
+        )
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
             "w",
         ) as f:
             f.write(line + "\n")

@@ -141,3 +141,50 @@ def test_simhash_collapse_equivalence(spark):
     assert on == off and len(on) > 0
     assert any(r["doc_a"] == 0 and r["doc_b"] == 5 and r["hamming"] == 0
                for r in on)
+
+
+def test_precheck_memo_shared_within_build(spark):
+    """r9 VERDICT item 4 / ADVICE: the eager distinct-ratio precheck is
+    memoized per (input frame, column) — one pipeline build over one
+    corpus pays it ONCE, streaming inputs get a descriptive build-time
+    error, and the memo is clearable (bench.py clears it per timed
+    sample so each sample bills its own precheck)."""
+    import pytest
+
+    from transitdata_monitor_data_collector_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i} with words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    runs = []
+    real_job = dedup._precheck_job
+
+    def counting_job(df, key_expr):
+        runs.append(1)
+        return real_job(df, key_expr)
+
+    dedup.clear_precheck_memo()
+    try:
+        dedup._precheck_job = counting_job
+        assert dedup._should_collapse(docs, "text") is False
+        assert dedup._should_collapse(docs, "text") is False
+        assert len(runs) == 1  # second call served from the memo
+        # a DIFFERENT frame (even same data, new plan) re-checks
+        docs2 = docs.filter("doc_id >= 0")
+        dedup._should_collapse(docs2, "text")
+        assert len(runs) == 2
+        dedup.clear_precheck_memo()
+        dedup._should_collapse(docs, "text")
+        assert len(runs) == 3  # cleared -> re-billed
+    finally:
+        dedup._precheck_job = real_job
+        dedup.clear_precheck_memo()
+
+    # streaming inputs cannot run the eager scan at plan-build time
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    )
+    with pytest.raises(ValueError, match="dedup_exact_first"):
+        dedup._resolve_collapse(None, stream, "text")

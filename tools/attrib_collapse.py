@@ -65,6 +65,10 @@ def main() -> None:
         return round(min(timed(), timed()), 3)
 
     out: dict[str, dict[str, float]] = {}
+    # restore the module's SHIPPED default (today "auto"), not a literal —
+    # if these helpers are ever imported into a longer-lived session, later
+    # pipelines must see the stock behavior, not a forced shape
+    prev_default = dedup.DEDUP_EXACT_FIRST_DEFAULT
     for name in MOVERS:
         print(f"attrib: {name} (collapse ON)", file=sys.stderr, flush=True)
         dedup.DEDUP_EXACT_FIRST_DEFAULT = True
@@ -74,7 +78,7 @@ def main() -> None:
         try:
             off = cold_min2(name)
         finally:
-            dedup.DEDUP_EXACT_FIRST_DEFAULT = True
+            dedup.DEDUP_EXACT_FIRST_DEFAULT = prev_default
         out[name] = {
             "collapse_on_sec": on,
             "collapse_off_sec": off,

@@ -54,20 +54,76 @@ from transitdata_monitor_data_collector_spark.partitioning import (  # noqa: E40
 )
 
 
+#: Memo for the auto-mode precheck, keyed by (semanticHash(df), col).
+#: The precheck is an EAGER Spark job at DataFrame-construction time —
+#: within one pipeline build (doc_curation runs two dedup stages over the
+#: same corpus) or across the exploratory explain/audit tooling it would
+#: otherwise re-scan the corpus per call. Sharing by input-frame identity
+#: is SAFE even across a hash collision or a file rewritten under the
+#: same plan: the decision only picks the plan SHAPE — both shapes are
+#: output-identical (tests/test_dedup_cap.py pins the equivalence).
+#: bench.py clears this between timed samples so each sample still bills
+#: its own precheck (the honest per-build cost at 100 TB).
+from collections import OrderedDict  # noqa: E402
+
+_PRECHECK_MEMO: OrderedDict = OrderedDict()
+_PRECHECK_MEMO_MAX = 64
+
+
+def clear_precheck_memo() -> None:
+    """Drop memoized auto-collapse decisions (bench/test hook — see
+    :data:`_PRECHECK_MEMO`)."""
+    _PRECHECK_MEMO.clear()
+
+
+def _precheck_job(df: DataFrame, key_expr) -> bool:
+    """The actual eager aggregate (split out so tests can count runs):
+    one pass, approx_count_distinct partial-aggregates map-side, 2-long
+    driver result."""
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct(key_expr, 0.02).alias("d"),
+    ).first()
+    return bool(
+        r["n"] > 0
+        and r["d"] <= DEDUP_COLLAPSE_MAX_DISTINCT_RATIO * r["n"]
+    )
+
+
+def _distinct_ratio_precheck(df: DataFrame, key_expr, col_name: str) -> bool:
+    """Memoized auto-mode precheck over an arbitrary content key (md5 of
+    the text for the shingle pipelines, xxhash64 of the vector for
+    RP-LSH). Streaming inputs cannot run an eager aggregate at plan-build
+    time — callers must force a shape explicitly."""
+    if df.isStreaming:
+        raise ValueError(
+            "auto dedup_exact_first needs an eager distinct-ratio scan, "
+            "which a streaming DataFrame cannot run at plan-build time — "
+            "pass dedup_exact_first=True/False explicitly"
+        )
+    try:
+        memo_key = (df.semanticHash(), col_name)
+    except Exception:  # foreign/mock frames: fall through, never break
+        memo_key = None
+    if memo_key is not None and memo_key in _PRECHECK_MEMO:
+        _PRECHECK_MEMO.move_to_end(memo_key)
+        return _PRECHECK_MEMO[memo_key]
+    decision = _precheck_job(df, key_expr)
+    if memo_key is not None:
+        _PRECHECK_MEMO[memo_key] = decision
+        while len(_PRECHECK_MEMO) > _PRECHECK_MEMO_MAX:
+            _PRECHECK_MEMO.popitem(last=False)
+    return decision
+
+
 def _should_collapse(df: DataFrame, text_col: str) -> bool:
     """The auto-mode precheck: collapse exact duplicates first only when
     the corpus is duplicate-heavy (distinct-content ratio <=
-    ``DEDUP_COLLAPSE_MAX_DISTINCT_RATIO``). One aggregate over md5(text)
-    — approx_count_distinct partial-aggregates map-side, so the precheck
-    is a single cheap pass with a 2-long driver result; the collapse path
-    it decides re-derives the same hash anyway."""
-    r = df.agg(
-        F.count("*").alias("n"),
-        F.approx_count_distinct(F.md5(F.col(text_col)), 0.02).alias("d"),
-    ).first()
-    return (
-        r["n"] > 0
-        and r["d"] <= DEDUP_COLLAPSE_MAX_DISTINCT_RATIO * r["n"]
+    ``DEDUP_COLLAPSE_MAX_DISTINCT_RATIO``). One memoized aggregate over
+    md5(text); the collapse path it decides re-derives the same hash
+    anyway."""
+    return _distinct_ratio_precheck(
+        df, F.md5(F.col(text_col)), text_col
     )
 
 

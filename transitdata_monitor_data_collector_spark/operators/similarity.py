@@ -414,13 +414,11 @@ def rp_lsh_neardup_pairs(
         else dedup_exact_first
     )
     if decide == "auto":
-        r = df.agg(
-            F.count("*").alias("n"),
-            F.approx_count_distinct(F.xxhash64(vec_col), 0.02).alias("d"),
-        ).first()
-        decide = (
-            r["n"] > 0
-            and r["d"] <= DD.DEDUP_COLLAPSE_MAX_DISTINCT_RATIO * r["n"]
+        # shared memoized precheck (dedup._distinct_ratio_precheck):
+        # within one build the decision is paid once per (frame, column),
+        # and streaming inputs get the descriptive build-time error
+        decide = DD._distinct_ratio_precheck(
+            df, F.xxhash64(vec_col), vec_col
         )
     if decide:
         keyed = df.select(

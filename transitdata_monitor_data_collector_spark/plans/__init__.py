@@ -73,48 +73,21 @@ def register(
 # exists. PRUNE an entry once a post-fix CORRECTNESS row lands (cost of
 # forgetting: a wasted window slot, not starvation).
 RE_GATE: list[str] = [
-    # (r8's three RE_GATE entries pruned: emb_ann_ivf_topk,
-    # emb_ivf_store_topk and events_anomaly_zscore all landed fully
-    # hash-green rows in CORRECTNESS_r08 under their new oracles.)
-    # round 9: ivm_bitmap_state/ivm_merge hardened for negative/NULL
-    # user_ids (pmod + floor-div word slots, LEFT join + coalesce 0 —
-    # r8 ADVICE); values on the fixtures are unchanged (local parity
-    # green) but both consumers' plans changed after their r8 rows.
+    # (All 14 r9 RE_GATE entries pruned: every one landed a green row in
+    # CORRECTNESS_r09 under its new plan/oracle.)
+    # round 10: ivm_bitmap_state's word slot moved from F.floor(id/32)
+    # (double division — wrong word for |id| >= 2^53) to
+    # shiftright(id, 5), exact over the full long domain (r9 ADVICE);
+    # values unchanged on the fixtures (parity green) but both
+    # consumers' plans changed after their r9 rows.
     "rollup_incremental_merge",
     "streaming_incremental_rollup",
-    # round 9: OLS moment PRODUCTS moved to double on both engines (the
-    # long products wrapped silently in Spark where DuckDB raises — r8
-    # ADVICE); values unchanged on the fixtures (parity green) but the
-    # oracle text changed after both queries' r8 rows.
-    "promql_deriv_predict_linear",
-    "streaming_deriv_predict_linear",
-    # round 9: the two inherently rows-only HLL queries now carry an
-    # EMBEDDED accuracy gate — the exact twin rides the same aggregates
-    # and the row raises if |approx - exact| > 6*rsd*exact (r8 VERDICT
-    # item 4) — so their rows-only driver check became a real bound
-    # check. Schema changed after their old rows.
+    # round 10: the two HLL queries restructured so the PRIMARY output is
+    # deterministic (group keys, exact-twin value, boolean within_bounds,
+    # the rsd literal) and therefore hash-checkable; the raw HLL estimate
+    # moved to rows-only *_diag twins (r9 VERDICT item 6).
     "agg_approx_count_distinct",
     "events_dau_wau_stickiness_approx",
-    # round 9: rp_lsh_neardup_pairs now spreads single-split inputs
-    # before the signature matmul + banded self-join (the k=20 invariant
-    # sweep caught the whole candidate enumeration running in ONE task);
-    # values unchanged (parity + partition-invariance green) but the
-    # consumers' plans changed after their last rows.
-    "emb_neardup_lsh",
-    "emb_neardup_planted",
-    "multimodal_feature_neardup",
-    # round 9: functions.vectors.cosine became try_divide (a zero-norm
-    # candidate pair crashed the LSH verify with an ANSI divide-by-zero
-    # where the oracle yields NULL); values unchanged on all fixtures
-    # (parity green) but every cosine() consumer's plan changed.
-    "emb_cosine_topk",
-    "emb_ann_lsh_topk",
-    "retrieval_hybrid_rrf",
-    "retrieval_mmr_diversify",
-    # round 9: simhash banded pipeline gained the same duplicate collapse
-    # (auto-gated; intra-copy pairs at hamming 0); plan changed after its
-    # last row, values unchanged on the fixtures (parity green).
-    "doc_simhash_neardup",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era

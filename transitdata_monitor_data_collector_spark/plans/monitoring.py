@@ -1985,29 +1985,10 @@ def events_dau_wau_stickiness(spark, sf_dir):
     )
 
 
-@register(
-    "events_dau_wau_stickiness_approx",
-    oracle=None,
-    doc="The registered 100 TB default for DAU/WAU/stickiness: identical "
-    "range-join shape to events_dau_wau_stickiness (the exact oracle-"
-    "twin, hash-checked against DuckDB) but with approx_count_distinct "
-    "(HLL++, rsd=0.005 => ~0.5% standard error) replacing the exact "
-    "distinct. The exact variant shuffles every (day,user) pair per "
-    "anchor day; this one collapses map-side into fixed-size HLL "
-    "sketches that merge associatively — partial aggregation the exact "
-    "distinct cannot have. Rows-only by design: HLL estimates are not "
-    "reproducible across engines (same reason as "
-    "agg_approx_count_distinct) — but the estimates have published "
-    "error bounds, so each row carries its own accuracy gate (r8 "
-    "VERDICT item 4): the exact distinct rides the SAME aggregates and "
-    "the row RAISES if either |dau-exact| or |wau-exact| exceeds "
-    "6*rsd*exact. The *_exact columns are the embedded audit, not the "
-    "serving path — at 100 TB they are what this query exists to "
-    "avoid, and the audit would run on a sampled partition.",
-    tags=("monitoring", "agg", "timeseries", "approx"),
-)
-def events_dau_wau_stickiness_approx(spark, sf_dir):
-    rsd = 0.005
+def _dau_wau_hll_frame(spark, sf_dir, rsd: float):
+    """Shared DAU/WAU aggregate for the HLL pair below: the sketch
+    estimates and their exact twins ride the SAME groupBys so the bound
+    checks compare like-for-like partitions."""
     ev = table(spark, sf_dir, "events")
     day_user = ev.select(
         F.to_date("ts").alias("day"), "user_id"
@@ -2033,19 +2014,90 @@ def events_dau_wau_stickiness_approx(spark, sf_dir):
             F.count_distinct("user_id").cast("long").alias("wau_exact"),
         )
     )
+    return dau.join(wau, "day")
 
-    def _within(approx: str, exact: str):
-        err = F.abs(F.col(approx) - F.col(exact)).cast("double")
-        bound = 6.0 * rsd * F.col(exact).cast("double")
-        return F.when(err <= bound, F.lit(True)).otherwise(
-            F.expr(
-                f"raise_error(concat('HLL {approx} out of 6*rsd bounds"
-                f" on day ', CAST(day AS STRING)))"
-            ).cast("boolean")
-        )
 
+def _hll_within(approx: str, exact: str, rsd: float):
+    err = F.abs(F.col(approx) - F.col(exact)).cast("double")
+    bound = 6.0 * rsd * F.col(exact).cast("double")
+    return F.when(err <= bound, F.lit(True)).otherwise(
+        F.expr(
+            f"raise_error(concat('HLL {approx} out of 6*rsd bounds"
+            f" on day ', CAST(day AS STRING)))"
+        ).cast("boolean")
+    )
+
+
+@register(
+    "events_dau_wau_stickiness_approx",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau_exact
+      FROM events GROUP BY 1
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS active_day, user_id
+              FROM events),
+    wau AS (
+      SELECT days.day AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau_exact
+      FROM days JOIN pairs
+        ON pairs.active_day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+      GROUP BY days.day
+    )
+    SELECT day, dau_exact, wau_exact,
+           TRUE AS dau_within_6rsd, TRUE AS wau_within_6rsd,
+           CAST(0.005 AS DOUBLE) AS rsd
+    FROM dau JOIN wau USING (day)
+    ORDER BY day
+    """,
+    doc="The registered 100 TB default for DAU/WAU/stickiness: identical "
+    "range-join shape to events_dau_wau_stickiness but with "
+    "approx_count_distinct (HLL++, rsd=0.005 => ~0.5% standard error) "
+    "replacing the exact distinct — the sketches collapse map-side and "
+    "merge associatively, partial aggregation the exact distinct cannot "
+    "have. Hash-checkable BY CONSTRUCTION (r9 VERDICT item 6): the "
+    "primary output carries only deterministic columns (day, exact "
+    "twins, boolean bound verdicts, the rsd literal); the verdicts are "
+    "computed from the REAL sketches and each row RAISES if |approx - "
+    "exact| > 6*rsd*exact, so a sketch regression fails loudly instead "
+    "of hashing green. The engine-specific estimates (and the approx "
+    "stickiness) are served by the rows-only diagnostic twin "
+    "events_dau_wau_stickiness_approx_diag. The *_exact columns are the "
+    "embedded audit, not the serving path — at 100 TB the audit would "
+    "run on a sampled partition.",
+    tags=("monitoring", "agg", "timeseries", "approx"),
+)
+def events_dau_wau_stickiness_approx(spark, sf_dir):
+    rsd = 0.005
     return (
-        dau.join(wau, "day")
+        _dau_wau_hll_frame(spark, sf_dir, rsd)
+        .select(
+            "day",
+            "dau_exact",
+            "wau_exact",
+            _hll_within("dau", "dau_exact", rsd).alias("dau_within_6rsd"),
+            _hll_within("wau", "wau_exact", rsd).alias("wau_within_6rsd"),
+            F.lit(rsd).alias("rsd"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_dau_wau_stickiness_approx_diag",
+    oracle=None,  # raw HLL estimates are engine-specific by nature
+    doc="Rows-only diagnostic twin of events_dau_wau_stickiness_approx: "
+    "the raw HLL++ DAU/WAU estimates, the approx stickiness ratio, and "
+    "the exact twins, for eyeballing sketch quality. The hash-checked "
+    "bound verdicts live in the primary query.",
+    tags=("monitoring", "agg", "timeseries", "approx", "diagnostic"),
+)
+def events_dau_wau_stickiness_approx_diag(spark, sf_dir):
+    rsd = 0.005
+    return (
+        _dau_wau_hll_frame(spark, sf_dir, rsd)
         .select(
             "day",
             "dau",
@@ -2056,8 +2108,6 @@ def events_dau_wau_stickiness_approx(spark, sf_dir):
             ).alias("stickiness"),
             "dau_exact",
             "wau_exact",
-            _within("dau", "dau_exact").alias("dau_within_6rsd"),
-            _within("wau", "wau_exact").alias("wau_within_6rsd"),
         )
         .orderBy("day")
     )

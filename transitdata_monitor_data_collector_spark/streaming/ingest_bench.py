@@ -233,9 +233,19 @@ def measure_multibroker_ingest(
 
         n_out, elapsed = run(paths)
         total = n_sources * n_msgs_per_source
-        in_rows = sum(
-            p.get("numInputRows", 0) for p in last_progress()
+        progress = last_progress()
+        from transitdata_monitor_data_collector_spark.streaming.jobs import (
+            RECENT_PROGRESS_CAP,
         )
+
+        if len(progress) >= RECENT_PROGRESS_CAP:
+            # the progress ring buffer wrapped — the sum below would
+            # under-count and report a spurious loss (r9 ADVICE)
+            raise AssertionError(
+                f"multibroker conservation check invalid: {len(progress)} "
+                f"micro-batches hit the {RECENT_PROGRESS_CAP} progress cap"
+            )
+        in_rows = sum(p.get("numInputRows", 0) for p in progress)
         if in_rows != total:
             raise AssertionError(
                 f"multibroker fan-in lost messages: {in_rows} processed "

@@ -223,6 +223,16 @@ def run_to_memory(
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(min(8, int(prev_sp or 8)))
     )
+    # recentProgress is a ring buffer capped at numRecentProgressUpdates
+    # (default 100) — a replay producing more micro-batches than the cap
+    # would silently drop its OLDEST progress events, under-counting any
+    # sum over last_progress() (the multibroker message-conservation
+    # check, r9 ADVICE). Raise the cap for the run; _LAST_PROGRESS is
+    # then complete for any sane parameterization, and consumers can
+    # still assert len < cap as a truncation guard.
+    _CAP = "spark.sql.streaming.numRecentProgressUpdates"
+    prev_cap = spark.conf.get(_CAP, None)
+    spark.conf.set(_CAP, str(RECENT_PROGRESS_CAP))
     try:
         q = (
             streaming_df.writeStream.format("memory")
@@ -238,7 +248,17 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        if prev_cap is None:
+            spark.conf.unset(_CAP)
+        else:
+            spark.conf.set(_CAP, prev_cap)
     return spark.table(name)
+
+
+#: Progress-buffer size for run_to_memory replays (vs Spark's default
+#: 100): large enough that every micro-batch of any bench/test replay is
+#: retained — conservation checks sum over the COMPLETE batch history.
+RECENT_PROGRESS_CAP = 100_000
 
 
 #: Progress events of the most recent run_to_memory() query — the replay
@@ -282,6 +302,18 @@ def read_parquet_stream(
     if max_files_per_trigger is None:
         env_mft = os.environ.get("SPARK_GRAFT_REPLAY_MAX_FILES")
         if env_mft:
+            # test-only knob — and a leaked env var would silently change
+            # micro-batching (and thus watermark/window behavior) of EVERY
+            # parquet replay stream, so make the override loud (r9 ADVICE)
+            import warnings
+
+            warnings.warn(
+                "SPARK_GRAFT_REPLAY_MAX_FILES="
+                f"{env_mft} overrides maxFilesPerTrigger for this parquet "
+                "replay stream (disorder-replay test knob — unset it "
+                "outside tests)",
+                stacklevel=2,
+            )
             max_files_per_trigger = int(env_mft)
 
     from transitdata_monitor_data_collector_spark.plans import _nano_ts_cols
