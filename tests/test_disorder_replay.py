@@ -26,12 +26,22 @@ from pyspark.sql.window import Window as W
 #: slice delivery order: adjacent-pair swap of 1..8
 _DELIVERY = [2, 1, 4, 3, 6, 5, 8, 7]
 
-#: the three targeted twins (complete-mode state; deterministic total
-#: output order in each builder)
+#: the targeted twins (deterministic total output order in each builder).
+#: r8 covered the first three; r10 extends the slice-swap replay to the
+#: remaining stateful families (r9 VERDICT item 8): the session-window
+#: merge (dynamic-gap state merging across regressed event time — the
+#: complete-mode state store must absorb a session fragment arriving a
+#: full slice early), the monotone bitmap-OR state, and the
+#: applyInPandasWithState Holt tail whose top-k-of-union merge is
+#: commutative over micro-batch boundaries BY DESIGN — this test is the
+#: design's proof.
 _TWINS = [
     "streaming_windowed_rate",
     "streaming_incremental_rollup",
     "streaming_deriv_predict_linear",
+    "streaming_session_windows",
+    "streaming_bitmap_distinct",
+    "streaming_holt_forecast",
 ]
 
 

@@ -391,3 +391,25 @@ def test_publish_many_coalesced_delivery():
         assert _wait(lambda: len(events) >= 500)
         assert [t for t, _, _ in events] == [f"bulk/{i}" for i in range(500)]
         sub.loop_stop(); sub.disconnect(); pub.disconnect()
+
+
+def test_measure_live_multibroker_ingest_toy_scale(spark):
+    """The N=4 live fan-in bench (r9 VERDICT item 7) end-to-end at toy
+    scale: four loopback brokers on distinct ports, one format('mqtt')
+    source each, unioned into one stream. Structure + conservation only;
+    the msg/s floor is bench.py's job at full size."""
+    from transitdata_monitor_data_collector_spark.streaming.ingest_bench import (
+        measure_live_multibroker_ingest,
+    )
+
+    r = measure_live_multibroker_ingest(
+        spark,
+        n_brokers=4,
+        n_msgs_per_broker=500,
+        warmup=200,
+        timeout_sec=90.0,
+    )
+    assert r["n_brokers"] == 4
+    assert r["n_msgs"] == 2_000
+    assert r["delivered"] == 2_000  # QoS-0 over loopback: nothing dropped
+    assert r["msgs_per_sec"] > 0

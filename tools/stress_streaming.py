@@ -1,0 +1,236 @@
+"""k=20 MULTI-MICRO-BATCH replay certification for the streaming stateful
+twins (r9 VERDICT item 1).
+
+The r8 full-registry k=20 sweep ran every streaming twin Spark-vs-DuckDB,
+but ``read_parquet_stream`` over one big parquet file collapses the replay
+into one or two micro-batches — state-store growth and watermark eviction
+under ~sf2 volume (the reference's whole job is this streaming state,
+MqttTopicMonitorListener.java:73-92) were never exercised across real
+batch boundaries. This tool:
+
+1. slices the cached k=20 stress corpus's events table into
+   ``N_SLICES`` time-contiguous parquet files (mtime = delivery order,
+   oldest first — the file source's processing order);
+2. replays each twin's UNCHANGED registry builder one-file-per-trigger
+   (``SPARK_GRAFT_REPLAY_MAX_FILES=1``), so the stateful job crosses
+   N_SLICES real micro-batch boundaries at 20x duplicate pressure;
+3. asserts the result equals the same builder's DuckDB oracle over the
+   sliced corpus (full cross-engine value check, not just self-equality);
+4. records peak state rows and the micro-batch duration distribution
+   from StreamingQueryProgress — the at-scale evidence docs/STRESS.md
+   cites.
+
+Usage: python tools/stress_streaming.py [k] [n_slices] [query ...]
+Prints one JSON line per twin + a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.stress_parity import DIMS, FACTS, OUT, build_stress_dir  # noqa: E402
+
+#: the stateful twins the certification targets (r9 VERDICT item 1 names
+#: these five; all are oracle-backed)
+TWINS = [
+    "streaming_windowed_rate",
+    "streaming_incremental_rollup",
+    "streaming_bitmap_distinct",
+    "streaming_cms_heavy_hitters",
+    "streaming_deriv_predict_linear",
+]
+
+N_SLICES = 16
+
+
+def build_replay_dir(k: int, n_slices: int = N_SLICES) -> str:
+    """A replay-shaped copy of the k-stress dir: every table symlinked,
+    except events.parquet which becomes a DIRECTORY of ``n_slices``
+    time-contiguous slice files with ascending mtimes (delivery order =
+    event-time order; disorder replay is covered in-suite at sf0.1 by
+    tests/test_disorder_replay.py)."""
+    import duckdb
+
+    sf = build_stress_dir(k)
+    root = f"{OUT}_replay_k{k}_s{n_slices}"
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    for t in list(FACTS) + DIMS:
+        if t == "events":
+            continue
+        dst = os.path.join(root, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf, f"{t}.parquet"), dst)
+    ev_dir = os.path.join(root, "events.parquet")
+    os.makedirs(ev_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE ev AS SELECT *, ntile({n_slices}) OVER "
+        f"(ORDER BY ts, event_id) AS _slice "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    )
+    for s in range(1, n_slices + 1):
+        dst = os.path.join(ev_dir, f"slice_{s:02d}.parquet")
+        con.execute(
+            f"COPY (SELECT * EXCLUDE (_slice) FROM ev WHERE _slice = {s} "
+            f"ORDER BY ts, event_id) TO '{dst}' (FORMAT PARQUET)"
+        )
+        t = 1_700_000_000 + 60 * s
+        os.utime(dst, (t, t))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _progress_metrics(progress: list[dict]) -> dict:
+    """Peak state rows + micro-batch duration distribution from the
+    replay's StreamingQueryProgress events."""
+    fed = [p for p in progress if p.get("numInputRows", 0) > 0]
+    durations = sorted(
+        p.get("durationMs", {}).get("triggerExecution", 0) for p in fed
+    )
+    state_rows = [
+        sum(s.get("numRowsTotal", 0) for s in p.get("stateOperators", []))
+        for p in progress
+    ]
+
+    def pct(q: float) -> int:
+        return durations[min(len(durations) - 1, int(q * len(durations)))] if durations else 0
+
+    return {
+        "n_batches": len(progress),
+        "n_batches_with_rows": len(fed),
+        "input_rows": sum(p.get("numInputRows", 0) for p in fed),
+        "peak_state_rows": max(state_rows) if state_rows else 0,
+        "batch_ms": {
+            "mean": round(sum(durations) / len(durations), 1) if durations else 0,
+            "p50": pct(0.5),
+            "p95": pct(0.95),
+            "max": durations[-1] if durations else 0,
+        },
+    }
+
+
+def run(k: int, n_slices: int, queries: list[str]) -> int:
+    import datetime as _dt
+    import time
+
+    import duckdb
+
+    from transitdata_monitor_data_collector_spark.plans import load_all
+    from transitdata_monitor_data_collector_spark.session import get_spark
+    from transitdata_monitor_data_collector_spark.streaming import jobs
+
+    print(f"oracle engine: duckdb {duckdb.__version__}")
+    replay_dir = build_replay_dir(k, n_slices)
+    spark = get_spark(
+        master="local[16]",
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.cleaner.periodicGC.interval": "5min",
+        },
+    )
+    registry = load_all()
+    con = duckdb.connect()
+    for t in list(FACTS) + DIMS:
+        src = (
+            f"{replay_dir}/events.parquet/*.parquet"
+            if t == "events"
+            else f"{replay_dir}/{t}.parquet"
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+
+    def norm(v):
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return _dt.datetime(v.year, v.month, v.day)
+        return v
+
+    def skey(row):
+        return tuple((v is None, str(v)) for v in row)
+
+    failures = 0
+    os.environ["SPARK_GRAFT_REPLAY_MAX_FILES"] = "1"
+    try:
+        for name in queries:
+            q = registry[name]
+            try:
+                t0 = time.perf_counter()
+                sdf = q.build(spark, replay_dir)
+                scols = sorted(sdf.columns)
+                srows = sorted(
+                    (tuple(norm(r[c]) for c in scols) for r in sdf.collect()),
+                    key=skey,
+                )
+                elapsed = round(time.perf_counter() - t0, 1)
+                metrics = _progress_metrics(jobs.last_progress())
+            except Exception as exc:
+                failures += 1
+                msg = str(exc).splitlines()[0][:200]
+                print(f"{name}: ERROR (spark side: {msg})")
+                continue
+            if metrics["n_batches_with_rows"] < max(2, n_slices // 2):
+                failures += 1
+                print(
+                    f"{name}: ERROR (replay collapsed into "
+                    f"{metrics['n_batches_with_rows']} fed micro-batches — "
+                    "not a multi-batch certification)"
+                )
+                continue
+            try:
+                ores = con.execute(q.oracle)
+                ocols = sorted(d[0] for d in ores.description)
+                names_ = [d[0] for d in ores.description]
+                idx = [names_.index(c) for c in ocols]
+                orows = sorted(
+                    (tuple(norm(r[i]) for i in idx) for r in ores.fetchall()),
+                    key=skey,
+                )
+            except Exception as exc:
+                failures += 1
+                msg = str(exc).splitlines()[0][:200]
+                print(f"{name}: ERROR (oracle side: {msg})")
+                continue
+            ok = scols == ocols and srows == orows
+            if not ok:
+                failures += 1
+                print(
+                    f"{name}: MISMATCH (schema_match={scols == ocols}, "
+                    f"spark={len(srows)} oracle={len(orows)} rows)"
+                )
+                for a, b in [(a, b) for a, b in zip(srows, orows) if a != b][:3]:
+                    print(f"  spark : {a}\n  oracle: {b}")
+                continue
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "rows": len(srows),
+                        "oracle_match": True,
+                        "replay_sec": elapsed,
+                        **metrics,
+                    }
+                )
+            )
+    finally:
+        os.environ.pop("SPARK_GRAFT_REPLAY_MAX_FILES", None)
+    print(
+        f"\nstreaming replay k={k} x {n_slices} slices: "
+        f"{len(queries) - failures}/{len(queries)} green"
+    )
+    return failures
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    nums = [a for a in args if a.isdigit()]
+    k = int(nums[0]) if nums else 20
+    n_slices = int(nums[1]) if len(nums) > 1 else N_SLICES
+    qs = [a for a in args if not a.isdigit()] or TWINS
+    sys.exit(1 if run(k, n_slices, qs) else 0)

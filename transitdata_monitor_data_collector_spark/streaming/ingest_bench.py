@@ -377,6 +377,133 @@ def measure_store_to_serving(
         os.unlink(replay_path)
 
 
+def measure_live_multibroker_ingest(
+    spark: SparkSession,
+    n_brokers: int = 4,
+    n_msgs_per_broker: int = 40_000,
+    max_batch_size: int = 10_000,
+    timeout_sec: float = 180.0,
+    warmup: int = 2_000,
+) -> dict:
+    """LIVE TCP fan-in across N brokers (r9 VERDICT item 7): one
+    ``format("mqtt")`` source per loopback broker on its own port, all
+    unioned into ONE stream — the exact reference deployment (one
+    listener per configured broker, Main.java:76-85) — driven to a raw
+    append memory sink. Complements :func:`measure_multibroker_ingest`
+    (replay-source fan-in through the stateful window job): here the
+    system under test is N concurrent sockets + N source buffers through
+    one micro-batch planner."""
+    import threading
+
+    from transitdata_monitor_data_collector_spark.sources.mqtt import (
+        register_sources,
+    )
+    from transitdata_monitor_data_collector_spark.vendor.mqttshim import Client
+    from transitdata_monitor_data_collector_spark.vendor.mqttshim.broker import (
+        LoopbackBroker,
+    )
+
+    register_sources(spark)
+    name = "live_mb_ingest_bench"
+    ckpt = tempfile.mkdtemp(prefix="live_mb_ingest_ckpt_")
+    brokers = [LoopbackBroker() for _ in range(n_brokers)]
+    try:
+        for b in brokers:
+            b.__enter__()
+        stream = None
+        for b in brokers:
+            src = (
+                spark.readStream.format("mqtt")
+                .option("broker", f"tcp://127.0.0.1:{b.port}")
+                .option("topicFilters", "bench/#")
+                .option("maxBatchSize", str(max_batch_size))
+                .load()
+            )
+            stream = src if stream is None else stream.unionByName(src)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            for b in brokers:
+                if not b.wait_for_subscription("bench/#", timeout=60.0):
+                    raise TimeoutError(
+                        f"live source never subscribed on port {b.port}"
+                    )
+
+            def sink_count(prefix: str) -> int:
+                return (
+                    spark.table(name)
+                    .filter(f"topic LIKE '{prefix}%'")
+                    .count()
+                )
+
+            if warmup:
+                for b in brokers:
+                    c = Client()
+                    c.connect("127.0.0.1", b.port)
+                    c.publish_many(
+                        (f"bench/w/{i % 100}", b"x" * 64)
+                        for i in range(warmup)
+                    )
+                    c.disconnect()
+                deadline = time.monotonic() + timeout_sec
+                while time.monotonic() < deadline:
+                    if sink_count("bench/w/") >= warmup * n_brokers:
+                        break
+                    time.sleep(0.1)
+
+            def publish(k: int) -> None:
+                c = Client()
+                c.connect("127.0.0.1", brokers[k].port)
+                c.publish_many(
+                    (f"bench/m/{k}/{i % 100}", b"x" * 64)
+                    for i in range(n_msgs_per_broker)
+                )
+                c.disconnect()
+
+            t0 = time.perf_counter()
+            threads = [
+                threading.Thread(target=publish, args=(k,))
+                for k in range(n_brokers)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            t_pub = time.perf_counter() - t0
+
+            total = n_brokers * n_msgs_per_broker
+            deadline = time.monotonic() + timeout_sec
+            seen = 0
+            while time.monotonic() < deadline:
+                seen = sink_count("bench/m/")
+                if seen >= total:
+                    break
+                time.sleep(0.1)
+            elapsed = time.perf_counter() - t0
+            return {
+                "n_brokers": n_brokers,
+                "n_msgs": total,
+                "delivered": seen,
+                "publish_sec": round(t_pub, 3),
+                "end_to_end_sec": round(elapsed, 3),
+                "msgs_per_sec": round(seen / elapsed, 1) if elapsed else None,
+            }
+        finally:
+            q.stop()
+    finally:
+        for b in brokers:
+            try:
+                b.__exit__(None, None, None)
+            except Exception:
+                pass
+
+
 def measure_live_ingest(
     spark: SparkSession,
     n_msgs: int = 30_000,
