@@ -46,6 +46,44 @@ TWINS = [
 
 N_SLICES = 16
 
+#: Queries whose registered batch-equality is SINGLE-BATCH-replay-
+#: conditional by documented design: dropDuplicatesWithinWatermark only
+#: dedups within the watermark, so once a multi-batch replay advances
+#: the watermark and EVICTS a key's state, a later re-occurrence
+#: legitimately survives — count(survivors) then exceeds the batch
+#: DISTINCT (observed at k=20 x 16 slices: 28,614 survivors vs 25,421
+#: distinct per broker). The multi-batch certification checks the
+#: semantic INVARIANT instead: distinct <= survivors <= raw rows,
+#: per group.
+BOUNDED_DEDUP = {"streaming_dedup_within_watermark"}
+
+
+def _dedup_bounds_check(con, srows: list[tuple], oracle_sql: str) -> str | None:
+    """Invariant check for BOUNDED_DEDUP queries: per group (first output
+    column), batch DISTINCT (the registered oracle = lower bound) <=
+    surviving rows <= raw message count (upper bound). Returns an error
+    string or None."""
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        BROKER_SQL,
+    )
+
+    lower = dict(con.execute(oracle_sql).fetchall())
+    upper = dict(
+        con.execute(
+            f"SELECT {BROKER_SQL} AS broker, count(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    got = dict(srows)
+    if set(got) != set(lower):
+        return f"group keys differ: {sorted(got)} vs {sorted(lower)}"
+    for k, v in got.items():
+        if not (lower[k] <= v <= upper[k]):
+            return (
+                f"{k}: survivors {v} outside [distinct {lower[k]}, "
+                f"raw {upper[k]}]"
+            )
+    return None
+
 
 def build_replay_dir(k: int, n_slices: int = N_SLICES) -> str:
     """A replay-shaped copy of the k-stress dir: every table symlinked,
@@ -182,6 +220,27 @@ def run(k: int, n_slices: int, queries: list[str]) -> int:
                     f"{metrics['n_batches_with_rows']} fed micro-batches — "
                     "not a multi-batch certification)"
                 )
+                continue
+            if name in BOUNDED_DEDUP:
+                try:
+                    err = _dedup_bounds_check(con, srows, q.oracle)
+                except Exception as exc:
+                    err = str(exc).splitlines()[0][:200]
+                if err:
+                    failures += 1
+                    print(f"{name}: BOUNDS VIOLATION ({err})")
+                else:
+                    print(
+                        json.dumps(
+                            {
+                                "query": name,
+                                "rows": len(srows),
+                                "bounds_check": "distinct<=survivors<=raw",
+                                "replay_sec": elapsed,
+                                **metrics,
+                            }
+                        )
+                    )
                 continue
             try:
                 ores = con.execute(q.oracle)
