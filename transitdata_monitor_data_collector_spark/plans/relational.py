@@ -699,6 +699,129 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
+_APPROX_PCT_ACC = 1000  # GK accuracy: rank error <= n/accuracy
+
+
+def _approx_percentile_frames(spark, sf_dir):
+    """Shared aggregates for the bounded approx-percentile pair below:
+    the GK sketch estimate (mergeable fixed-size summaries, map-side
+    partials — the 100 TB serving path) plus the exact rank-window
+    bounds (one per-group sort — the embedded audit; at scale it runs
+    on a sampled partition). Returns (est, bounds) keyed by
+    l_returnflag."""
+    from pyspark.sql.window import Window as W
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", 0.5, _APPROX_PCT_ACC
+        ).alias("p50_approx"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "p50_exact"
+        ),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    # exact values at the GK guarantee's rank window [(q-eps)n, (q+eps)n]:
+    # value-at-rank is insensitive to tie order, the extra keys only pin
+    # a total order for determinism
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    eps = 1.0 / _APPROX_PCT_ACC
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("l_returnflag")).alias("n"),
+    )
+    lo_rank = F.greatest(F.lit(1), F.floor((0.5 - eps) * F.col("n")))
+    hi_rank = F.least(F.col("n"), F.ceil((0.5 + eps) * F.col("n")))
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("rn") == lo_rank, F.col("l_extendedprice"))
+        ).alias("rank_lo_value"),
+        F.min(
+            F.when(F.col("rn") == hi_rank, F.col("l_extendedprice"))
+        ).alias("rank_hi_value"),
+    )
+    return est, bounds
+
+
+@register(
+    "agg_approx_percentile_bounded",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           TRUE AS within_rank_eps,
+           CAST(0.001 AS DOUBLE) AS rank_eps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="A11 approx_percentile (Greenwald-Khanna summaries) with the same "
+    "hash-green-by-construction bound gate as the r10 HLL pair: the "
+    "sketch partial-aggregates map-side into fixed-size mergeable "
+    "summaries (the 100 TB path — the exact percentile needs a full "
+    "per-group sort), and the primary output carries only deterministic "
+    "columns (group key, exact twin, boolean verdict, the eps literal). "
+    "The verdict is computed from the REAL sketch against the published "
+    "GK guarantee — the returned value's rank lies within n/accuracy of "
+    "the target, so it must fall between the exact values at ranks "
+    "(0.5-eps)n and (0.5+eps)n — and the row RAISES on a breach, so a "
+    "sketch regression fails loudly instead of hashing green. The raw "
+    "estimate is served by agg_approx_percentile_bounded_diag.",
+    tags=("agg", "approx"),
+)
+def agg_approx_percentile_bounded(spark, sf_dir):
+    est, bounds = _approx_percentile_frames(spark, sf_dir)
+    ok = (F.col("p50_approx") >= F.col("rank_lo_value")) & (
+        F.col("p50_approx") <= F.col("rank_hi_value")
+    )
+    return (
+        est.join(bounds, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "p50_exact",
+            F.when(ok, F.lit(True))
+            .otherwise(
+                F.expr(
+                    "raise_error(concat('approx_percentile outside GK rank"
+                    " bounds: ', l_returnflag))"
+                ).cast("boolean")
+            )
+            .alias("within_rank_eps"),
+            F.lit(1.0 / _APPROX_PCT_ACC).alias("rank_eps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx_percentile_bounded_diag",
+    oracle=None,  # the raw GK estimate is engine-specific by nature
+    doc="Rows-only diagnostic twin of agg_approx_percentile_bounded: the "
+    "raw GK median estimate beside the exact rank-window bound values, "
+    "for eyeballing sketch quality. The hash-checked verdict lives in "
+    "the primary query.",
+    tags=("agg", "approx", "diagnostic"),
+)
+def agg_approx_percentile_bounded_diag(spark, sf_dir):
+    est, bounds = _approx_percentile_frames(spark, sf_dir)
+    return (
+        est.join(bounds, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "p50_approx",
+            "rank_lo_value",
+            "rank_hi_value",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (W1-W4)
 # ---------------------------------------------------------------------------
