@@ -44,6 +44,13 @@ SENSITIVE = [
     "rollup_incremental_merge",
     "streaming_deriv_predict_linear",
     "streaming_incremental_rollup",
+    # round-10 additions: the bounded-approx primaries — the GK/HLL
+    # sketch VALUES may legitimately vary with partition-merge order,
+    # so these prove the primary outputs (exact twins + bound verdicts)
+    # are invariant anyway: the verdict must hold under ANY merge order
+    "agg_approx_percentile_bounded",
+    "agg_approx_count_distinct",
+    "events_dau_wau_stickiness_approx",
 ]
 
 
