@@ -137,6 +137,10 @@ HEADLINE = [
     # algebra over two state tables) and the Z-order layout planner
     "rollup_incremental_merge",
     "layout_zorder_pruning",
+    # round-10: the bounded approx-percentile primary — GK sketch
+    # map-side partials + the exact rank-window audit (one per-group
+    # sort); tracked so the audit cost stays visible round-over-round
+    "agg_approx_percentile_bounded",
     # streaming: full event replay through the windowed-rate job
     # (BASELINE.md ingest budget: >= 10,000 msg/s sustained)
     "streaming_windowed_rate",
