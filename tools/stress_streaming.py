@@ -286,10 +286,225 @@ def run(k: int, n_slices: int, queries: list[str]) -> int:
     return failures
 
 
+def run_restart(k: int, n_slices: int = N_SLICES, split: int = None) -> int:
+    """Durable-checkpoint RESTART certification at k (r10, T4 at scale):
+    each stateful job replays the FIRST half of the sliced k-corpus
+    one-file-per-trigger into a parquet store via foreachBatch (the
+    production update-mode-to-idempotent-store pattern), the query is
+    STOPPED, the second half of the slice files lands, and a NEW query
+    restarts from the SAME checkpoint — it must restore state, process
+    only the new files, and the store's idempotent max-recovery must
+    equal the full-corpus oracle. Covers the built-in agg state (bitmap
+    words, CMS cells, cumulative counters) and the custom
+    applyInPandasWithState counter (UD4) across a cold start.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from transitdata_monitor_data_collector_spark.plans import load_all
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        BROKER_SQL,
+        DASHBOARD_FILTERS,
+        TOPIC_SQL,
+    )
+    from transitdata_monitor_data_collector_spark.session import get_spark
+    from transitdata_monitor_data_collector_spark.streaming import jobs
+
+    split = split or n_slices // 2
+    print(f"oracle engine: duckdb {duckdb.__version__}")
+    replay_dir = build_replay_dir(k, n_slices)
+    slices = sorted(
+        _glob.glob(os.path.join(replay_dir, "events.parquet", "*.parquet"))
+    )
+    spark = get_spark(
+        master="local[16]",
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.cleaner.periodicGC.interval": "5min",
+        },
+    )
+    registry = load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{replay_dir}/events.parquet/*.parquet')"
+    )
+
+    def msgs(stream):
+        return stream.select(
+            F.expr(BROKER_SQL).alias("broker"),
+            F.expr(TOPIC_SQL).alias("topic"),
+            "ts",
+            "event_id",
+        )
+
+    #: name -> (stream -> job df, sink-recovery fn, oracle fn)
+    def bitmap_recover(sink_df):
+        final = sink_df.groupBy("day", "word_i").agg(
+            F.max("mask").alias("mask")
+        )
+        return sorted(
+            (str(r["day"]), r["n"])
+            for r in final.groupBy("day")
+            .agg(F.sum(F.bit_count("mask")).cast("long").alias("n"))
+            .collect()
+        )
+
+    def counter_recover(sink_df):
+        return sorted(
+            (r["broker"], r["topic_filter"], r["n"])
+            for r in sink_df.groupBy("broker", "topic_filter")
+            .agg(F.max("messages_received_total").cast("long").alias("n"))
+            .collect()
+        )
+
+    def cms_recover(sink_df):
+        return sorted(
+            (r["row_i"], r["col_i"], r["cnt"])
+            for r in sink_df.groupBy("row_i", "col_i")
+            .agg(F.max("cnt").cast("long").alias("cnt"))
+            .collect()
+        )
+
+    counter_oracle_sql = registry["streaming_counter_totals"].oracle
+
+    def counter_oracle():
+        return sorted(
+            (b, f, int(n))
+            for b, f, n in con.execute(counter_oracle_sql).fetchall()
+        )
+
+    def bitmap_oracle():
+        return sorted(
+            (str(d)[:10], int(n))
+            for d, n in con.execute(
+                "SELECT CAST(ts AS DATE) AS day, "
+                "CAST(count(DISTINCT user_id) AS BIGINT) AS n "
+                "FROM events GROUP BY 1 ORDER BY 1"
+            ).fetchall()
+        )
+
+    def cms_oracle():
+        # batch-built cells on the Spark side (deterministic integers)
+        ev = spark.read.parquet(f"{replay_dir}/events.parquet")
+        cells = jobs.cms_cells_job(ev)  # works on batch frames too
+        return sorted(
+            (r["row_i"], r["col_i"], r["cnt"])
+            for r in cells.collect()
+        )
+
+    JOBS = {
+        "bitmap_distinct": (
+            lambda s: jobs.bitmap_distinct_job(s),
+            bitmap_recover,
+            bitmap_oracle,
+        ),
+        "cms_cells": (
+            lambda s: jobs.cms_cells_job(s),
+            cms_recover,
+            cms_oracle,
+        ),
+        "counter_totals": (
+            lambda s: jobs.cumulative_counter_job(msgs(s), DASHBOARD_FILTERS),
+            counter_recover,
+            counter_oracle,
+        ),
+        "stateful_counter": (
+            lambda s: jobs.stateful_counter_job(msgs(s), DASHBOARD_FILTERS),
+            counter_recover,
+            counter_oracle,
+        ),
+    }
+
+    failures = 0
+    for name, (build_job, recover, oracle) in JOBS.items():
+        work = tempfile.mkdtemp(prefix=f"restart_{name}_")
+        src = os.path.join(work, "events.parquet")
+        sink = os.path.join(work, "store")
+        ckpt = os.path.join(work, "ckpt")
+        os.makedirs(src)
+
+        def phase(tag: str) -> int:
+            stream = jobs.read_parquet_stream(
+                spark, src, max_files_per_trigger=1
+            )
+            job = build_job(stream)
+
+            def write_batch(df, epoch_id):
+                df.write.mode("append").parquet(sink)
+
+            q = (
+                job.writeStream.foreachBatch(write_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            n_batches = len(q.recentProgress)
+            q.stop()
+            q.awaitTermination()
+            return n_batches
+
+        try:
+            for f in slices[:split]:
+                os.link(f, os.path.join(src, os.path.basename(f)))
+            b1 = phase("p1")
+            for f in slices[split:]:
+                os.link(f, os.path.join(src, os.path.basename(f)))
+            b2 = phase("p2")
+            got = recover(spark.read.parquet(sink))
+            want = oracle()
+            ok = got == want
+            if not ok:
+                failures += 1
+                print(f"{name}: MISMATCH after restart "
+                      f"(got {len(got)} rows, want {len(want)})")
+                for a, b in [(a, b) for a, b in zip(got, want) if a != b][:3]:
+                    print(f"  got : {a}\n  want: {b}")
+            else:
+                print(
+                    json.dumps(
+                        {
+                            "job": name,
+                            "restart_ok": True,
+                            "rows": len(got),
+                            "phase1_batches": b1,
+                            "phase2_batches": b2,
+                        }
+                    )
+                )
+            if ok and not (b2 <= (n_slices - split) + 2):
+                failures += 1
+                print(
+                    f"{name}: ERROR restart reprocessed old files "
+                    f"({b2} batches for {n_slices - split} new slices)"
+                )
+        except Exception as exc:
+            failures += 1
+            msg = str(exc).splitlines()[0][:200]
+            print(f"{name}: ERROR ({msg})")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    print(
+        f"\nrestart certification k={k} ({split}+{n_slices - split} slices):"
+        f" {len(JOBS) - failures}/{len(JOBS)} green"
+    )
+    return failures
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     nums = [a for a in args if a.isdigit()]
     k = int(nums[0]) if nums else 20
     n_slices = int(nums[1]) if len(nums) > 1 else N_SLICES
-    qs = [a for a in args if not a.isdigit()] or TWINS
+    rest = [a for a in args if not a.isdigit()]
+    if rest == ["--restart"]:
+        sys.exit(1 if run_restart(k, n_slices) else 0)
+    qs = rest or TWINS
     sys.exit(1 if run(k, n_slices, qs) else 0)
