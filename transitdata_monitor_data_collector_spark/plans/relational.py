@@ -718,8 +718,14 @@ def _approx_percentile_frames(spark, sf_dir):
         F.percentile_approx(
             "l_extendedprice", 0.5, _APPROX_PCT_ACC
         ).alias("p50_approx"),
+        F.percentile_approx(
+            "l_extendedprice", 0.95, _APPROX_PCT_ACC
+        ).alias("p95_approx"),
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
             "p50_exact"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias(
+            "p95_exact"
         ),
         F.count("*").cast("long").alias("n_rows"),
     )
@@ -736,15 +742,21 @@ def _approx_percentile_frames(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.count("*").over(W.partitionBy("l_returnflag")).alias("n"),
     )
-    lo_rank = F.greatest(F.lit(1), F.floor((0.5 - eps) * F.col("n")))
-    hi_rank = F.least(F.col("n"), F.ceil((0.5 + eps) * F.col("n")))
+
+    def rank_val(q: float, side: str):
+        if side == "lo":
+            rank = F.greatest(F.lit(1), F.floor((q - eps) * F.col("n")))
+        else:
+            rank = F.least(F.col("n"), F.ceil((q + eps) * F.col("n")))
+        return F.min(
+            F.when(F.col("rn") == rank, F.col("l_extendedprice"))
+        ).alias(f"p{int(q * 100)}_rank_{side}")
+
     bounds = ranked.groupBy("l_returnflag").agg(
-        F.min(
-            F.when(F.col("rn") == lo_rank, F.col("l_extendedprice"))
-        ).alias("rank_lo_value"),
-        F.min(
-            F.when(F.col("rn") == hi_rank, F.col("l_extendedprice"))
-        ).alias("rank_hi_value"),
+        rank_val(0.5, "lo"),
+        rank_val(0.5, "hi"),
+        rank_val(0.95, "lo"),
+        rank_val(0.95, "hi"),
     )
     return est, bounds
 
@@ -755,43 +767,54 @@ def _approx_percentile_frames(spark, sf_dir):
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_rows,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
-           TRUE AS within_rank_eps,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+           TRUE AS p50_within_eps,
+           TRUE AS p95_within_eps,
            CAST(0.001 AS DOUBLE) AS rank_eps
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     doc="A11 approx_percentile (Greenwald-Khanna summaries) with the same "
-    "hash-green-by-construction bound gate as the r10 HLL pair: the "
-    "sketch partial-aggregates map-side into fixed-size mergeable "
-    "summaries (the 100 TB path — the exact percentile needs a full "
-    "per-group sort), and the primary output carries only deterministic "
-    "columns (group key, exact twin, boolean verdict, the eps literal). "
-    "The verdict is computed from the REAL sketch against the published "
-    "GK guarantee — the returned value's rank lies within n/accuracy of "
+    "hash-green-by-construction bound gate as the r10 HLL pair, at the "
+    "two monitoring-staple quantiles (p50/p95): the sketch "
+    "partial-aggregates map-side into fixed-size mergeable summaries "
+    "(the 100 TB path — the exact percentile needs a full per-group "
+    "sort), and the primary output carries only deterministic columns "
+    "(group key, exact twins, boolean verdicts, the eps literal). Each "
+    "verdict is computed from the REAL sketch against the published GK "
+    "guarantee — the returned value's rank lies within n/accuracy of "
     "the target, so it must fall between the exact values at ranks "
-    "(0.5-eps)n and (0.5+eps)n — and the row RAISES on a breach, so a "
+    "(q-eps)n and (q+eps)n — and the row RAISES on a breach, so a "
     "sketch regression fails loudly instead of hashing green. The raw "
-    "estimate is served by agg_approx_percentile_bounded_diag.",
+    "estimates are served by agg_approx_percentile_bounded_diag.",
     tags=("agg", "approx"),
 )
 def agg_approx_percentile_bounded(spark, sf_dir):
     est, bounds = _approx_percentile_frames(spark, sf_dir)
-    ok = (F.col("p50_approx") >= F.col("rank_lo_value")) & (
-        F.col("p50_approx") <= F.col("rank_hi_value")
-    )
+
+    def verdict(q: int):
+        ok = (
+            F.col(f"p{q}_approx") >= F.col(f"p{q}_rank_lo")
+        ) & (F.col(f"p{q}_approx") <= F.col(f"p{q}_rank_hi"))
+        return (
+            F.when(ok, F.lit(True))
+            .otherwise(
+                F.expr(
+                    f"raise_error(concat('approx p{q} outside GK rank"
+                    " bounds: ', l_returnflag))"
+                ).cast("boolean")
+            )
+            .alias(f"p{q}_within_eps")
+        )
+
     return (
         est.join(bounds, "l_returnflag")
         .select(
             "l_returnflag",
             "n_rows",
             "p50_exact",
-            F.when(ok, F.lit(True))
-            .otherwise(
-                F.expr(
-                    "raise_error(concat('approx_percentile outside GK rank"
-                    " bounds: ', l_returnflag))"
-                ).cast("boolean")
-            )
-            .alias("within_rank_eps"),
+            "p95_exact",
+            verdict(50),
+            verdict(95),
             F.lit(1.0 / _APPROX_PCT_ACC).alias("rank_eps"),
         )
         .orderBy("l_returnflag")
@@ -802,9 +825,9 @@ def agg_approx_percentile_bounded(spark, sf_dir):
     "agg_approx_percentile_bounded_diag",
     oracle=None,  # the raw GK estimate is engine-specific by nature
     doc="Rows-only diagnostic twin of agg_approx_percentile_bounded: the "
-    "raw GK median estimate beside the exact rank-window bound values, "
-    "for eyeballing sketch quality. The hash-checked verdict lives in "
-    "the primary query.",
+    "raw GK p50/p95 estimates beside the exact rank-window bound "
+    "values, for eyeballing sketch quality. The hash-checked verdicts "
+    "live in the primary query.",
     tags=("agg", "approx", "diagnostic"),
 )
 def agg_approx_percentile_bounded_diag(spark, sf_dir):
@@ -815,8 +838,11 @@ def agg_approx_percentile_bounded_diag(spark, sf_dir):
             "l_returnflag",
             "n_rows",
             "p50_approx",
-            "rank_lo_value",
-            "rank_hi_value",
+            "p50_rank_lo",
+            "p50_rank_hi",
+            "p95_approx",
+            "p95_rank_lo",
+            "p95_rank_hi",
         )
         .orderBy("l_returnflag")
     )
