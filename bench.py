@@ -244,12 +244,21 @@ def main() -> None:
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
     registry = load_all()
 
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
     # Contention canary reference (r9 VERDICT item 3): the PREVIOUS
     # committed full run's q1 time, read before this run overwrites the
     # file. Two contaminated runs in two rounds were caught by hand (a
     # lingering stress-sweep JVM inflating every query ~5x); the canary
     # makes the check structural — q1 runs first, and a hot ratio marks
-    # the whole run "contended" in the output JSON.
+    # the whole run "contended" in the output JSON. The reference is
+    # only comparable at the SAME scale factor (r10 ADVICE): a run at a
+    # different sf than the committed baseline would read spuriously
+    # hot (or mask real contention), so the canary disables itself.
     canary_query = "q1_pricing_summary"
     canary_ref = None
     try:
@@ -257,7 +266,15 @@ def main() -> None:
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_LOCAL.json")
         ) as f:
-            canary_ref = json.load(f)["queries"].get(canary_query)
+            _base = json.load(f)
+        if _base.get("sf") == sf_val:
+            canary_ref = _base["queries"].get(canary_query)
+        else:
+            print(
+                f"bench: canary disabled — committed baseline sf="
+                f"{_base.get('sf')} != this run's sf={sf_val}",
+                file=sys.stderr, flush=True,
+            )
     except (OSError, ValueError, KeyError):
         pass
 
@@ -353,6 +370,34 @@ def main() -> None:
             min(run_wide_logreg(), run_wide_logreg()), 3
         )
 
+        # r10 VERDICT item 5: the GK-ONLY percentile serving aggregate —
+        # the gated primary embeds the exact twins + rank-window audit
+        # (a full per-group sort), so its 4.12 s headline measured the
+        # audit, not the sketch. This bench-only entry times the pure
+        # 100 TB path: one hash aggregate with fixed-size mergeable GK
+        # partials. Correctness is still gated through the primary's
+        # raise-on-breach verdicts; no oracle slot is spent here.
+        from transitdata_monitor_data_collector_spark.plans.relational import (
+            approx_percentile_gk_serving,
+        )
+
+        spark.catalog.clearCache()
+
+        def run_gk_only() -> float:
+            _assert_cold(spark, "agg_approx_percentile_gk_only")
+            t0 = time.perf_counter()
+            approx_percentile_gk_serving(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        print("bench: agg_approx_percentile_gk_only", file=sys.stderr,
+              flush=True)
+        run_gk_only()  # warm-up
+        timings["agg_approx_percentile_gk_only"] = round(
+            min(run_gk_only(), run_gk_only()), 3
+        )
+
     # Second canary probe AFTER the sweep (r10): the start-of-run probe
     # cannot see contention (or accumulated JVM pressure) that arrives
     # mid-run — r10's opening bench had a clean 1.07x start canary yet
@@ -413,11 +458,32 @@ def main() -> None:
         # message-conservation check across the whole chain.
         store_serving = measure_store_to_serving(spark, n_msgs=1_000_000)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
+        # store->serving throughput floor (r10 VERDICT item 1): the
+        # reference budgets >=10k msg/s per listener
+        # (MqttTopicMonitorListener.java:33-36). Record the verdict in
+        # the output so a sub-budget reading is loud, and attributable
+        # against the post-streaming canary probe below.
+        if store_serving:
+            store_serving["floor_msgs_per_sec"] = 10_000
+            store_serving["floor_ok"] = (
+                store_serving["msgs_per_sec"] >= 10_000
+            )
+
+    # Third canary probe AFTER the streaming tail (r10 VERDICT item 1):
+    # both earlier probes run BEFORE the ~3-minute streaming section, so
+    # a box going bad during it was invisible — r9 AND r10 each published
+    # a 3x-misread store_serving number as "contended": false. q1 cold
+    # here gives the streaming measurements trailing load context.
+    canary_post = None
+    if not only and canary_query in timings:
+        spark.catalog.clearCache()
+        run_once(canary_query)  # warm-up (cold protocol, same as sweep)
+        spark.catalog.clearCache()
+        _assert_cold(spark, canary_query)
+        canary_post = round(
+            min(run_once(canary_query), run_once(canary_query)), 3
+        )
+
     canary_run = timings.get(canary_query)
     canary_ratio = (
         round(canary_run / canary_ref, 3)
@@ -443,12 +509,33 @@ def main() -> None:
                 if canary_ref and canary_end is not None
                 else None
             ),
+            # r10 VERDICT item 1: q1 re-timed AFTER the streaming tail so
+            # store_serving/live fan-in carry trailing load context
+            "post_streaming_run_sec": canary_post,
+            "post_streaming_ratio": (
+                round(canary_post / canary_ref, 3)
+                if canary_ref and canary_post is not None
+                else None
+            ),
+            # divert threshold stays 1.5x (catastrophic contention); ANY
+            # of the three probes firing marks the whole run contended
             "contended": bool(
-                (canary_ratio and canary_ratio > 1.5)
-                or (
-                    canary_ref
-                    and canary_end is not None
-                    and canary_end / canary_ref > 1.5
+                canary_ref
+                and any(
+                    probe is not None and probe / canary_ref > 1.5
+                    for probe in (canary_run, canary_end, canary_post)
+                )
+            ),
+            # baseline-PROMOTION is stricter (r10 VERDICT item 1: a
+            # 1.447x-hot run published as clean while its shuffle-bound
+            # movers read 2x): ALL probes must be < 1.25x for this run
+            # to overwrite BENCH_LOCAL.json. No reference (first run /
+            # sf switch) promotes by necessity.
+            "promotable": bool(
+                canary_ref is None
+                or all(
+                    probe is not None and probe / canary_ref < 1.25
+                    for probe in (canary_run, canary_end, canary_post)
                 )
             ),
         },
@@ -466,15 +553,16 @@ def main() -> None:
     # The driver records only the stdout TAIL, which truncates per-query
     # attribution once the headline set is large (r5 VERDICT item 4). A
     # full copy next to BENCH_r*.json keeps regressions attributable.
-    # A CONTENDED run is diverted to BENCH_LOCAL_CONTENDED.json so the
-    # clean committed baseline (and the next run's canary reference)
-    # survives — promoting inflated numbers is exactly the failure the
-    # canary exists to stop.
+    # A NON-PROMOTABLE run (any probe >= 1.25x the committed baseline —
+    # contended at >1.5x, or merely warm in between) is diverted to
+    # BENCH_LOCAL_CONTENDED.json so the clean committed baseline (and
+    # the next run's canary reference) survives — promoting inflated
+    # numbers is exactly the failure the canary exists to stop.
     if not only:
         fname = (
-            "BENCH_LOCAL_CONTENDED.json"
-            if payload["canary"]["contended"]
-            else "BENCH_LOCAL.json"
+            "BENCH_LOCAL.json"
+            if payload["canary"]["promotable"]
+            else "BENCH_LOCAL_CONTENDED.json"
         )
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),

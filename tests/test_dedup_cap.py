@@ -188,3 +188,39 @@ def test_precheck_memo_shared_within_build(spark):
     )
     with pytest.raises(ValueError, match="dedup_exact_first"):
         dedup._resolve_collapse(None, stream, "text")
+
+
+def test_precheck_memo_reevaluates_threshold(spark):
+    """r10 ADVICE: the memo stores the raw (n_rows, n_distinct) pair and
+    applies DEDUP_COLLAPSE_MAX_DISTINCT_RATIO on every LOOKUP, so code
+    that reassigns the module-level threshold between calls gets a fresh
+    decision from the cached counts — not a stale boolean computed under
+    the old threshold — and pays no extra corpus scan."""
+    from transitdata_monitor_data_collector_spark.operators import dedup
+
+    # duplicate-heavy: 50 rows, 5 distinct texts -> distinct ratio 0.1
+    docs = spark.createDataFrame(
+        [(i, f"dup text {i % 5}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    runs = []
+    real_job = dedup._precheck_job
+
+    def counting_job(df, key_expr):
+        runs.append(1)
+        return real_job(df, key_expr)
+
+    old_ratio = dedup.DEDUP_COLLAPSE_MAX_DISTINCT_RATIO
+    dedup.clear_precheck_memo()
+    try:
+        dedup._precheck_job = counting_job
+        assert dedup._should_collapse(docs, "text") is True  # 0.1 <= 0.9
+        dedup.DEDUP_COLLAPSE_MAX_DISTINCT_RATIO = 0.05
+        assert dedup._should_collapse(docs, "text") is False  # 0.1 > 0.05
+        dedup.DEDUP_COLLAPSE_MAX_DISTINCT_RATIO = old_ratio
+        assert dedup._should_collapse(docs, "text") is True
+        assert len(runs) == 1  # one scan served all three decisions
+    finally:
+        dedup._precheck_job = real_job
+        dedup.DEDUP_COLLAPSE_MAX_DISTINCT_RATIO = old_ratio
+        dedup.clear_precheck_memo()

@@ -90,3 +90,65 @@ def test_ivm_merge_boundary_week_user_counts_once(spark):
     ).collect()
     assert len(merged) == 1 and merged[0]["n_users"] == 1
     assert merged[0]["n_rows"] == 2
+
+
+def test_shared_bitmap_helper_full_domain(spark):
+    """r10 ADVICE: the shiftright/pmod word-slot arithmetic is now ONE
+    shared helper (functions/bitmap.py) used by all four bitmap
+    consumers. Pin its contract over the hostile id domain — negatives,
+    the 2^53 double-precision cliff, long extremes: word = floor(id/32)
+    and bit = id mod 32 (non-negative), exactly, so no two distinct ids
+    share a (word, bit) cell."""
+    from transitdata_monitor_data_collector_spark.functions.bitmap import (
+        bitmap_bit,
+        bitmap_word,
+    )
+
+    ids = [
+        0, 1, 31, 32, -1, -32, -33,
+        2**53 - 1, 2**53, 2**53 + 1, 2**53 + 33,
+        -(2**53) - 1, 2**62, -(2**62) - 7,
+        2**63 - 1, -(2**63),
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    got = {
+        r["user_id"]: (r["w"], r["b"])
+        for r in df.select(
+            "user_id",
+            bitmap_word("user_id").alias("w"),
+            bitmap_bit("user_id").alias("b"),
+        ).collect()
+    }
+    for i in ids:
+        # Python // and % are floor-div / non-negative-mod on ints —
+        # the exact semantics the helper must reproduce in the JVM.
+        want_w, want_b = i // 32, 1 << (i % 32)
+        assert got[i] == (want_w, want_b), (
+            f"id {i}: got {got[i]}, want {(want_w, want_b)}"
+        )
+    # distinctness: every id owns its own (word, bit) cell
+    assert len(set(got.values())) == len(ids)
+
+
+def test_bitmap_queries_exact_on_hostile_ids(tmp_path, spark):
+    """End-to-end: the batch bitmap query (agg_bitmap_distinct_users'
+    plan shape) and the streaming twin's job both recover the EXACT
+    distinct count over ids that break the naive (id/32).cast('long')
+    arithmetic — negative ids and ids beyond 2^53."""
+    from pyspark.sql import functions as F
+
+    from transitdata_monitor_data_collector_spark.streaming.jobs import (
+        bitmap_distinct_job,
+    )
+
+    ids = [-1, -32, -33, 31, 32, 2**53, 2**53 + 1, 2**53 + 32, -(2**53) - 1]
+    ev = spark.createDataFrame(
+        [("2024-05-01 00:00:00", i) for i in ids * 3],  # 3x duplicates
+        "ts string, user_id long",
+    ).select(F.col("ts").cast("timestamp"), "user_id")
+    words = bitmap_distinct_job(ev)  # batch frames run the same plan
+    n = (
+        words.agg(F.sum(F.bit_count("mask")).cast("long").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n == len(set(ids))

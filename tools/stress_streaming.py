@@ -58,22 +58,36 @@ N_SLICES = 16
 BOUNDED_DEDUP = {"streaming_dedup_within_watermark"}
 
 
-def _dedup_bounds_check(con, srows: list[tuple], oracle_sql: str) -> str | None:
-    """Invariant check for BOUNDED_DEDUP queries: per group (first output
-    column), batch DISTINCT (the registered oracle = lower bound) <=
-    surviving rows <= raw message count (upper bound). Returns an error
-    string or None."""
+def _dedup_bounds_check(con, sdict_rows: list[dict], oracle_sql: str) -> str | None:
+    """Invariant check for BOUNDED_DEDUP queries: per group, batch
+    DISTINCT (the registered oracle = lower bound) <= surviving rows <=
+    raw message count (upper bound). Returns an error string or None.
+
+    The group-key and count columns are taken BY NAME from the oracle's
+    own output schema (first column = group key, second = count) and the
+    Spark rows arrive as name->value dicts — r10 ADVICE: the old
+    positional dict(sorted-column tuples) only worked because the one
+    BOUNDED_DEDUP entry's two columns happened to sort as (key, count);
+    any wider or differently-ordered entry would silently misparse."""
     from transitdata_monitor_data_collector_spark.plans.monitoring import (
         BROKER_SQL,
     )
 
-    lower = dict(con.execute(oracle_sql).fetchall())
+    ores = con.execute(oracle_sql)
+    key_col, cnt_col = ores.description[0][0], ores.description[1][0]
+    lower = dict(ores.fetchall())
     upper = dict(
         con.execute(
             f"SELECT {BROKER_SQL} AS broker, count(*) FROM events GROUP BY 1"
         ).fetchall()
     )
-    got = dict(srows)
+    missing = {key_col, cnt_col} - set(sdict_rows[0]) if sdict_rows else set()
+    if missing:
+        return (
+            f"spark result lacks oracle columns {sorted(missing)}: "
+            f"{sorted(sdict_rows[0]) if sdict_rows else []}"
+        )
+    got = {r[key_col]: r[cnt_col] for r in sdict_rows}
     if set(got) != set(lower):
         return f"group keys differ: {sorted(got)} vs {sorted(lower)}"
     for k, v in got.items():
@@ -194,6 +208,10 @@ def run(k: int, n_slices: int, queries: list[str]) -> int:
         return tuple((v is None, str(v)) for v in row)
 
     failures = 0
+    # r10 ADVICE: save the caller's value (if any) and RESTORE it in the
+    # finally block instead of unconditionally popping — an exported
+    # override must survive this tool, not be silently deleted.
+    _prior_max_files = os.environ.get("SPARK_GRAFT_REPLAY_MAX_FILES")
     os.environ["SPARK_GRAFT_REPLAY_MAX_FILES"] = "1"
     try:
         for name in queries:
@@ -202,8 +220,9 @@ def run(k: int, n_slices: int, queries: list[str]) -> int:
                 t0 = time.perf_counter()
                 sdf = q.build(spark, replay_dir)
                 scols = sorted(sdf.columns)
+                raw_rows = sdf.collect()
                 srows = sorted(
-                    (tuple(norm(r[c]) for c in scols) for r in sdf.collect()),
+                    (tuple(norm(r[c]) for c in scols) for r in raw_rows),
                     key=skey,
                 )
                 elapsed = round(time.perf_counter() - t0, 1)
@@ -223,7 +242,9 @@ def run(k: int, n_slices: int, queries: list[str]) -> int:
                 continue
             if name in BOUNDED_DEDUP:
                 try:
-                    err = _dedup_bounds_check(con, srows, q.oracle)
+                    err = _dedup_bounds_check(
+                        con, [r.asDict() for r in raw_rows], q.oracle
+                    )
                 except Exception as exc:
                     err = str(exc).splitlines()[0][:200]
                 if err:
@@ -278,7 +299,10 @@ def run(k: int, n_slices: int, queries: list[str]) -> int:
                 )
             )
     finally:
-        os.environ.pop("SPARK_GRAFT_REPLAY_MAX_FILES", None)
+        if _prior_max_files is None:
+            os.environ.pop("SPARK_GRAFT_REPLAY_MAX_FILES", None)
+        else:
+            os.environ["SPARK_GRAFT_REPLAY_MAX_FILES"] = _prior_max_files
     print(
         f"\nstreaming replay k={k} x {n_slices} slices: "
         f"{len(queries) - failures}/{len(queries)} green"

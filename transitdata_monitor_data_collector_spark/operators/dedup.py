@@ -76,18 +76,24 @@ def clear_precheck_memo() -> None:
     _PRECHECK_MEMO.clear()
 
 
-def _precheck_job(df: DataFrame, key_expr) -> bool:
+def _precheck_job(df: DataFrame, key_expr) -> tuple[int, int]:
     """The actual eager aggregate (split out so tests can count runs):
     one pass, approx_count_distinct partial-aggregates map-side, 2-long
-    driver result."""
+    driver result. Returns the raw ``(n_rows, n_distinct)`` pair — the
+    threshold is applied by the CALLER on every lookup, so the memo
+    stays valid when ``DEDUP_COLLAPSE_MAX_DISTINCT_RATIO`` is reassigned
+    between calls (r10 ADVICE: a (hash, col)-keyed boolean memo served
+    stale decisions computed under the old threshold)."""
     r = df.agg(
         F.count("*").alias("n"),
         F.approx_count_distinct(key_expr, 0.02).alias("d"),
     ).first()
-    return bool(
-        r["n"] > 0
-        and r["d"] <= DEDUP_COLLAPSE_MAX_DISTINCT_RATIO * r["n"]
-    )
+    return int(r["n"]), int(r["d"])
+
+
+def _apply_collapse_threshold(counts: tuple[int, int]) -> bool:
+    n, d = counts
+    return bool(n > 0 and d <= DEDUP_COLLAPSE_MAX_DISTINCT_RATIO * n)
 
 
 def _distinct_ratio_precheck(df: DataFrame, key_expr, col_name: str) -> bool:
@@ -107,13 +113,13 @@ def _distinct_ratio_precheck(df: DataFrame, key_expr, col_name: str) -> bool:
         memo_key = None
     if memo_key is not None and memo_key in _PRECHECK_MEMO:
         _PRECHECK_MEMO.move_to_end(memo_key)
-        return _PRECHECK_MEMO[memo_key]
-    decision = _precheck_job(df, key_expr)
+        return _apply_collapse_threshold(_PRECHECK_MEMO[memo_key])
+    counts = _precheck_job(df, key_expr)
     if memo_key is not None:
-        _PRECHECK_MEMO[memo_key] = decision
+        _PRECHECK_MEMO[memo_key] = counts
         while len(_PRECHECK_MEMO) > _PRECHECK_MEMO_MAX:
             _PRECHECK_MEMO.popitem(last=False)
-    return decision
+    return _apply_collapse_threshold(counts)
 
 
 def _should_collapse(df: DataFrame, text_col: str) -> bool:

@@ -73,21 +73,20 @@ def register(
 # exists. PRUNE an entry once a post-fix CORRECTNESS row lands (cost of
 # forgetting: a wasted window slot, not starvation).
 RE_GATE: list[str] = [
-    # (All 14 r9 RE_GATE entries pruned: every one landed a green row in
-    # CORRECTNESS_r09 under its new plan/oracle.)
-    # round 10: ivm_bitmap_state's word slot moved from F.floor(id/32)
-    # (double division — wrong word for |id| >= 2^53) to
-    # shiftright(id, 5), exact over the full long domain (r9 ADVICE);
-    # values unchanged on the fixtures (parity green) but both
-    # consumers' plans changed after their r9 rows.
-    "rollup_incremental_merge",
-    "streaming_incremental_rollup",
-    # round 10: the two HLL queries restructured so the PRIMARY output is
-    # deterministic (group keys, exact-twin value, boolean within_bounds,
-    # the rsd literal) and therefore hash-checkable; the raw HLL estimate
-    # moved to rows-only *_diag twins (r9 VERDICT item 6).
-    "agg_approx_count_distinct",
-    "events_dau_wau_stickiness_approx",
+    # (All 4 r10 RE_GATE entries pruned: rollup_incremental_merge,
+    # streaming_incremental_rollup, agg_approx_count_distinct, and
+    # events_dau_wau_stickiness_approx each landed a green row in
+    # CORRECTNESS_r10 under their new plan/oracle.)
+    # round 11 (r10 ADVICE): the shiftright/pmod word-slot arithmetic
+    # propagated from ivm_bitmap_state to the three sibling bitmap
+    # implementations via the shared functions/bitmap.py helper, and
+    # both DuckDB oracles moved to the matching full-domain form
+    # (>> 5 + non-negative mod). Values unchanged on the non-negative
+    # fixtures (parity green) but plan AND oracle changed after these
+    # consumers' latest rows.
+    "agg_bitmap_distinct_users",
+    "events_wau_bitmap_exact",
+    "streaming_bitmap_distinct",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era

@@ -4544,8 +4544,9 @@ def events_concurrent_sessions(spark, sf_dir):
     ),
     words AS (
       SELECT CAST(ts AS DATE) AS day,
-             user_id // 32 AS word_i,
-             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS mask
+             (user_id >> 5) AS word_i,
+             bit_or(1::BIGINT << CAST(((user_id % 32) + 32) % 32
+                                      AS INTEGER)) AS mask
       FROM events GROUP BY 1, 2
     ),
     rolled AS (
@@ -4574,14 +4575,17 @@ def events_concurrent_sessions(spark, sf_dir):
     tags=("monitoring", "window", "sketch"),
 )
 def events_wau_bitmap_exact(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.bitmap import (
+        bitmap_bit,
+        bitmap_word,
+    )
+
     ev = table(spark, sf_dir, "events")
     words = (
         ev.select(
             F.to_date("ts").alias("day"),
-            (F.col("user_id") / 32).cast("long").alias("word_i"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
-            ).alias("b"),
+            bitmap_word("user_id").alias("word_i"),
+            bitmap_bit("user_id").alias("b"),
         )
         .groupBy("day", "word_i")
         .agg(F.bit_or("b").alias("mask"))

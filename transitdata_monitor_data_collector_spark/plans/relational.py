@@ -761,6 +761,32 @@ def _approx_percentile_frames(spark, sf_dir):
     return est, bounds
 
 
+def approx_percentile_gk_serving(spark, sf_dir):
+    """The GK-ONLY serving aggregate — what actually runs at 100 TB.
+
+    The gated primary (``agg_approx_percentile_bounded``) embeds the
+    exact-percentile twins AND the rank-window audit (a full per-group
+    sort), so its headline cost measures the audit, not the sketch
+    (r10 VERDICT item 5). This is the pure scale path: one hash
+    aggregate whose GK summaries partial-aggregate map-side into
+    fixed-size mergeable state — no sort, no window, no second pass.
+    Bench-only (bench.py times it as ``agg_approx_percentile_gk_only``);
+    correctness of the sketch itself is driver-gated through the
+    primary's raise-on-breach bound verdicts."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", 0.5, _APPROX_PCT_ACC
+        ).alias("p50_approx"),
+        F.percentile_approx(
+            "l_extendedprice", 0.95, _APPROX_PCT_ACC
+        ).alias("p95_approx"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
 @register(
     "agg_approx_percentile_bounded",
     oracle="""
@@ -2364,8 +2390,9 @@ def join_null_safe_equality(spark, sf_dir):
     oracle="""
     WITH words AS (
       SELECT CAST(ts AS DATE) AS day,
-             user_id // 32 AS word_i,
-             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS mask
+             (user_id >> 5) AS word_i,
+             bit_or(1::BIGINT << CAST(((user_id % 32) + 32) % 32
+                                      AS INTEGER)) AS mask
       FROM events
       GROUP BY 1, 2
     )
@@ -2388,14 +2415,17 @@ def join_null_safe_equality(spark, sf_dir):
     tags=("relational", "agg", "sketch"),
 )
 def agg_bitmap_distinct_users(spark, sf_dir):
+    from transitdata_monitor_data_collector_spark.functions.bitmap import (
+        bitmap_bit,
+        bitmap_word,
+    )
+
     ev = table(spark, sf_dir, "events")
     words = (
         ev.select(
             F.to_date("ts").alias("day"),
-            (F.col("user_id") / 32).cast("long").alias("word_i"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
-            ).alias("b"),
+            bitmap_word("user_id").alias("word_i"),
+            bitmap_bit("user_id").alias("b"),
         )
         .groupBy("day", "word_i")
         .agg(F.bit_or("b").alias("mask"))
@@ -3295,18 +3325,22 @@ def ivm_bitmap_state(df):
     floor-division by 32 over the FULL long domain (``F.floor(id / 32)``
     goes through double and misplaces |id| >= 2^53; ``/``+cast truncates
     toward zero and collides negatives); pmod keeps the bit index
-    non-negative. NULL user_ids are dropped to match
-    ``count(DISTINCT user_id)`` semantics — the merge side then
+    non-negative. Shared helper since r11 (functions/bitmap.py) so the
+    sibling bitmap consumers can't drift. NULL user_ids are dropped to
+    match ``count(DISTINCT user_id)`` semantics — the merge side then
     LEFT-joins and coalesces to 0 so an all-NULL key still serves."""
+    from transitdata_monitor_data_collector_spark.functions.bitmap import (
+        bitmap_bit,
+        bitmap_word,
+    )
+
     return (
         df.filter(F.col("user_id").isNotNull())
         .select(
             "event_type",
             "week",
-            F.shiftright(F.col("user_id").cast("long"), 5).alias("word_i"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))"
-            ).alias("b"),
+            bitmap_word("user_id").alias("word_i"),
+            bitmap_bit("user_id").alias("b"),
         )
         .groupBy("event_type", "week", "word_i")
         .agg(F.bit_or("b").alias("mask"))

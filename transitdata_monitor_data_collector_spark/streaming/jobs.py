@@ -613,13 +613,18 @@ def bitmap_distinct_job(events: DataFrame) -> DataFrame:
     or arrive late — the property HLL gives approximately, delivered
     exactly for dense id domains. Run in update output mode; downstream
     popcounts sum the words per day. A production job adds
-    ``withWatermark`` on ts to evict closed days' words."""
+    ``withWatermark`` on ts to evict closed days' words. Word/bit
+    arithmetic is the shared full-domain-exact helper
+    (functions/bitmap.py: shiftright + pmod, r10 ADVICE)."""
+    from transitdata_monitor_data_collector_spark.functions.bitmap import (
+        bitmap_bit,
+        bitmap_word,
+    )
+
     words = events.select(
         F.to_date("ts").alias("day"),
-        (F.col("user_id") / 32).cast("long").alias("word_i"),
-        F.expr(
-            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
-        ).alias("b"),
+        bitmap_word("user_id").alias("word_i"),
+        bitmap_bit("user_id").alias("b"),
     )
     return words.groupBy("day", "word_i").agg(F.bit_or("b").alias("mask"))
 
