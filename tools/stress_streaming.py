@@ -522,6 +522,333 @@ def run_restart(k: int, n_slices: int = N_SLICES, split: int = None) -> int:
     return failures
 
 
+def run_restart_eviction(k: int, n_slices: int = N_SLICES, split: int = None) -> int:
+    """Durable-checkpoint RESTART certification for the watermark-
+    EVICTING jobs (r10 VERDICT item 3): windowed_rate, session_windows,
+    dedup_within_watermark.
+
+    The r10 ``--restart`` pass covered only monotone/counter state
+    (bitmap, CMS, counter x2) — none of which can exhibit the eviction
+    family's restart failure mode: a checkpoint recovery that restores
+    state but RESETS THE WATERMARK would re-admit late data the job
+    already evicted. This cert replays the first ``split`` slices of
+    the k-corpus one-file-per-trigger into a parquet store, STOPS the
+    query, lands the second half PLUS a LATE-PROBE file (a byte copy of
+    the OLDEST slice — every row far below any correctly-restored
+    watermark), restarts from the same checkpoint, and asserts:
+
+    1. watermark RESTORED: the restarted query's first fed progress
+       reports an event-time watermark >= the pre-stop watermark (a
+       reset would read the 1970 epoch);
+    2. late probe EVICTED, not re-admitted: the restart phase reports
+       numRowsDroppedByWatermark > 0 and the final recovered result is
+       oracle-equal over the ORIGINAL corpus (probe duplicates, if
+       admitted, would corrupt it);
+    3. zero reprocessing: restart batch count is bounded by the number
+       of NEW files;
+    4. full-result correctness: windowed_rate / session_windows equal
+       their registry DuckDB oracles; the dedup twin passes the
+       documented distinct <= survivors <= raw bounds (its
+       batch-equality is single-batch-conditional by design).
+
+    session_windows (append mode — Spark does not support update-mode
+    session aggs) needs one extra SENTINEL file: a single far-future
+    event for an in-filter user pushes the final watermark past every
+    real session's close so append mode flushes them all; the
+    sentinel's own session stays in state, unemitted, invisible to the
+    comparison.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from transitdata_monitor_data_collector_spark.plans import load_all
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        BROKER_SQL,
+        DASHBOARD_FILTERS,
+        TOPIC_SQL,
+    )
+    from transitdata_monitor_data_collector_spark.session import get_spark
+    from transitdata_monitor_data_collector_spark.streaming import jobs
+
+    split = split or n_slices // 2
+    print(f"oracle engine: duckdb {duckdb.__version__}")
+    replay_dir = build_replay_dir(k, n_slices)
+    slices = sorted(
+        _glob.glob(os.path.join(replay_dir, "events.parquet", "*.parquet"))
+    )
+    spark = get_spark(
+        master="local[16]",
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.cleaner.periodicGC.interval": "5min",
+        },
+    )
+    registry = load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{replay_dir}/events.parquet/*.parquet')"
+    )
+
+    def msgs(stream):
+        return stream.select(
+            F.expr(BROKER_SQL).alias("broker"),
+            F.expr(TOPIC_SQL).alias("topic"),
+            "ts",
+            "event_id",
+        )
+
+    # sentinel: one far-future event for an in-filter user (user_id 5 <
+    # the session builder's user_id < 10 cut) — 10x the 2 h watermark
+    # past the corpus max, so watermark - 2 h still clears every real
+    # session end + gap
+    far_ts = con.execute(
+        "SELECT max(ts) + INTERVAL 30 DAY FROM events"
+    ).fetchone()[0]
+    probe_src = slices[0]
+
+    def windowed_recover(sink_df):
+        final = sink_df.groupBy(
+            "window_start", "broker", "topic_filter"
+        ).agg(F.max("n").alias("n"))
+        return sorted(
+            (str(r["window_start"]), r["broker"], r["topic_filter"],
+             int(r["n"]))
+            for r in final.collect()
+        )
+
+    def windowed_oracle():
+        return sorted(
+            (str(w), b, tf, int(n))
+            for w, b, tf, n, _rate in con.execute(
+                registry["streaming_windowed_rate"].oracle
+            ).fetchall()
+        )
+
+    def session_recover(sink_df):
+        # append mode emits each closed session once; an epoch replay
+        # would duplicate rows byte-identically -> distinct over the
+        # epoch-stamped rows collapses replays, keeps real re-emissions
+        final = sink_df.select(
+            "user_id", "session_start", "n_events", "_epoch"
+        ).distinct()
+        return sorted(
+            (int(r["user_id"]), str(r["session_start"]), int(r["n_events"]))
+            for r in final.collect()
+        )
+
+    def session_oracle():
+        return sorted(
+            (int(u), str(s), int(n))
+            for u, s, n in con.execute(
+                registry["streaming_session_windows"].oracle
+            ).fetchall()
+        )
+
+    def dedup_recover(sink_df):
+        survivors = sink_df.select(
+            "broker", "topic", "ts", "event_id", "_epoch"
+        ).distinct()
+        return sorted(
+            (r["broker"], int(r["n"]))
+            for r in survivors.groupBy("broker")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    def dedup_check(got_rows) -> str | None:
+        lower = dict(
+            con.execute(
+                registry["streaming_dedup_within_watermark"].oracle
+            ).fetchall()
+        )
+        upper = dict(
+            con.execute(
+                f"SELECT {BROKER_SQL} AS broker, count(*) FROM events "
+                "GROUP BY 1"
+            ).fetchall()
+        )
+        got = dict(got_rows)
+        if set(got) != set(lower):
+            return f"group keys differ: {sorted(got)} vs {sorted(lower)}"
+        for key, v in got.items():
+            if not (lower[key] <= v <= upper[key]):
+                return (
+                    f"{key}: survivors {v} outside "
+                    f"[distinct {lower[key]}, raw {upper[key]}]"
+                )
+        return None
+
+    JOBS = {
+        "windowed_rate": {
+            "build": lambda s: jobs.windowed_rate_job(
+                msgs(s), DASHBOARD_FILTERS
+            ),
+            "mode": "update",
+            "recover": windowed_recover,
+            "oracle": windowed_oracle,
+            "sentinel": False,
+        },
+        "session_windows": {
+            "build": lambda s: jobs.session_window_job(
+                s.filter(F.col("user_id") < 10)
+            ),
+            "mode": "append",
+            "recover": session_recover,
+            "oracle": session_oracle,
+            "sentinel": True,
+        },
+        "dedup_within_watermark": {
+            "build": lambda s: jobs.dedup_within_watermark_job(msgs(s)),
+            "mode": "append",
+            "recover": dedup_recover,
+            "oracle": None,  # bounds-checked (eviction by design)
+            "bounds": dedup_check,
+            "sentinel": False,
+        },
+    }
+
+    def prog_dicts(q) -> list[dict]:
+        out = []
+        for p in q.recentProgress:
+            out.append(p if isinstance(p, dict) else json.loads(p.json))
+        return out
+
+    def wm_of(p: dict) -> str:
+        return (p.get("eventTime") or {}).get("watermark") or ""
+
+    def dropped_of(p: dict) -> int:
+        return sum(
+            s.get("numRowsDroppedByWatermark", 0)
+            for s in p.get("stateOperators", [])
+        )
+
+    failures = 0
+    for name, spec in JOBS.items():
+        work = tempfile.mkdtemp(prefix=f"restart_ev_{name}_")
+        src = os.path.join(work, "events.parquet")
+        sink = os.path.join(work, "store")
+        ckpt = os.path.join(work, "ckpt")
+        os.makedirs(src)
+
+        def phase() -> list[dict]:
+            stream = jobs.read_parquet_stream(
+                spark, src, max_files_per_trigger=1
+            )
+            job = spec["build"](stream)
+
+            def write_batch(df, epoch_id):
+                df.withColumn("_epoch", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(sink)
+
+            q = (
+                job.writeStream.foreachBatch(write_batch)
+                .outputMode(spec["mode"])
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            progress = prog_dicts(q)
+            q.stop()
+            q.awaitTermination()
+            return progress
+
+        try:
+            for fpath in slices[:split]:
+                os.link(fpath, os.path.join(src, os.path.basename(fpath)))
+            p1 = phase()
+            wm1 = max((wm_of(p) for p in p1), default="")
+            # phase 2 corpus: the remaining slices, then the LATE PROBE
+            # (mtime-newest so the file source delivers it after the
+            # restored watermark has re-advanced), then (session only)
+            # the far-future sentinel that flushes append-mode sessions
+            for fpath in slices[split:]:
+                os.link(fpath, os.path.join(src, os.path.basename(fpath)))
+            probe_dst = os.path.join(src, "zz_late_probe.parquet")
+            os.makedirs(os.path.dirname(probe_dst), exist_ok=True)
+            shutil.copy(probe_src, probe_dst)
+            t_new = os.path.getmtime(slices[-1])
+            os.utime(probe_dst, (t_new + 60, t_new + 60))
+            n_new = (n_slices - split) + 1
+            if spec["sentinel"]:
+                sentinel_dst = os.path.join(src, "zz_zz_sentinel.parquet")
+                con.execute(
+                    "COPY (SELECT 999999999::BIGINT AS event_id, "
+                    f"TIMESTAMP '{far_ts}' AS ts, 5::BIGINT AS user_id, "
+                    "'click' AS event_type, 1.0::DOUBLE AS value, "
+                    "NULL::VARCHAR AS props) "
+                    f"TO '{sentinel_dst}' (FORMAT PARQUET)"
+                )
+                os.utime(sentinel_dst, (t_new + 120, t_new + 120))
+                n_new += 1
+            p2 = phase()
+            fed2 = [p for p in p2 if p.get("numInputRows", 0) > 0]
+            wm2_first = wm_of(fed2[0]) if fed2 else ""
+            dropped2 = sum(dropped_of(p) for p in p2)
+            checks = {
+                "watermark_restored": bool(
+                    wm1 > "1971" and wm2_first and wm2_first >= wm1
+                ),
+                "late_probe_dropped": dropped2 > 0,
+                "no_reprocessing": len(fed2) <= n_new + 2,
+            }
+            got = spec["recover"](spark.read.parquet(sink))
+            if spec["oracle"] is not None:
+                want = spec["oracle"]()
+                checks["oracle_equal"] = got == want
+                detail = {"rows": len(got), "oracle_rows": len(want)}
+                if not checks["oracle_equal"]:
+                    for a, b in [
+                        (a, b) for a, b in zip(got, want) if a != b
+                    ][:3]:
+                        print(f"  got : {a}\n  want: {b}")
+            else:
+                err = spec["bounds"](got)
+                checks["bounds_ok"] = err is None
+                detail = {"rows": len(got)}
+                if err:
+                    print(f"  bounds: {err}")
+            ok = all(checks.values())
+            if not ok:
+                failures += 1
+            print(
+                json.dumps(
+                    {
+                        "job": name,
+                        "restart_ok": ok,
+                        **checks,
+                        **detail,
+                        "phase1_watermark": wm1,
+                        "phase2_first_watermark": wm2_first,
+                        "phase2_dropped_by_watermark": dropped2,
+                        "phase1_batches": len(
+                            [p for p in p1 if p.get("numInputRows", 0) > 0]
+                        ),
+                        "phase2_batches": len(fed2),
+                    }
+                )
+            )
+        except Exception as exc:
+            failures += 1
+            msg = str(exc).splitlines()[0][:200]
+            print(f"{name}: ERROR ({msg})")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    print(
+        f"\neviction-family restart certification k={k} "
+        f"({split}+{n_slices - split} slices + late probe): "
+        f"{len(JOBS) - failures}/{len(JOBS)} green"
+    )
+    return failures
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     nums = [a for a in args if a.isdigit()]
@@ -530,5 +857,7 @@ if __name__ == "__main__":
     rest = [a for a in args if not a.isdigit()]
     if rest == ["--restart"]:
         sys.exit(1 if run_restart(k, n_slices) else 0)
+    if rest == ["--restart-eviction"]:
+        sys.exit(1 if run_restart_eviction(k, n_slices) else 0)
     qs = rest or TWINS
     sys.exit(1 if run(k, n_slices, qs) else 0)
