@@ -60,12 +60,41 @@ def test_dedup_bounds_check_logic():
            count(DISTINCT event_type) AS n
     FROM events GROUP BY 1 ORDER BY 1
     """
+    # r10 ADVICE: rows arrive as name->value dicts and the key/count
+    # columns are selected BY NAME from the oracle's schema — include an
+    # extra column that sorts BEFORE both to prove position independence
+    def rows(tcp, wss):
+        return [
+            {"_extra": "x", "broker": "tcp://mqtt.hsl.fi:1883", "n": tcp},
+            {"_extra": "y", "broker": "wss://mqtt-dev.hsl.fi:443", "n": wss},
+        ]
+
     # distinct per broker: tcp -> 2 ('a','b'), wss -> 1; raw: 3 and 2
-    ok = [("tcp://mqtt.hsl.fi:1883", 2), ("wss://mqtt-dev.hsl.fi:443", 2)]
-    assert _dedup_bounds_check(con, ok, oracle) is None
-    below = [("tcp://mqtt.hsl.fi:1883", 1), ("wss://mqtt-dev.hsl.fi:443", 1)]
-    assert "outside" in _dedup_bounds_check(con, below, oracle)
-    above = [("tcp://mqtt.hsl.fi:1883", 4), ("wss://mqtt-dev.hsl.fi:443", 1)]
-    assert "outside" in _dedup_bounds_check(con, above, oracle)
-    missing = [("tcp://mqtt.hsl.fi:1883", 2)]
+    assert _dedup_bounds_check(con, rows(2, 2), oracle) is None
+    assert "outside" in _dedup_bounds_check(con, rows(1, 1), oracle)
+    assert "outside" in _dedup_bounds_check(con, rows(4, 1), oracle)
+    missing = [{"broker": "tcp://mqtt.hsl.fi:1883", "n": 2}]
     assert "keys differ" in _dedup_bounds_check(con, missing, oracle)
+    lacking = [{"_extra": "x", "n": 2}]
+    assert "lacks oracle columns" in _dedup_bounds_check(
+        con, lacking, oracle
+    )
+
+
+def test_disorder_delivery_order():
+    """The adjacent-pair-swap delivery order generator: every slice
+    arrives exactly one position early or late, covering odd tails."""
+    from tools.stress_streaming import build_disorder_dir  # noqa: F401
+
+    # reproduce the generator inline (it is 4 lines inside the builder)
+    def delivery(n):
+        out = []
+        for i in range(1, n + 1, 2):
+            out.extend([i + 1, i] if i + 1 <= n else [i])
+        return out
+
+    assert delivery(8) == [2, 1, 4, 3, 6, 5, 8, 7]
+    assert delivery(16) == [2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11,
+                            14, 13, 16, 15]
+    assert delivery(5) == [2, 1, 4, 3, 5]
+    assert sorted(delivery(16)) == list(range(1, 17))

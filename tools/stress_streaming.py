@@ -522,6 +522,277 @@ def run_restart(k: int, n_slices: int = N_SLICES, split: int = None) -> int:
     return failures
 
 
+def build_disorder_dir(k: int, n_slices: int = N_SLICES) -> tuple[str, list[int]]:
+    """A DISORDER-delivered copy of the replay dir (r10 VERDICT stretch
+    item 8): same time-contiguous slice files, but mtimes (= file-source
+    delivery order) in adjacent-pair-swap order (2,1,4,3,...) so event
+    time REGRESSES by a full slice span between consecutive
+    micro-batches — the reorder a distributed multi-broker fan-in
+    actually produces, at k-stress volume. Slice files are COPIES, not
+    hardlinks: hardlinks share the inode, so re-stamping mtimes here
+    would silently scramble the in-order dir's delivery order too.
+    Returns (dir, delivery order as 1-based slice numbers)."""
+    import shutil
+
+    base = build_replay_dir(k, n_slices)
+    delivery = []
+    for i in range(1, n_slices + 1, 2):
+        pair = [i + 1, i] if i + 1 <= n_slices else [i]
+        delivery.extend(pair)
+    root = f"{OUT}_replay_k{k}_s{n_slices}_disorder"
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker):
+        return root, delivery
+    os.makedirs(root, exist_ok=True)
+    for t in list(FACTS) + DIMS:
+        if t == "events":
+            continue
+        dst = os.path.join(root, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base, f"{t}.parquet"), dst)
+    ev_dir = os.path.join(root, "events.parquet")
+    os.makedirs(ev_dir, exist_ok=True)
+    for pos, s in enumerate(delivery):
+        src = os.path.join(base, "events.parquet", f"slice_{s:02d}.parquet")
+        dst = os.path.join(ev_dir, f"slice_{s:02d}.parquet")
+        shutil.copyfile(src, dst)
+        t = 1_700_000_000 + 60 * pos
+        os.utime(dst, (t, t))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root, delivery
+
+
+#: the watermark-EVICTING twins targeted by the k-scale disorder replay
+EVICTION_TWINS = [
+    "streaming_windowed_rate",
+    "streaming_session_windows",
+    "streaming_dedup_within_watermark",
+]
+
+
+def run_disorder(k: int, n_slices: int = N_SLICES) -> int:
+    """k-scale DISORDER replay of the watermark-evicting twins (r10
+    VERDICT stretch item 8 — the last untested combination: scale x
+    disorder x state eviction).
+
+    The in-suite slice-swap test (tests/test_disorder_replay.py) runs at
+    fixture scale; the k=20 replay (``run``) delivers in order. Here the
+    sliced k-corpus arrives adjacent-pair-swapped, one file per trigger:
+
+    - streaming_windowed_rate / streaming_session_windows run COMPLETE
+      mode, where Spark retains all aggregation state and late rows
+      still aggregate — so they must be exactly ORACLE-EQUAL even though
+      event time regresses a full slice span between batches;
+    - streaming_dedup_within_watermark (append mode) REALLY drops rows
+      that regress below the watermark, so its bounds are checked
+      against a DuckDB SIMULATION of the admitted rows: batch i's
+      watermark is max event time of previously-delivered slices minus
+      the 10-minute delay, and distinct(admitted) <= survivors <=
+      count(admitted) per broker.
+    """
+    import datetime as _dt
+    import time
+
+    import duckdb
+
+    from transitdata_monitor_data_collector_spark.plans import load_all
+    from transitdata_monitor_data_collector_spark.session import get_spark
+    from transitdata_monitor_data_collector_spark.streaming import jobs
+
+    print(f"oracle engine: duckdb {duckdb.__version__}")
+    root, delivery = build_disorder_dir(k, n_slices)
+    print(f"delivery order: {delivery}")
+    spark = get_spark(
+        master="local[16]",
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.cleaner.periodicGC.interval": "5min",
+        },
+    )
+    registry = load_all()
+    con = duckdb.connect()
+    for t in list(FACTS) + DIMS:
+        src = (
+            f"{root}/events.parquet/*.parquet"
+            if t == "events"
+            else f"{root}/{t}.parquet"
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+
+    # watermark simulation for the dedup twin: per delivered slice, the
+    # threshold is the max ts over PREVIOUSLY delivered slices minus the
+    # 10-minute dropDuplicatesWithinWatermark delay (the engine updates
+    # the watermark at the end of each micro-batch)
+    slice_max = {
+        s: con.execute(
+            "SELECT max(ts) FROM read_parquet("
+            f"'{root}/events.parquet/slice_{s:02d}.parquet')"
+        ).fetchone()[0]
+        for s in delivery
+    }
+    parts = []
+    seen_max: _dt.datetime | None = None
+    for s in delivery:
+        p = f"{root}/events.parquet/slice_{s:02d}.parquet"
+        if seen_max is None:
+            parts.append(f"SELECT * FROM read_parquet('{p}')")
+        else:
+            thr = seen_max - _dt.timedelta(minutes=10)
+            parts.append(
+                f"SELECT * FROM read_parquet('{p}') "
+                f"WHERE ts >= TIMESTAMP '{thr}'"
+            )
+        seen_max = (
+            slice_max[s] if seen_max is None else max(seen_max, slice_max[s])
+        )
+    con.execute(
+        "CREATE VIEW admitted AS " + " UNION ALL ".join(parts)
+    )
+
+    def norm(v):
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return _dt.datetime(v.year, v.month, v.day)
+        return v
+
+    def skey(row):
+        return tuple((v is None, str(v)) for v in row)
+
+    failures = 0
+    _prior = os.environ.get("SPARK_GRAFT_REPLAY_MAX_FILES")
+    os.environ["SPARK_GRAFT_REPLAY_MAX_FILES"] = "1"
+    try:
+        for name in EVICTION_TWINS:
+            q = registry[name]
+            try:
+                t0 = time.perf_counter()
+                sdf = q.build(spark, root)
+                scols = sorted(sdf.columns)
+                raw_rows = sdf.collect()
+                srows = sorted(
+                    (tuple(norm(r[c]) for c in scols) for r in raw_rows),
+                    key=skey,
+                )
+                elapsed = round(time.perf_counter() - t0, 1)
+                metrics = _progress_metrics(jobs.last_progress())
+            except Exception as exc:
+                failures += 1
+                print(f"{name}: ERROR ({str(exc).splitlines()[0][:200]})")
+                continue
+            if metrics["n_batches_with_rows"] < max(2, n_slices // 2):
+                failures += 1
+                print(
+                    f"{name}: ERROR (disorder replay collapsed into "
+                    f"{metrics['n_batches_with_rows']} fed micro-batches)"
+                )
+                continue
+            if name in BOUNDED_DEDUP:
+                ores = con.execute(q.oracle)
+                key_col, cnt_col = (
+                    ores.description[0][0],
+                    ores.description[1][0],
+                )
+                got = {r[key_col]: r[cnt_col] for r in
+                       (rr.asDict() for rr in raw_rows)}
+                lower = dict(
+                    con.execute(_dedup_disorder_lower_sql()).fetchall()
+                )
+                upper = dict(
+                    con.execute(_dedup_disorder_upper_sql()).fetchall()
+                )
+                err = None
+                if set(got) != set(lower):
+                    err = f"group keys differ: {sorted(got)} vs {sorted(lower)}"
+                else:
+                    for kk, v in got.items():
+                        if not (lower[kk] <= v <= upper[kk]):
+                            err = (
+                                f"{kk}: survivors {v} outside [admitted-"
+                                f"distinct {lower[kk]}, admitted-raw "
+                                f"{upper[kk]}]"
+                            )
+                            break
+                if err:
+                    failures += 1
+                    print(f"{name}: BOUNDS VIOLATION ({err})")
+                else:
+                    print(
+                        json.dumps(
+                            {
+                                "query": name,
+                                "rows": len(srows),
+                                "bounds_check": "admitted-distinct<="
+                                "survivors<=admitted-raw",
+                                "replay_sec": elapsed,
+                                **metrics,
+                            }
+                        )
+                    )
+                continue
+            ores = con.execute(q.oracle)
+            ocols = sorted(d[0] for d in ores.description)
+            names_ = [d[0] for d in ores.description]
+            idx = [names_.index(c) for c in ocols]
+            orows = sorted(
+                (tuple(norm(r[i]) for i in idx) for r in ores.fetchall()),
+                key=skey,
+            )
+            if scols == ocols and srows == orows:
+                print(
+                    json.dumps(
+                        {
+                            "query": name,
+                            "rows": len(srows),
+                            "oracle_match": True,
+                            "replay_sec": elapsed,
+                            **metrics,
+                        }
+                    )
+                )
+            else:
+                failures += 1
+                print(
+                    f"{name}: MISMATCH (schema_match={scols == ocols}, "
+                    f"spark={len(srows)} oracle={len(orows)} rows)"
+                )
+                for a, b in [(a, b) for a, b in zip(srows, orows) if a != b][:3]:
+                    print(f"  spark : {a}\n  oracle: {b}")
+    finally:
+        if _prior is None:
+            os.environ.pop("SPARK_GRAFT_REPLAY_MAX_FILES", None)
+        else:
+            os.environ["SPARK_GRAFT_REPLAY_MAX_FILES"] = _prior
+    print(
+        f"\ndisorder replay k={k} x {n_slices} swapped slices: "
+        f"{len(EVICTION_TWINS) - failures}/{len(EVICTION_TWINS)} green"
+    )
+    return failures
+
+
+def _dedup_disorder_lower_sql() -> str:
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        BROKER_SQL,
+        TOPIC_SQL,
+    )
+
+    return (
+        f"WITH m AS (SELECT {BROKER_SQL} AS broker, {TOPIC_SQL} AS topic "
+        "FROM admitted) "
+        "SELECT broker, count(DISTINCT topic) FROM m GROUP BY 1"
+    )
+
+
+def _dedup_disorder_upper_sql() -> str:
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        BROKER_SQL,
+    )
+
+    return (
+        f"SELECT {BROKER_SQL} AS broker, count(*) FROM admitted GROUP BY 1"
+    )
+
+
 def run_restart_eviction(k: int, n_slices: int = N_SLICES, split: int = None) -> int:
     """Durable-checkpoint RESTART certification for the watermark-
     EVICTING jobs (r10 VERDICT item 3): windowed_rate, session_windows,
@@ -859,5 +1130,7 @@ if __name__ == "__main__":
         sys.exit(1 if run_restart(k, n_slices) else 0)
     if rest == ["--restart-eviction"]:
         sys.exit(1 if run_restart_eviction(k, n_slices) else 0)
+    if rest == ["--disorder"]:
+        sys.exit(1 if run_disorder(k, n_slices) else 0)
     qs = rest or TWINS
     sys.exit(1 if run(k, n_slices, qs) else 0)
