@@ -190,6 +190,20 @@ def render(sf_dir: str) -> str:
         lines += [f"## {name}", ""]
         lines += [f"- {p}" for p in _props(plan)]
         lines += ["", "```", plan.strip()[:4000], "```", ""]
+    # bench-only (unregistered) plans worth evidence: the GK-only
+    # percentile serving aggregate (r10 VERDICT item 5) — the 100 TB
+    # path split from the gated primary's embedded exact-sort audit;
+    # expect ONE partial+final HashAggregate pair around one exchange,
+    # no Sort, no Window
+    from transitdata_monitor_data_collector_spark.plans.relational import (
+        approx_percentile_gk_serving,
+    )
+
+    df = approx_percentile_gk_serving(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines += ["## agg_approx_percentile_gk_only (bench-only serving path)", ""]
+    lines += [f"- {p}" for p in _props(plan)]
+    lines += ["", "```", plan.strip()[:4000], "```", ""]
     lines += store_pruning_evidence(spark, sf_dir)
     return "\n".join(lines) + "\n"
 
