@@ -60,6 +60,16 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # Single-host master: delay scheduling can never improve
+        # locality (every slot IS process-local), but the default 3 s
+        # spark.locality.wait still applies to tasks whose parent
+        # partitions carry preferred locations — measured: a
+        # coalesce(1) over a parallelized 18-row frame took 4.0 s vs
+        # 0.45 s for the same job via repartition(1), pure scheduler
+        # wait. The versioned-store merge path (one small job per
+        # micro-batch epoch) was throttled by exactly this.
+        builder = builder.config("spark.locality.wait", "0s")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -459,6 +459,7 @@ def merge_upsert(
     keys: list[str],
     batch_id: str | None = None,
     validate_keys: bool = True,
+    target_files: int | None = None,
 ) -> int:
     """MERGE (SCD1 last-write-wins upsert) into the versioned table:
     current rows whose key collides with an update are replaced, new keys
@@ -477,7 +478,17 @@ def merge_upsert(
 
     ``updates`` must carry at most one row per key and no null keys
     (last-write-wins is undefined within one batch otherwise) —
-    validated with one small aggregate unless ``validate_keys=False``."""
+    validated with one small aggregate unless ``validate_keys=False``.
+
+    ``target_files`` coalesces the merged table before the version
+    write. Without it, the anti-join leaves shuffle-partition-many tasks
+    and a KEY-BOUNDED table (a counter table is one row per series)
+    writes dozens of near-empty parquet files PER VERSION — on a
+    versioned store that is an fsync/rename transaction storm, and the
+    store-to-serving path measured 2x throughput loss on a day of slow
+    host I/O from exactly this. Callers with key-bounded tables pass 1;
+    unbounded tables leave it None (the write keeps the join's
+    parallelism)."""
     import json as _json
     import os
     import shutil
@@ -514,6 +525,8 @@ def merge_upsert(
         keep = current.join(updates.select(*keys).distinct(), keys, "left_anti")
         merged = keep.unionByName(updates, allowMissingColumns=True)
         new_v = cur_v + 1
+    if target_files is not None:
+        merged = merged.coalesce(target_files)
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, f".v={new_v}.tmp")
     merged.write.mode("overwrite").parquet(tmp)

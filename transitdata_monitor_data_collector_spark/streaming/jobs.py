@@ -739,21 +739,37 @@ def stream_merge_counter_job(
     run_token = "" if checkpoint is not None else uuid.uuid4().hex[:12] + ":"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():  # cheap: update mode emits only deltas
-            return
+        # persist BEFORE the isEmpty probe: every driver-side action on
+        # the batch frame (isEmpty, the merge's anti-join, the history
+        # projection) re-evaluates the plan otherwise — with the cache
+        # the delta materializes once and each subsequent job reads the
+        # cached rows
+        batch_df = batch_df.persist()
         ledger_id = f"{run_token}{batch_id}"
-        if history_path is not None:
-            batch_df = batch_df.persist()
         try:
+            if batch_df.isEmpty():  # update mode emits only deltas
+                return
             # merge FIRST: if it raises, no orphan history samples land;
             # if it replays (ledger no-op), the marker below decides
             # whether the history append already happened.
+            # validate_keys=False: update-mode agg output is one row per
+            # group key BY CONSTRUCTION (and fan-out never emits null
+            # broker/filter) — the uniqueness job would be a 4th Spark
+            # job per micro-batch for an invariant the engine already
+            # guarantees. target_files=1: the counter table is
+            # key-bounded (one row per (broker, topic_filter) series),
+            # so each version is ONE file instead of
+            # shuffle-partition-many near-empty ones — the versioned
+            # store's per-epoch I/O transaction count is what throttles
+            # the store->serving path on slow disks.
             merge_upsert(
                 spark,
                 table_path,
                 batch_df.drop("last_ts"),
                 ["broker", "topic_filter"],
                 batch_id=ledger_id,
+                validate_keys=False,
+                target_files=1,
             )
             if history_path is not None:
                 marker_dir = os.path.join(history_path, "_batches")
@@ -781,8 +797,7 @@ def stream_merge_counter_job(
                         pass
                     os.rename(tmp, marker)  # atomic: marker appears last
         finally:
-            if history_path is not None:
-                batch_df.unpersist()
+            batch_df.unpersist()
 
     q = (
         totals.writeStream.foreachBatch(sink)
