@@ -41,11 +41,13 @@ def test_edge_direction_is_irrelevant(spark):
 
 
 def test_long_chain_within_round_budget(spark):
-    # a 20-node path needs ~19 propagation rounds; max_iter=25 must cover it
+    # a 20-node path needs ~19 propagation rounds; max_iter=25 must cover
+    # it. driver_max_edges=0 pins the DISTRIBUTED path — the driver
+    # union-find shortcut would otherwise absorb a fixture this small.
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "src long, dst long"
     )
-    got = _labels(connected_components(edges))
+    got = _labels(connected_components(edges, driver_max_edges=0))
     assert set(got.values()) == {0} and len(got) == 21
 
 
@@ -54,7 +56,28 @@ def test_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(6)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, driver_max_edges=0)
+
+
+def test_driver_shortcut_matches_distributed_path(spark):
+    # r11 optimization: small edge sets collapse via exact union-find on
+    # the driver (one collect) instead of O(diameter) BSP join rounds.
+    # The gate must be output-invisible: identical labels both ways, on a
+    # shape that mixes chains, a cycle, singleton nodes, and reversed
+    # edges.
+    edges = spark.createDataFrame(
+        [(5, 2), (2, 9), (9, 5), (3, 4), (12, 11), (20, 4)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 22)], "id long")
+    fast = _labels(connected_components(edges, nodes=nodes))
+    slow = _labels(
+        connected_components(edges, nodes=nodes, driver_max_edges=0)
+    )
+    assert fast == slow
+    assert fast[5] == fast[2] == fast[9] == 2
+    assert fast[3] == fast[4] == fast[20] == 3
+    assert fast[1] == 1 and fast[21] == 21
 
 
 def test_dedup_clusters_covers_every_doc_and_respects_pairs(spark, sf_dir):

@@ -31,6 +31,50 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _driver_union_find(bidir: DataFrame) -> DataFrame:
+    """Exact min-label components over a BOUNDED bidirectional edge list,
+    computed with path-compressed union-find on the driver. Returns a
+    (id, label) DataFrame with the edge columns' type; only invoked under
+    the ``driver_max_edges`` gate."""
+    pdf = bidir.toPandas()  # Arrow path; bounded by the caller's gate
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        # path compression
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["s"].tolist(), pdf["d"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    ids = set(pdf["s"].tolist()) | set(pdf["d"].tolist())
+    rows = [(i, find(i)) for i in sorted(ids)]
+    id_type = bidir.schema["s"].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("label", id_type)]
+    )
+    return bidir.sparkSession.createDataFrame(rows, schema)
+
+
+#: edge-count gate for the driver union-find shortcut: a bidirectional
+#: edge list at or below this many rows (2x the undirected pair count)
+#: is collapsed exactly on the driver in one pass instead of paying
+#: O(diameter) BSP join rounds. 200k rows of two ids is a few MB of
+#: bounded driver traffic (same contract class as the recall reports'
+#: _RECALL_REPORT_MAX_ROWS guard); above the gate the distributed
+#: min-label propagation below runs unchanged, so the 100 TB path never
+#: touches the driver.
+DRIVER_UNION_FIND_MAX_BIDIR_EDGES = 200_000
 
 
 def connected_components(
@@ -40,6 +84,7 @@ def connected_components(
     dst: str = "dst",
     id_col: str = "id",
     max_iter: int = 25,
+    driver_max_edges: int = DRIVER_UNION_FIND_MAX_BIDIR_EDGES,
 ) -> DataFrame:
     """(id, label) with ``label`` = min node id of the connected component.
 
@@ -47,18 +92,47 @@ def connected_components(
     ``nodes`` optionally supplies the full vertex set — vertices with no
     edge form singleton components (label = own id). Without ``nodes``,
     only endpoints of edges appear in the output.
+
+    ``driver_max_edges`` gates the exact driver-side union-find shortcut
+    (0 disables it, forcing the distributed path — the BSP round-budget
+    tests use that). Near-dup graphs are edge-LIGHT relative to the
+    corpus (the pair stage already thresholded), so small inputs collapse
+    in one collect instead of one join round per cluster-diameter hop;
+    the label values are identical (min id per component) either way.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     bidir = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .cache()  # reused every round
+        .cache()  # reused every round (and by the gate count below)
     )
     if nodes is None:
         vertex = bidir.select(F.col("s").alias("id")).distinct()
     else:
         vertex = nodes.select(F.col(nodes.columns[0]).alias("id"))
-    labels = vertex.select("id", F.col("id").alias("label")).localCheckpoint()
+
+    # one scalar to the driver; the job doubles as bidir's cache build,
+    # which the first BSP round (or the collect) would pay anyway
+    n_bidir = bidir.count()
+    if driver_max_edges and n_bidir <= driver_max_edges:
+        labels_small = _driver_union_find(bidir)
+        if nodes is None:
+            return labels_small
+        return vertex.join(F.broadcast(labels_small), "id", "left").select(
+            "id", F.coalesce("label", "id").alias("label")
+        )
+    # LAZY localCheckpoint per round: the plan still truncates to a
+    # LogicalRDD leaf at creation (the nested join plan would otherwise
+    # double per round — labels appears twice in each update — and
+    # analysis time explodes on long chains), but the RDD materializes
+    # inside the convergence count() instead of a dedicated checkpoint
+    # job, so each round runs ONE job instead of two (profiled r11: the
+    # eager-checkpoint job was ~0.7 s of near-empty 32-task scheduling
+    # per round at sf0.1, half the cost of the whole dedup-cluster
+    # queries).
+    labels = vertex.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=False
+    )
 
     for _ in range(max_iter):
         nbr_min = (
@@ -75,8 +149,9 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint()  # truncate lineage; eager materialization
+            .localCheckpoint(eager=False)
         )
+        # one job: counting changed rows materializes the checkpoint
         changed = updated.filter(F.col("label") != F.col("old_label")).count()
         labels = updated.select("id", "label")
         if changed == 0:

@@ -25,6 +25,9 @@ from transitdata_monitor_data_collector_spark.functions.rounding import (
 from transitdata_monitor_data_collector_spark.functions.vectors import cosine, pico_dot
 from transitdata_monitor_data_collector_spark.operators import dedup as DD
 from transitdata_monitor_data_collector_spark.operators import similarity as SIM
+from transitdata_monitor_data_collector_spark.partitioning import (
+    spread_small_input,
+)
 from transitdata_monitor_data_collector_spark.plans import register, table
 
 # ---------------------------------------------------------------------------
@@ -2518,8 +2521,14 @@ def emb_ivf_recall_report(spark, sf_dir):
     )
 
     emb = table(spark, sf_dir, "embeddings")
+    # spread the one-split scan so the Lloyd assigns / probe ranking /
+    # brute-force pass parallelize (profiled r11: tasks=1 end-to-end
+    # otherwise); no-op at real scale — guide §2.5
     e = _guard_recall_corpus(
-        emb.select("vec_id", as_double(F.col("embedding")).alias("v")),
+        spread_small_input(
+            emb.select("vec_id", as_double(F.col("embedding")).alias("v")),
+            "vec_id",
+        ),
         "emb_ivf_recall_report",
     )
     cent, afin = _ivf_spark_train(e)
@@ -5300,13 +5309,20 @@ def doc_perplexity_kneser_ney(spark, sf_dir):
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     # one explode feeds everything: corpus bigram counts derive from the
-    # per-doc counts (sum of k), so the token stream is scanned once
+    # per-doc counts (sum of k), so the token stream is scanned once.
+    # CACHE both reductions: docbg has two consumers (bgc + the final
+    # per-doc join) and bgc has four (ctx, back, tot, lp) — left lazy,
+    # the corpus tokenize+explode+group pipeline replayed once per
+    # consumer (profiled r11: FIVE ~32-task heavy stages, exec ~79 s
+    # CPU ~48 s at sf0.1, each re-reading the same exchange). Cached,
+    # the token stream is scanned once and the n-gram stats derive from
+    # the (far smaller) count tables — guide §2.4/§5.
     docbg = bg.groupBy("doc_id", "w1", "w2").agg(
         F.count("*").cast("long").alias("k")
-    )
+    ).cache()
     bgc = docbg.groupBy("w1", "w2").agg(
         F.sum("k").cast("long").alias("c12")
-    )
+    ).cache()
     ctx = bgc.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count("*").cast("long").alias("n1f"),
@@ -6660,7 +6676,12 @@ def emb_pq_recall_report(spark, sf_dir):
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # spread the one-split scan (see _pq_clustered_corpus) so training,
+    # encode and ADC stages parallelize; no-op at real scale
+    e = spread_small_input(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v")),
+        "vec_id",
+    )
     return _pq_recall_body(_guard_recall_corpus(e, "emb_pq_recall_report"))
 
 
@@ -6808,8 +6829,19 @@ def emb_pq_recall_clustered(spark, sf_dir):
 def _pq_clustered_corpus(spark, sf_dir):
     """The planted-cluster corpus (Spark twin of _PQ_E_CLUSTERED): each
     driver vector re-expressed as md5-seeded cluster center + 0.25x
-    original, micro-grid rounded for exact cross-engine doubles."""
-    emb = table(spark, sf_dir, "embeddings")
+    original, micro-grid rounded for exact cross-engine doubles.
+
+    The raw scan is spread BEFORE the mix transform: the testdata table
+    is one parquet split, which pins the 64-md5-per-row mix (and every
+    downstream Lloyd assign / encode / ADC stage that inherits the
+    partitioning through the localCheckpoints) to a single core —
+    profiled r11: ALL heavy PQ/IVFADC stages ran with tasks=1 on a
+    32-core box. At scale the scan has many splits and the spread is a
+    no-op (guide §2.5 input skew / partitioning.spread_small_input)."""
+    emb = spread_small_input(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
     dim = _PQ_M * _PQ_SUBDIM
 
     def mixed(d):
@@ -7232,7 +7264,12 @@ def _lad_sq_long(a, b, k: int):
     tags=("llm", "similarity", "approx", "embedding"),
 )
 def emb_compression_ladder_clustered(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    # spread the one-split scan before the per-row md5 mix + 4-tier
+    # distance pass (see _pq_clustered_corpus); no-op at real scale
+    emb = spread_small_input(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
 
     def mixed(d):
         h = F.conv(
@@ -7561,9 +7598,24 @@ def sketch_kmv_set_ops(spark, sf_dir):
             .alias("h"),
         )
         .distinct()
+        # dh feeds THREE independent consumers (the per-lang bottom-64
+        # sketch window, the semi-join sketch re-derivations inside
+        # icnt, and the exact union/intersection aggregate); left lazy
+        # the corpus tokenize+shingle+md5+distinct pipeline replays once
+        # per consumer (profiled at sf0.1: 3 parallel 32-task heavy
+        # stages, 3 corpus scans). Caching the distinct hash set (~100x
+        # smaller than the shingle stream; spills to disk if not) makes
+        # it ONE pass at any scale — guide §2.4.
+        .cache()
     )
     rnw = W.partitionBy("lang").orderBy("h")
-    sk = dh.withColumn("rn", F.row_number().over(rnw)).filter(F.col("rn") <= 64)
+    # <= 2*64 rows, consumed 4x (sku union + two icnt semi-joins): cache
+    # so the bottom-64 window over dh runs once
+    sk = (
+        dh.withColumn("rn", F.row_number().over(rnw))
+        .filter(F.col("rn") <= 64)
+        .cache()
+    )
     ska = sk.filter(F.col("lang") == "en").select("h")
     skb = sk.filter(F.col("lang") == "de").select("h")
     sku = (
@@ -7962,8 +8014,14 @@ def emb_ivf_nprobe_sweep(spark, sf_dir):
     )
 
     emb = table(spark, sf_dir, "embeddings")
+    # spread the one-split scan so the Lloyd assigns / probe ranking /
+    # brute-force pass parallelize (profiled r11: tasks=1 end-to-end
+    # otherwise); no-op at real scale — guide §2.5
     e = _guard_recall_corpus(
-        emb.select("vec_id", as_double(F.col("embedding")).alias("v")),
+        spread_small_input(
+            emb.select("vec_id", as_double(F.col("embedding")).alias("v")),
+            "vec_id",
+        ),
         "emb_ivf_nprobe_sweep",
     )
     cent, afin = _ivf_spark_train(e)

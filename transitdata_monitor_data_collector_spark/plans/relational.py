@@ -3144,6 +3144,13 @@ def graph_triangle_count(spark, sf_dir):
         .agg(F.countDistinct("a.l_orderkey").alias("co"))
         .filter(F.col("co") >= 2)
         .select("pa", "pb")
+        # the edge set feeds all three corners of the triangle join (e1,
+        # e2, e3) — left lazy, the co-occurrence self-join + distinct
+        # aggregate (the expensive fan-out) replays once per corner
+        # (plan audit r10: 28 exchanges, 6 SortMergeJoins). The filtered
+        # edge list is orders of magnitude smaller than the fan-out at
+        # any scale; cache it so the heavy subtree runs once — guide §2.4.
+        .cache()
     )
     e1 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
     e2 = pairs.select(F.col("pa").alias("y2"), F.col("pb").alias("z"))

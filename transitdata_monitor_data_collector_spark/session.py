@@ -49,7 +49,36 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing is byte-based and CPU-blind: with the default
+        # 1 MB minPartitionSize, a CPU-dense shuffle that compresses to a
+        # few MB (the PQ/IVF trainers' fanned distance evaluations, the
+        # LSH candidate stages) coalesces to 1-2 post-shuffle partitions
+        # and serializes on one core (profiled r11: the whole IVFADC
+        # pipeline ran tasks=1 on local[32]). A 64 KB floor keeps such
+        # stages wide while still coalescing truly trivial exchanges;
+        # at cluster scale partitions are far above 1 MB and this knob is
+        # inert. Env-overridable for other deployments.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce CACHED plans too: by default Spark pins a
+        # cached plan's output partitioning (false), so every iterative
+        # trainer that persists a small per-round table (BPE vocab,
+        # logreg weights, dedup shingle frames) materializes it at the
+        # full shuffle-partition count and every later round schedules
+        # that many near-empty tasks per job (profiled r11:
+        # text_bpe_train_merges ran 51 stages x 32 tasks over KB-sized
+        # cached vocab tables). With the flag on, the cache
+        # materializes at the AQE-coalesced width; consumers of tiny
+        # caches schedule 1-2 tasks instead of 32. Values are unchanged
+        # (the engine's determinism dialect is partition-order-free by
+        # construction, gated per query by the DuckDB oracle).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
