@@ -4736,6 +4736,11 @@ def emb_pca_power_iteration(spark, sf_dir):
             F.lit(0).cast("long"),
             lambda acc, t: acc + t,
         )
+        # NOTE (r11): a 64-accumulator single-row aggregate (no explode)
+        # was tried here and measured ~2x SLOWER — 64 agg buffers defeat
+        # whole-stage codegen, while this explode + groupBy(pos) shape
+        # already partial-aggregates map-side (64 rows per task cross
+        # the exchange, not N x 64). Kept as-is deliberately.
         rows = emb.select(
             dq.alias("dq"),
             F.posexplode(as_double(F.col("embedding"))).alias("pos", "xv"),
@@ -6460,14 +6465,26 @@ def _pq_sqdist_long_sql(a: str, b: str) -> str:
 
 
 def _pq_sqdist_long(a, b):
-    """Spark twin of :func:`_pq_sqdist_long_sql` (any dim; exact LONG)."""
-    return F.aggregate(
-        F.zip_with(
-            a, b, lambda x, y: F.floor(F.pow(x - y, 2) * 1e12 + 0.5).cast("long")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    """Spark twin of :func:`_pq_sqdist_long_sql` over the fixed
+    ``_PQ_SUBDIM``-wide subspace, UNROLLED into a flat 8-term sum:
+    zip_with + aggregate are interpreted higher-order functions that
+    allocate an intermediate array per evaluation, and this kernel is
+    the hottest expression in the PQ family (N x M x K rows per Lloyd
+    assign). The unrolled form whole-stage-codegens and measured ~1.9x
+    faster at subdim 8 (r11 micro-bench; at dim 64 unrolling is SLOWER —
+    generated-code size defeats JIT — so the full-dim pico kernels in
+    functions/vectors.py keep the fold). Values are bit-identical: the
+    per-term expression is unchanged and LONG addition is associative."""
+    terms = [
+        F.floor(
+            F.pow(F.element_at(a, i) - F.element_at(b, i), 2) * 1e12 + 0.5
+        ).cast("long")
+        for i in range(1, _PQ_SUBDIM + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _pq_assign_cte(name: str, cent: str) -> str:
@@ -6707,16 +6724,25 @@ def _pq_recall_body(e, k: int = _PQ_K):
     qs = es.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv")
     )
+    # the classic ADC lookup table: per-(query, subspace, code) distances
+    # are Q x M x K values computed ONCE (~5k rows here), and the N x M
+    # x Q fan-out then sums table lookups instead of evaluating the
+    # 8-dim kernel per fanned row (the r10 shape computed it N x M x Q
+    # times — guide §1.2 "per-task work"). Same LONG terms, same sums.
+    dtab = (
+        qs.join(cent, "m")
+        .select(
+            "q_id",
+            "m",
+            "cid",
+            _pq_sqdist_long(F.col("qsv"), F.col("cv")).alias("d"),
+        )
+    )
     adc = (
-        codes.join(F.broadcast(cent), ["m", "cid"])
-        .join(F.broadcast(qs), "m")
+        codes.join(F.broadcast(dtab), ["m", "cid"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", F.col("vec_id").alias("c_id"))
-        .agg(
-            F.sum(_pq_sqdist_long(F.col("qsv"), F.col("cv")))
-            .cast("long")
-            .alias("adc_pico")
-        )
+        .agg(F.sum("d").cast("long").alias("adc_pico"))
     )
     ann = (
         adc.withColumn(
@@ -7126,16 +7152,22 @@ def emb_ivfadc_recall_clustered(spark, sf_dir):
         "m",
         F.slice("rv", F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("qsv"),
     )
+    # ADC lookup table (see _pq_recall_body): per-(query, probed list,
+    # subspace, code) residual distances computed once — Q x nprobe x M
+    # x K rows — then the corpus fan-out sums lookups, never the 8-dim
+    # kernel. Same LONG terms, same sums.
+    dtab = qsub.join(pcent, "m").select(
+        "q_id",
+        "list_id",
+        "m",
+        "cid",
+        _pq_sqdist_long(F.col("qsv"), F.col("cv")).alias("d"),
+    )
     adc = (
-        codes.join(F.broadcast(pcent), ["m", "cid"])
-        .join(F.broadcast(qsub), ["m", "list_id"])
+        codes.join(F.broadcast(dtab), ["m", "cid", "list_id"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", F.col("vec_id").alias("c_id"))
-        .agg(
-            F.sum(_pq_sqdist_long(F.col("qsv"), F.col("cv")))
-            .cast("long")
-            .alias("adc_pico")
-        )
+        .agg(F.sum("d").cast("long").alias("adc_pico"))
     )
     ann = (
         adc.withColumn(
@@ -9645,12 +9677,20 @@ def retrieval_hybrid_rrf(spark, sf_dir):
         .drop("rn")
     )
 
+    # ONE tokenize pass: tf0 is cached (it feeds the document-frequency
+    # aggregate AND the candidate scoring join), and doc length derives
+    # from tf0 as sum(tf) — the r10 shape re-tokenized the corpus for
+    # tf0, dl and stats separately (plan audit: 11 exchanges, and the
+    # dl join arrived as a SortMergeJoin over a second full scan).
+    # sum(tf) == size(tokens) exactly: every token, including repeats,
+    # lands in exactly one (doc_id, term) count.
     tf0 = (
         d.select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .cache()
     )
-    dl = d.select("doc_id", F.size(toks).alias("dl"))
+    dl = tf0.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -10049,7 +10089,13 @@ def doc_mixture_temperature_sample(spark, sf_dir):
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
         .alias("u"),
-    )
+        # cached: the two-pass shape is inherent (global rates first,
+        # then per-source sampled counts under those rates), but left
+        # lazy pass 2 re-tokenizes and re-hashes the full corpus
+        # (plan audit r10: 16 exchanges). The cached frame is 4 narrow
+        # columns — far smaller than the text it derives from — and
+        # spills if memory-tight; at any scale one scan beats two.
+    ).cache()
     stats = base.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("tokens"),
