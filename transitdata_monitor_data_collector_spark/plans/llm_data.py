@@ -4979,8 +4979,22 @@ def sketch_bloom_decontamination(spark, sf_dir):
     ).otherwise(F.array().cast("array<string>"))
     pct = F.expr(_MD5_PCT)
     g = d.select(pct.alias("pct"), F.explode(grams).alias("g"))
-    train_g = g.filter(F.col("pct") >= 10).select("g").distinct()
-    eval_g = g.filter(F.col("pct") < 10).select("g").distinct()
+    # ONE tokenize+explode+distinct pass for both splits: train_g and
+    # eval_g as separate distincts each replayed the corpus gram
+    # pipeline, and train_g is consumed twice more downstream (bits +
+    # the present join) — profiled r11: three ~6 MB gram expansions per
+    # run. The combined distinct-gram table with membership flags is
+    # the vocabulary-sized thing worth caching at any scale.
+    gd = (
+        g.groupBy("g")
+        .agg(
+            F.max((F.col("pct") >= 10).cast("int")).alias("in_train"),
+            F.max((F.col("pct") < 10).cast("int")).alias("in_eval"),
+        )
+        .cache()
+    )
+    train_g = gd.filter(F.col("in_train") == 1).select("g")
+    eval_g = gd.filter(F.col("in_eval") == 1).select("g")
 
     def bloom_pos(gcol, j):
         return (
@@ -5447,7 +5461,13 @@ def multimodal_image_ahash_neardup(spark, sf_dir):
     )
 
     docs = _docs_spread(spark, sf_dir)
-    bands = image_ahash_bands(synthesize_image_payloads(docs))
+    # cache: bands feeds FOUR consumers (both self-join sides + the two
+    # hamming re-join sides) and each reference otherwise replays the
+    # whole payload-synthesis + aHash extraction — a corpus-sized
+    # mapInPandas Python pass (profiled r11: four ArrowEvalPython passes,
+    # ~100 s of summed executor wait). The cached frame is 4 small rows
+    # per doc; one Python pass at any scale.
+    bands = image_ahash_bands(synthesize_image_payloads(docs)).cache()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -5141,19 +5141,30 @@ def events_chain_recursive_cte(spark, sf_dir):
     # slack rather than disabling it
     limit = max(1_000_000, ev.count() * 2)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(limit))
-    return spark.sql(
+    # materialize the windowed base ONCE: a plain CTE is inlined into the
+    # anchor and into every recursion step, so the two window functions
+    # (row_number + lag) replayed over the full fact table once per
+    # chain-depth level. Cached and exposed as a view, each step's join
+    # probes the in-memory table instead — the recursion then only pays
+    # for the join itself, which is the algorithm's real cost.
+    e_df = spark.sql(
         """
-        WITH RECURSIVE base AS (
+        SELECT user_id, event_id, ts, rn,
+               unix_micros(ts) - lag(unix_micros(ts)) OVER (
+                 PARTITION BY user_id ORDER BY rn) AS gap_us
+        FROM (
           SELECT user_id, event_id, ts,
                  row_number() OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS rn
           FROM v_events_rc
-        ),
-        e AS (
-          SELECT user_id, event_id, ts, rn,
-                 unix_micros(ts) - lag(unix_micros(ts)) OVER (
-                   PARTITION BY user_id ORDER BY rn) AS gap_us
-          FROM base
+        )
+        """
+    ).cache()
+    e_df.createOrReplaceTempView("v_events_rc_e")
+    return spark.sql(
+        """
+        WITH RECURSIVE e AS (
+          SELECT * FROM v_events_rc_e
         ),
         chain(user_id, chain_id, rn, ts, steps) AS (
           SELECT user_id, event_id, rn, ts, 1

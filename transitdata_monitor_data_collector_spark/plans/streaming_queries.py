@@ -39,7 +39,17 @@ def _message_stream(spark, sf_dir):
         F.expr(TOPIC_SQL).alias("topic"),
         "ts",
         "event_id",
-    )
+        # REPLAY-HARNESS shape fix (registry twins only; production jobs
+        # in streaming/jobs.py are untouched): the single-file replay
+        # source yields ONE scan partition per micro-batch, which pins
+        # the CPU-heavy wildcard fan-out (20 regex matches per row) to
+        # one core before the stateful agg's own shuffle (profiled r11:
+        # a 3.5 s single-task stage). Spreading the narrow projected
+        # rows costs one tiny exchange the keyed agg shuffle would pay
+        # anyway; a real deployment's per-trigger input arrives as many
+        # splits and this many-partition repartition is simply the
+        # pre-shuffle width it already has.
+    ).repartition(spark.sparkContext.defaultParallelism)
 
 
 @register(
