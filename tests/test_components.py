@@ -101,6 +101,43 @@ def test_dedup_clusters_covers_every_doc_and_respects_pairs(spark, sf_dir):
         assert r["is_kept"] == (r["doc_id"] == r["cluster_id"])
 
 
+def test_nodes_subset_never_relays_through_non_vertex(spark):
+    # r11 ADVICE (medium): an edge endpoint absent from ``nodes`` must
+    # not carry connectivity (or donate its id as a label) in EITHER
+    # path. Here 1-99-7 relays only through non-vertex 99: the BSP
+    # rounds never let 99 hold a label, so 1 and 7 stay separate — the
+    # driver union-find must agree (it would otherwise merge them and
+    # emit min id 1 for 7).
+    edges = spark.createDataFrame(
+        [(1, 99), (99, 7), (3, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(1,), (3,), (4,), (7,)], "id long")
+    fast = _labels(connected_components(edges, nodes=nodes))
+    slow = _labels(
+        connected_components(edges, nodes=nodes, driver_max_edges=0)
+    )
+    assert fast == slow == {1: 1, 3: 3, 4: 3, 7: 7}
+
+
+def test_null_endpoint_edges_ignored_both_paths(spark):
+    # r11 ADVICE (low): null-endpoint edges are dropped identically on
+    # both paths (the BSP join ignores them; the driver union-find would
+    # crash on None-vs-int comparison without the filter).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 9), (None, None)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    fast = _labels(connected_components(edges, nodes=nodes))
+    slow = _labels(
+        connected_components(edges, nodes=nodes, driver_max_edges=0)
+    )
+    assert fast == slow == {1: 1, 2: 1, 9: 9}
+    # without a nodes frame, null never appears as a vertex either way
+    fast2 = _labels(connected_components(edges))
+    slow2 = _labels(connected_components(edges, driver_max_edges=0))
+    assert fast2 == slow2 == {1: 1, 2: 1}
+
+
 def test_no_edges_all_singletons(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")

@@ -358,9 +358,31 @@ def test_countmin_single_scan_sketch(spark, sf_dir):
 def test_pagerank_broadcast_only_joins(spark, sf_dir):
     """Every per-round join in the bounded-round BSP must broadcast the
     dimension side; an SMJ on the rank table means a full shuffle per
-    iteration at scale."""
-    plan = _plan(spark, sf_dir, "graph_pagerank_transitions")
+    iteration at scale. Gate disabled: the driver shortcut (r12) would
+    otherwise collapse the plan to a LocalRelation at test SF."""
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        _pagerank_body,
+    )
+
+    df = _pagerank_body(spark, sf_dir, driver_max_edges=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_driver_gate_matches_distributed_path(spark, sf_dir):
+    """The r12 driver-side iteration must emit exactly the distributed
+    BSP rounds' rows (same integer/double arithmetic, term for term)."""
+    from transitdata_monitor_data_collector_spark.plans.monitoring import (
+        _pagerank_body,
+    )
+
+    gated = _pagerank_body(spark, sf_dir).collect()
+    dist = _pagerank_body(spark, sf_dir, driver_max_edges=0).collect()
+    assert [tuple(r) for r in gated] == [tuple(r) for r in dist]
+    assert [f.dataType for f in _pagerank_body(spark, sf_dir).schema.fields] == [
+        f.dataType
+        for f in _pagerank_body(spark, sf_dir, driver_max_edges=0).schema.fields
+    ]
 
 
 def test_shuffle_hash_hint_respected(spark, sf_dir):

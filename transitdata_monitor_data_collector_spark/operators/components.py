@@ -100,7 +100,12 @@ def connected_components(
     in one collect instead of one join round per cluster-diameter hop;
     the label values are identical (min id per component) either way.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # drop null-endpoint edges up front (r11 ADVICE): the BSP rounds
+    # silently ignore them anyway (a NULL never equi-joins the label
+    # table), while the driver union-find would crash on None-vs-int
+    # comparisons — filtering here makes both paths identical on dirty
+    # input, and NULL never appears as a vertex.
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).na.drop()
     bidir = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
@@ -115,7 +120,21 @@ def connected_components(
     # which the first BSP round (or the collect) would pay anyway
     n_bidir = bidir.count()
     if driver_max_edges and n_bidir <= driver_max_edges:
-        labels_small = _driver_union_find(bidir)
+        uf_edges = bidir
+        if nodes is not None:
+            # match BSP semantics exactly (r11 ADVICE): label propagation
+            # only relays through ids present in the vertex set — an edge
+            # touching a non-vertex endpoint never carries a label in the
+            # distributed rounds, so the union-find must not see it
+            # either (it would otherwise relay connectivity through, and
+            # could emit the min id of, an endpoint outside ``nodes``).
+            v = vertex.distinct()
+            uf_edges = (
+                bidir.join(v.withColumnRenamed("id", "s"), "s", "semi")
+                .join(v.withColumnRenamed("id", "d"), "d", "semi")
+                .select("s", "d")
+            )
+        labels_small = _driver_union_find(uf_edges)
         if nodes is None:
             return labels_small
         return vertex.join(F.broadcast(labels_small), "id", "left").select(

@@ -2163,6 +2163,19 @@ def text_bigrams_topk(spark, sf_dir):
     )
 
 
+#: Per-query scoped AQE floor (plans/__init__.py register(session_conf=)):
+#: the PQ/IVF trainer family's post-shuffle stages carry seconds of
+#: CPU-dense distance math in ~1 MB of compressed shuffle bytes, so the
+#: default byte-based coalescing serializes them onto 1-2 cores (profiled
+#: r11: the whole IVFADC pipeline ran tasks=1 on local[32]). The 64k floor
+#: keeps exactly these queries wide; every other query runs under Spark's
+#: 1 MB default (the session-wide 64k floor regressed the small-query
+#: tail 20-130% at 32 cores — r11 VERDICT item 1).
+_WIDE_AQE_CONF = {
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+}
+
+
 # Recall reports compute exact ground truth with an O(queries x corpus)
 # brute-force pass (10 query vectors broadcast against every candidate).
 # That is the right shape for a REPORT — bounded by the capped query set —
@@ -2497,6 +2510,7 @@ def _ivf_oracle_sql() -> str:
 
 @register(
     "emb_ivf_recall_report",
+    session_conf=_WIDE_AQE_CONF,
     oracle=_ivf_oracle_sql(),
     doc="IVF ANN quality gate, fully oracle-checkable: recall@10 of an "
     f"nprobe={_IVF_NPROBE} probe over a k={_IVF_K} inverted-file index vs "
@@ -6688,6 +6702,7 @@ def _pq_oracle_sql(
 
 @register(
     "emb_pq_recall_report",
+    session_conf=_WIDE_AQE_CONF,
     oracle=_pq_oracle_sql(),
     doc="Product-quantization retrieval QA (Jegou et al., TPAMI 2011), "
     f"fully oracle-checkable: recall@10 of ADC ranking over M={_PQ_M} "
@@ -6844,6 +6859,7 @@ _PQ_E_CLUSTERED = f"""SELECT vec_id,
 
 @register(
     "emb_pq_recall_clustered",
+    session_conf=_WIDE_AQE_CONF,
     oracle=_pq_oracle_sql(_PQ_E_CLUSTERED),
     doc="PQ retrieval QA on a corpus WITH planted cluster structure: "
     f"{_PQ_CLUSTERS} md5-seeded cluster centers in [-1,1]^64, each vector "
@@ -6920,6 +6936,7 @@ def _pq_clustered_corpus(spark, sf_dir):
 
 @register(
     "emb_pq_k64_recall_clustered",
+    session_conf=_WIDE_AQE_CONF,
     oracle=_pq_oracle_sql(_PQ_E_CLUSTERED, k=64),
     doc="The PQ operating point that WORKS on the clustered corpus (r7 "
     "VERDICT item 6 — completing the compression story the K=16 honest "
@@ -7093,6 +7110,7 @@ def _ivfadc_oracle_sql(e_src: str) -> str:
 
 @register(
     "emb_ivfadc_recall_clustered",
+    session_conf=_WIDE_AQE_CONF,
     oracle=_ivfadc_oracle_sql(_PQ_E_CLUSTERED),
     doc="IVFADC retrieval QA (Jegou et al., TPAMI 2011 — the full "
     "IVF + PQ-on-residuals production pipeline, composed from the two "
@@ -7239,6 +7257,7 @@ def _lad_sq_long(a, b, k: int):
 
 @register(
     "emb_compression_ladder_clustered",
+    session_conf=_WIDE_AQE_CONF,
     oracle=f"""
     WITH e AS (
         {_PQ_E_CLUSTERED}
@@ -7529,9 +7548,34 @@ def doc_exact_substring_dedup(spark, sf_dir):
         .select("gram")
     )
     iv = spans.join(shared, "gram")
-    dupc = _interval_union(iv.select("doc_id", "s", "e"))
-    nsh = iv.groupBy("doc_id").agg(
-        F.count_distinct("gram").cast("long").alias("n_shared_grams")
+    # ONE pass over iv for BOTH per-doc outputs (r11 VERDICT item 5: iv
+    # fed the interval-union and the distinct-gram count as separate lazy
+    # consumers, so the ~10x-corpus span stream and its gram join
+    # replayed once per consumer — 3 full span materializations for the
+    # query). The interval-union sweep (sort by s, running max of e) is
+    # extended to carry gram and the n_shared_grams count-distinct rides
+    # in the same groupBy. The covered sum is tie-order invariant (rows
+    # tied on s contribute e - max(s, pm) whose sum is the union measure
+    # in any tie order), so values are unchanged.
+    cov = iv.withColumn(
+        "pm",
+        F.max("e").over(
+            W.partitionBy("doc_id")
+            .orderBy("s")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum(
+            F.greatest(
+                F.col("e")
+                - F.greatest(F.col("s"), F.coalesce(F.col("pm"), F.lit(0))),
+                F.lit(0).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("covered"),
+        F.count_distinct("gram").cast("long").alias("n_shared_grams"),
     )
     frac = F.coalesce(
         fround(
@@ -7544,8 +7588,7 @@ def doc_exact_substring_dedup(spark, sf_dir):
     return (
         d.select("doc_id")
         .join(total, "doc_id", "left")
-        .join(dupc, "doc_id", "left")
-        .join(nsh, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shared_grams", F.lit(0).cast("long")).alias(
@@ -8045,6 +8088,7 @@ def _ivf_sweep_oracle_sql() -> str:
 
 @register(
     "emb_ivf_nprobe_sweep",
+    session_conf=_WIDE_AQE_CONF,
     oracle=_ivf_sweep_oracle_sql(),
     doc="The IVF tuning curve: recall@10 swept over nprobe in {1, 2, 4} "
     f"against the k={_IVF_K} deterministic index of "
@@ -8990,6 +9034,17 @@ def _hashed_logreg_run(spark, sf_dir, n_buckets: int = _HL_H):
                 f"+ z DIV {_HL_ZDIV}, CAST(0 AS BIGINT)), "
                 "CAST(1000000000 AS BIGINT)) - y9 AS err",
             )
+        # persist the doc-sized error frame (2 longs/doc): it has TWO
+        # consumers — the gradient aggregate inside this round's weight
+        # materialization, and the end-of-run loss aggregate. Unpersisted,
+        # the loss job replayed the full scoring pass (feat join + corpus
+        # aggregate) once more per round when the caller finally executed
+        # the stats union (r11 VERDICT item 3: 4 corpus-scale jobs per
+        # round; with the cache the stats union reads doc-sized caches).
+        # The weight-materialization count below populates it (g reads
+        # err), so no extra job is spent.
+        err = err.persist()
+        cached.append(err)
         g = (
             feat.join(err, "doc_id")
             .groupBy("h")
@@ -9446,8 +9501,16 @@ def text_bpe_train_merges(spark, sf_dir):
         )
         .cache()
     )
-    words.count()  # materialize round-0 vocab once
     rows = []
+    # ONE job per merge round (r11 VERDICT item 8: the loop ran 2 jobs/
+    # round — argmax collect + a dedicated merged.count materialization —
+    # i.e. ~51 near-empty scheduling stages at sf0.1): the round-r argmax
+    # scan itself materializes round r-1's cached vocab (one-step lineage:
+    # its parent generation is still cached while it fills), and the
+    # parent is unpersisted only after the child's cache is populated.
+    # Round 0 likewise materializes inside round 1's argmax instead of a
+    # dedicated count. Argmax/merge values are untouched.
+    prev = None
     try:
         for r in range(1, _BPE_ROUNDS + 1):
             best = (
@@ -9463,6 +9526,9 @@ def text_bpe_train_merges(spark, sf_dir):
                 .limit(1)
                 .collect()
             )
+            if prev is not None:  # child cache is populated now
+                prev.unpersist()
+                prev = None
             if not best:  # fully merged vocab (never at corpus scale)
                 break
             pair, n = best[0]["pair"], int(best[0]["n"])
@@ -9474,11 +9540,11 @@ def text_bpe_train_merges(spark, sf_dir):
                 ),
                 "freq",
             ).cache()
-            merged.count()  # materialize; keep per-round lineage flat
-            words.unpersist()
-            words = merged
+            prev, words = words, merged
     finally:
         words.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(
         rows, "step int, sym_a string, sym_b string, merged string, n long"
     ).orderBy("step")
@@ -9710,7 +9776,18 @@ def retrieval_hybrid_rrf(spark, sf_dir):
         .agg(F.count("*").alias("tf"))
         .cache()
     )
-    dl = tf0.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+    # doc length = sum(tf) over the cached index (== size(tokens): every
+    # token lands in exactly one (doc_id, term) count), re-attached to
+    # the FULL doc_id set via a left join (r11 ADVICE item 3): a document
+    # whose text tokenizes to nothing (null text) would otherwise vanish
+    # from n_docs/avgdl, where the oracle's dl/stats CTEs count every
+    # documents row (with a NULL dl that count(*) keeps and sum() skips —
+    # exactly the left-join semantics here).
+    dl = d.select("doc_id").join(
+        tf0.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl")),
+        "doc_id",
+        "left",
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),

@@ -3081,6 +3081,27 @@ _PR_EDGES_SQL = """
     tags=("monitoring", "graph", "join", "agg"),
 )
 def graph_pagerank_transitions(spark, sf_dir):
+    return _pagerank_body(spark, sf_dir)
+
+
+#: edge-count gate for the driver-side PageRank iteration: the transition
+#: graph is DIMENSION-sized (nodes = distinct event_type values), so the
+#: whole 10-round iteration runs over a handful of rows while paying ~5
+#: distributed jobs per round in scheduling. At or below this many edges
+#: the rounds run as exact integer/IEEE-double arithmetic on the driver
+#: (identical expression order to the distributed path, pinned by
+#: tests/test_plans.py gate-on == gate-off) after the ONE corpus-scale
+#: stage (lag-window + aggregate) built the edge table distributed.
+#: Above the gate — a genuinely large graph — the BSP rounds below run
+#: unchanged, so the 100 TB path never iterates on the driver. Same
+#: bounded-driver-traffic contract class as
+#: operators/components.DRIVER_UNION_FIND_MAX_BIDIR_EDGES.
+_PR_DRIVER_MAX_EDGES = 100_000
+
+
+def _pagerank_body(spark, sf_dir, driver_max_edges: int = _PR_DRIVER_MAX_EDGES):
+    import math
+
     ev = table(spark, sf_dir, "events")
     wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -3095,8 +3116,45 @@ def graph_pagerank_transitions(spark, sf_dir):
     # materialize the dimension-sized edge table ONCE (eager
     # localCheckpoint): the lazy plan would otherwise re-derive the
     # lag-window + aggregate subtree in every one of the 10 rounds
-    ew = F.broadcast(edges.join(outs, "u").localCheckpoint())
+    ew_tab = edges.join(outs, "u").localCheckpoint()
+    ew = F.broadcast(ew_tab)
     nodes = ev.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
+    if driver_max_edges:
+        n_edges = ew_tab.count()  # one scalar; the checkpoint is hot
+        if n_edges <= driver_max_edges:
+            erows = [
+                (r["u"], r["v"], int(r["n"]), int(r["out_n"]))
+                for r in ew_tab.collect()
+            ]
+            node_ids = [r["node"] for r in nodes.collect()]
+            nn = len(node_ids)
+            # identical arithmetic to the distributed rounds below, term
+            # for term: every product/division is IEEE double exactly as
+            # Catalyst evaluates it, floors land on exact integers, and
+            # the per-target contribution sum is exact LONG addition
+            rank_d = {v: int(math.floor(1e9 / nn)) for v in node_ids}
+            base_d = int(math.floor((1 - _PR_DAMP) * 1e9 / nn))
+            for _ in range(_PR_ROUNDS):
+                contrib: dict = {}
+                for u, v, n_uv, out_n in erows:
+                    if u not in rank_d:  # mirrors the inner join on u
+                        continue
+                    c = int(
+                        math.floor(float(rank_d[u]) * _PR_DAMP * n_uv / out_n)
+                    )
+                    contrib[v] = contrib.get(v, 0) + c
+                rank_d = {v: base_d + contrib.get(v, 0) for v in node_ids}
+            out_rows = [
+                (
+                    v,
+                    rank_d[v],
+                    math.floor(rank_d[v] / 1e9 * 1e6 + 0.5) / 1e6,
+                )
+                for v in sorted(node_ids)
+            ]
+            return spark.createDataFrame(
+                out_rows, "node string, rank_n long, rank double"
+            ).orderBy("node")
     n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
     rank = (
         nodes.crossJoin(F.broadcast(n_nodes))
