@@ -2429,11 +2429,13 @@ def _ivf_spark_train(e, k: int = _IVF_K, rounds: int = _IVF_ROUNDS):
     (final_centroids, final_assignment) — deterministic cross-engine."""
     cent = _seeded_rows(e, k).select("cid", F.col("v").alias("cv"))
     for _ in range(rounds):
-        # materialize the K-row centroid table each round (same lazy-
-        # Lloyd replay hazard as _pq_spark_train — see comment there)
+        # checkpoint the K-row centroid table each round (same lazy-
+        # Lloyd replay hazard as _pq_spark_train — see comment there).
+        # LAZY (r12): rounds chain through RDD lineage and materialize
+        # inside the first consumer's job instead of one job per round.
         cent = _ivf_spark_update(
             _ivf_spark_assign(e, cent)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return cent, _ivf_spark_assign(e, cent)
 
 
@@ -6612,15 +6614,20 @@ def _pq_spark_train(e, es, k: int = _PQ_K):
         seeds.select(F.col("cid").alias("vec_id"), "v")
     ).select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
     for _ in range(_PQ_ROUNDS):
-        # materialize the (K x M)-row codebook each round: the Lloyd DAG
-        # nests assign(update(assign(...))) and every downstream consumer
-        # (encode, ADC, recall ground truth) references it again — left
-        # lazy, Spark replays the whole training subtree per reference.
-        # localCheckpoint cuts the lineage at a 128-row table (values
-        # unchanged; all consumers re-verified hash-green).
+        # localCheckpoint the (K x M)-row codebook each round: the Lloyd
+        # DAG nests assign(update(assign(...))) and every downstream
+        # consumer (encode, ADC, recall ground truth) references it again
+        # — left unckeckpointed, Spark replays the whole training subtree
+        # per reference. LAZY since r12 (the components.py discipline):
+        # the plan still truncates to a LogicalRDD leaf at creation, but
+        # the rounds chain through RDD lineage and materialize inside the
+        # FIRST consumer's job (each round's RDD persists as the chain
+        # evaluates) instead of spending one near-empty scheduling job
+        # per round. Values unchanged; all consumers re-verified
+        # hash-green.
         cent = _pq_spark_update(
             _pq_spark_assign(es, cent)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return cent
 
 
