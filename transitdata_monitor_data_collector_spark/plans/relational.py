@@ -716,40 +716,51 @@ def _approx_percentile_frames(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    # ONE GK sketch queried at both quantiles (r12): two separate
+    # percentile_approx calls built two identical summaries per group;
+    # one array-percentile call builds one. Same algorithm, same
+    # deterministic results. This aggregate is now the PURE serving
+    # shape — the exact twins moved to the histogram below, so no
+    # aggregation buffers full values anywhere in the query (the r11
+    # form still carried the exact `percentile()` twins here, whose
+    # ObjectHashAggregate buffers EVERY row's value per group: profiled
+    # r12, that was a 10.3 MB partial-agg shuffle plus two 3-task
+    # ~4 s-CPU final stages — the dominant cost of the whole query).
     est = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
-            "l_extendedprice", 0.5, _APPROX_PCT_ACC
-        ).alias("p50_approx"),
-        F.percentile_approx(
-            "l_extendedprice", 0.95, _APPROX_PCT_ACC
-        ).alias("p95_approx"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-            "p50_exact"
-        ),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias(
-            "p95_exact"
-        ),
-        F.count("*").cast("long").alias("n_rows"),
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), _APPROX_PCT_ACC
+        ).alias("_pq")
+    ).select(
+        "l_returnflag",
+        F.col("_pq")[0].alias("p50_approx"),
+        F.col("_pq")[1].alias("p95_approx"),
     )
-    # exact values at the GK guarantee's rank window [(q-eps)n, (q+eps)n].
-    # Value-at-rank is tie-order-insensitive, so it is computed from the
-    # per-group DISTINCT-VALUE histogram instead of a row_number over
-    # every row: the r10 shape sorted all rows inside a 3-task window
-    # (one task per l_returnflag — key-cardinality-bound, guide §2.5)
-    # plus a second unbounded count() window buffering whole partitions
-    # (profiled r11: the two window stages were ~7 s of the query's
-    # 12.8 s with 7 s of GC). Here the rows reduce map-side to
-    # (group, value, count), the cumulative window runs over distinct
-    # values only, and the value at rank k is the unique value whose
-    # cumulative range [cum-c+1, cum] contains k — identical doubles,
-    # no full-row sort at any scale.
+    # exact values at the GK guarantee's rank window [(q-eps)n, (q+eps)n],
+    # AND the exact interpolated percentiles themselves. Value-at-rank is
+    # tie-order-insensitive, so everything comes from the per-group
+    # DISTINCT-VALUE histogram: map-side hash-reduce to (group, value,
+    # count), one cumulative window over distinct values, and the value
+    # at 1-based rank k is the unique value whose cumulative range
+    # [cum-c+1, cum] contains k — no full-row sort or buffer at any
+    # scale. The exact percentile replays Spark's Percentile aggregate
+    # term for term: position = q * (n-1) (0-based, double), lower/upper
+    # order statistics at floor/ceil(position), and the interpolation
+    # (upper - pos) * v_lo + (pos - lower) * v_hi with the integral-
+    # position branch — identical doubles to the removed
+    # `percentile(l_extendedprice, q)` twins (oracle hash re-verified).
     eps = 1.0 / _APPROX_PCT_ACC
     hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.count("*").alias("c")
     )
     cnt = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+
+    def _pos(q: float):
+        # Spark Percentile: percentage * (count - 1), double arithmetic
+        return F.lit(q) * (F.col("n") - 1).cast("double")
+
     targets = cnt.select(
         "l_returnflag",
+        F.col("n"),
         *[
             F.greatest(F.lit(1), F.floor((q - eps) * F.col("n")))
             .cast("long")
@@ -760,6 +771,16 @@ def _approx_percentile_frames(spark, sf_dir):
             F.least(F.col("n"), F.ceil((q + eps) * F.col("n")))
             .cast("long")
             .alias(f"r{int(q * 100)}_hi")
+            for q in (0.5, 0.95)
+        ],
+        # 1-based ranks of the two order statistics flanking each exact
+        # percentile position
+        *[
+            (F.floor(_pos(q)) + 1).cast("long").alias(f"x{int(q * 100)}_lo")
+            for q in (0.5, 0.95)
+        ],
+        *[
+            (F.ceil(_pos(q)) + 1).cast("long").alias(f"x{int(q * 100)}_hi")
             for q in (0.5, 0.95)
         ],
     )
@@ -776,22 +797,49 @@ def _approx_percentile_frames(spark, sf_dir):
         .alias("cum"),
     )
 
-    def rank_val(q: int, side: str):
-        rank = F.col(f"r{q}_{side}")
+    def val_at(rank_col: str, alias: str):
+        rank = F.col(rank_col)
         at_rank = (F.col("cum") - F.col("c") < rank) & (rank <= F.col("cum"))
         return F.min(
             F.when(at_rank, F.col("l_extendedprice"))
-        ).alias(f"p{q}_rank_{side}")
+        ).alias(alias)
 
-    bounds = (
+    agg = (
         cum.join(F.broadcast(targets), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            rank_val(50, "lo"),
-            rank_val(50, "hi"),
-            rank_val(95, "lo"),
-            rank_val(95, "hi"),
+            val_at("r50_lo", "p50_rank_lo"),
+            val_at("r50_hi", "p50_rank_hi"),
+            val_at("r95_lo", "p95_rank_lo"),
+            val_at("r95_hi", "p95_rank_hi"),
+            val_at("x50_lo", "_v50_lo"),
+            val_at("x50_hi", "_v50_hi"),
+            val_at("x95_lo", "_v95_lo"),
+            val_at("x95_hi", "_v95_hi"),
+            F.min("n").cast("long").alias("n_rows"),
         )
+    )
+
+    def interp(q: float, lo: str, hi: str):
+        pos = F.lit(q) * (F.col("n_rows") - 1).cast("double")
+        k_lo, k_hi = F.floor(pos), F.ceil(pos)
+        return F.round(
+            F.when(k_lo == k_hi, F.col(lo)).otherwise(
+                (k_hi.cast("double") - pos) * F.col(lo)
+                + (pos - k_lo.cast("double")) * F.col(hi)
+            ),
+            4,
+        )
+
+    bounds = agg.select(
+        "l_returnflag",
+        "n_rows",
+        "p50_rank_lo",
+        "p50_rank_hi",
+        "p95_rank_lo",
+        "p95_rank_hi",
+        interp(0.5, "_v50_lo", "_v50_hi").alias("p50_exact"),
+        interp(0.95, "_v95_lo", "_v95_hi").alias("p95_exact"),
     )
     return est, bounds
 
@@ -811,14 +859,25 @@ def approx_percentile_gk_serving(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", 0.5, _APPROX_PCT_ACC
-        ).alias("p50_approx"),
-        F.percentile_approx(
-            "l_extendedprice", 0.95, _APPROX_PCT_ACC
-        ).alias("p95_approx"),
-        F.count("*").cast("long").alias("n_rows"),
+    # one GK sketch queried at both quantiles (see
+    # _approx_percentile_frames) — two percentile_approx calls built two
+    # identical per-group summaries
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice",
+                F.array(F.lit(0.5), F.lit(0.95)),
+                _APPROX_PCT_ACC,
+            ).alias("_pq"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_pq")[0].alias("p50_approx"),
+            F.col("_pq")[1].alias("p95_approx"),
+            "n_rows",
+        )
     )
 
 
