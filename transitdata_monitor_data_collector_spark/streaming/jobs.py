@@ -690,6 +690,7 @@ def stream_merge_counter_job(
     filters: Sequence[str],
     checkpoint: str | None = None,
     history_path: str | None = None,
+    state_partitions: int | None = None,
 ) -> None:
     """Maintain the per-(broker, topic_filter) counter table as a VERSIONED
     MERGE TABLE via foreachBatch: update-mode aggregation emits only the
@@ -725,7 +726,20 @@ def stream_merge_counter_job(
     at-least-once, which the rate read path absorbs by construction:
     an exact duplicate (key, ts, counter) sample contributes zero to
     the reset-guarded delta (functions/promql.py), so rate/increase
-    results are duplicate-immune without any dedup pass."""
+    results are duplicate-immune without any dedup pass.
+
+    ``state_partitions``: width of the stateful aggregate's state store
+    (pinned via spark.sql.shuffle.partitions for the lifetime of this
+    blocking query, restored afterwards). The counter state is
+    KEY-BOUNDED by design — one row per (broker, topic_filter) series,
+    dozens at any deployment size — so its natural width scales with
+    the series count, not the cluster: at the session default (2-3x
+    total cores) every micro-batch schedules and commits that many
+    near-empty state stores, which is pure per-epoch overhead (r12
+    profile: an EMPTY final batch spent 2.4 s in addBatch at width 32).
+    None keeps the session conf (existing callers unchanged). Restarts
+    from a checkpoint ignore a changed value by construction — Spark
+    pins the state width in the offset log at first batch."""
     from transitdata_monitor_data_collector_spark.sinks.parquet import (
         merge_upsert,
         write_time_partitioned,
@@ -799,13 +813,21 @@ def stream_merge_counter_job(
         finally:
             batch_df.unpersist()
 
-    q = (
-        totals.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option(
-            "checkpointLocation",
-            checkpoint or _tmp_checkpoint("ckpt_merge_"),
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key) if state_partitions else None
+    try:
+        if state_partitions:
+            spark.conf.set(conf_key, str(state_partitions))
+        q = (
+            totals.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option(
+                "checkpointLocation",
+                checkpoint or _tmp_checkpoint("ckpt_merge_"),
+            )
+            .start()
         )
-        .start()
-    )
-    _drain(q)
+        _drain(q)
+    finally:
+        if saved is not None:
+            spark.conf.set(conf_key, saved)
