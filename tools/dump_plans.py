@@ -1,4 +1,5 @@
-"""Dump .explain('formatted') for registry queries to plans/r11/<q>_<tag>.txt.
+"""Dump .explain('formatted') for registry queries to
+plans/$SPARK_GRAFT_PLANS_ROUND/<q>_<tag>.txt (round dir default: r12).
 
 Usage: python tools/dump_plans.py <tag> <query> [query ...]
 """
@@ -18,7 +19,7 @@ def main() -> None:
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"),
     )
     os.makedirs(outdir, exist_ok=True)
 

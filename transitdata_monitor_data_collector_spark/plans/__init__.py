@@ -120,20 +120,32 @@ def register(
 # exists. PRUNE an entry once a post-fix CORRECTNESS row lands (cost of
 # forgetting: a wasted window slot, not starvation).
 RE_GATE: list[str] = [
-    # (All 4 r10 RE_GATE entries pruned: rollup_incremental_merge,
-    # streaming_incremental_rollup, agg_approx_count_distinct, and
-    # events_dau_wau_stickiness_approx each landed a green row in
-    # CORRECTNESS_r10 under their new plan/oracle.)
-    # round 11 (r10 ADVICE): the shiftright/pmod word-slot arithmetic
-    # propagated from ivm_bitmap_state to the three sibling bitmap
-    # implementations via the shared functions/bitmap.py helper, and
-    # both DuckDB oracles moved to the matching full-domain form
-    # (>> 5 + non-negative mod). Values unchanged on the non-negative
-    # fixtures (parity green) but plan AND oracle changed after these
-    # consumers' latest rows.
-    "agg_bitmap_distinct_users",
-    "events_wau_bitmap_exact",
-    "streaming_bitmap_distinct",
+    # (All 3 r11 RE_GATE entries pruned: agg_bitmap_distinct_users,
+    # events_wau_bitmap_exact and streaming_bitmap_distinct each landed a
+    # hash-green row in CORRECTNESS_r11 under the word-slot rewrite.)
+    # r11 VERDICT item 2: both r11 rewrites missed the r11 oracle sample
+    # (their last green rows predate the rewrite) — re-certify first.
+    # Both were restructured AGAIN in r12 (percentile: exact twins from
+    # the distinct-value histogram; rrf: decoupled corpus stats), so the
+    # driver gate certifies the current code either way.
+    "agg_approx_percentile_bounded",
+    "agg_approx_percentile_bounded_diag",
+    "retrieval_hybrid_rrf",
+    # round 12 restructures (values pinned by parity tests at 3 SFs;
+    # plans changed after these queries' latest driver rows):
+    "doc_quality_logreg_hashed",        # per-round err persist
+    "doc_quality_logreg_hashed_topfeatures",
+    "text_bpe_train_merges",            # fused per-round jobs
+    "doc_exact_substring_dedup",        # fused iv consumers
+    "graph_pagerank_transitions",       # bounded driver gate
+    "doc_dedup_clusters",               # components null/nodes semantics
+    # lazy Lloyd-round checkpoints + scoped AQE floor (shared trainers):
+    "emb_ivfadc_recall_clustered",
+    "emb_pq_recall_report",
+    "emb_pq_k64_recall_clustered",
+    "emb_ivf_recall_report",
+    "emb_ivf_nprobe_sweep",
+    "emb_compression_ladder_clustered",
 ]
 
 # Priority hint for the never-gated queue: oldest debt first (round-3-era

@@ -9784,20 +9784,21 @@ def retrieval_hybrid_rrf(spark, sf_dir):
         .cache()
     )
     # doc length = sum(tf) over the cached index (== size(tokens): every
-    # token lands in exactly one (doc_id, term) count), re-attached to
-    # the FULL doc_id set via a left join (r11 ADVICE item 3): a document
-    # whose text tokenizes to nothing (null text) would otherwise vanish
-    # from n_docs/avgdl, where the oracle's dl/stats CTEs count every
-    # documents row (with a NULL dl that count(*) keeps and sum() skips —
-    # exactly the left-join semantics here).
-    dl = d.select("doc_id").join(
-        tf0.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl")),
-        "doc_id",
-        "left",
-    )
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    # token lands in exactly one (doc_id, term) count). Corpus stats are
+    # decoupled from dl (r11 ADVICE item 3): n_docs counts EVERY
+    # documents row (a null-text doc has no tf0 rows and would otherwise
+    # vanish from the denominator, where the oracle's stats CTE keeps it
+    # with a NULL dl that its sum() skips), and total token mass is
+    # sum(tf) over the whole cached index — sum(dl) == sum(tf) exactly.
+    # The BM25 scoring join still reads the per-doc dl: a doc absent
+    # from tf0 can never appear on the scoring probe side anyway.
+    dl = tf0.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+    stats = (
+        d.agg(F.count("*").alias("n_docs"))
+        .crossJoin(tf0.agg(F.sum("tf").cast("double").alias("_tok_total")))
+        .select(
+            "n_docs", (F.col("_tok_total") / F.col("n_docs")).alias("avgdl")
+        )
     )
     df_ = tf0.groupBy("term").agg(F.count("*").alias("df"))
 
